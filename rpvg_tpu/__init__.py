@@ -1,0 +1,35 @@
+"""rpvg_tpu — TPU-native pantranscriptome quantification engine.
+
+A from-scratch reimplementation of the capabilities of rpvg (Sibbesen,
+Eizenga et al., Nature Methods 20:239-247, 2023): inference of
+haplotype-specific transcript posteriors and expression abundances from
+pangenome-graph RNA-seq alignments.
+
+Architecture (two halves split at the read x path likelihood matrix):
+
+* Host front half: streaming alignment parsing, haplotype path index
+  (GBWT-equivalent positional occurrence index), alignment->path
+  projection, fragment dedup and clustering.  Irregular, pointer-chasing
+  work; runs on CPU (numpy-vectorised + optional C++ kernels).
+* Device back half (JAX/XLA/Pallas): everything downstream of the
+  probability matrix — batched EM abundance estimation, haplotype group
+  posteriors (marginal/full/diploid-dense/Gibbs), Gibbs read-count
+  sampling and the TPM normalisation reduction — expressed as padded,
+  bucketed batch kernels vmapped/pjitted over a device mesh.
+
+Numeric contract follows the reference implementation
+(/root/reference/src/utils.hpp:83-84,503-512 and
+/root/reference/src/main.cpp:380-419); float64 is used on host and on
+CPU devices, float32 on TPU devices.
+"""
+
+import os
+
+# The reference engine computes in float64 throughout.  Enable x64 so CPU
+# test runs are bit-comparable; TPU kernels explicitly request float32.
+if os.environ.get("RPVG_TPU_DISABLE_X64", "0") != "1":
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+__version__ = "0.1.0"
