@@ -1,0 +1,66 @@
+"""Path clustering tests; fixture mirrors the reference
+(/root/reference/src/tests/path_clusters_test.cpp)."""
+
+from helpers import build_index
+
+from rpvg_tpu.clustering import PathClusters
+from rpvg_tpu.graph import Graph
+from rpvg_tpu.pathindex import SearchState
+from rpvg_tpu.projection import AlignmentPath
+
+
+THREADS = [
+    [(1, False), (2, False), (4, False)],
+    [(1, True), (6, True)],
+    [(3, False)],
+    [(6, True), (7, True)],
+]
+
+
+def make_graph():
+    return Graph({i: 1 for i in range(1, 8)})
+
+
+def test_node_clustering_unidirectional():
+    index = build_index(THREADS, make_graph(), bidirectional=False)
+    assert index.number_of_paths() == 4
+
+    clusters = PathClusters(index, [])
+    clusters.add_node_clusters(index)
+
+    assert list(clusters.path_to_cluster) == [0, 1, 2, 1]
+    assert clusters.num_clusters() == 3
+    assert list(clusters.cluster_to_paths[0]) == [0]
+    assert list(clusters.cluster_to_paths[1]) == [1, 3]
+    assert list(clusters.cluster_to_paths[2]) == [2]
+
+
+def test_node_clustering_bidirectional_merges_more():
+    index = build_index(THREADS, make_graph(), bidirectional=False)
+    index_bd = build_index(THREADS, make_graph(), bidirectional=True)
+
+    clusters = PathClusters(index, [])
+    clusters.add_node_clusters(index)
+    clusters.add_node_clusters(index_bd)
+
+    assert list(clusters.path_to_cluster) == [0, 0, 1, 0]
+    assert clusters.num_clusters() == 2
+    assert list(clusters.cluster_to_paths[0]) == [0, 1, 3]
+    assert list(clusters.cluster_to_paths[1]) == [2]
+
+
+def test_read_clustering():
+    index = build_index(THREADS, make_graph(), bidirectional=False)
+
+    # A fragment whose alignment-path list touches paths 1 and 3.
+    state_a = index.find(2 * 6 + 1)  # node 6 reverse: paths 1 and 3
+    assert state_a.size == 2
+    ap = AlignmentPath(state_a, True, 10, 1, 1, 1)
+    noise = AlignmentPath(SearchState(), True, 10, 0, 0, 0)
+
+    clusters = PathClusters(index, [[ap, noise]])
+    assert list(clusters.path_to_cluster) == [0, 1, 2, 1]
+
+    # No fragments: every path is its own cluster.
+    clusters_empty = PathClusters(index, [])
+    assert list(clusters_empty.path_to_cluster) == [0, 1, 2, 3]
