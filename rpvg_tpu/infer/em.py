@@ -1,0 +1,153 @@
+"""Expectation-maximisation abundance estimation as JAX kernels.
+
+The EM fixed point is a dense (R, P+1) matvec pair per iteration — the
+TPU-friendly heart of the quantification models.  Two entry points:
+
+* :func:`em_abundances` — one cluster, exact reference convergence
+  semantics (/root/reference/src/path_abundance_estimator.cpp:47-114).
+* :func:`em_abundances_batched` — padded cluster batches vmapped over a
+  leading batch axis with row/column masks, for bucketed execution
+  across a device mesh.
+
+Convergence contract: relative change of every abundance >= 1e-8 must
+stay within `max_rel_em_conv` for 10 consecutive iterations.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import MIN_EM_ABUNDANCE, MIN_EM_CONV_ITS
+
+
+def _em_step(probs, counts, abundances, total_count):
+    """One EM iteration: responsibilities then abundance update."""
+    weighted = probs * abundances[None, :]
+    row_sums = weighted.sum(axis=1, keepdims=True)
+    posteriors = jnp.where(row_sums > 0, weighted / row_sums, 0.0)
+    return (counts @ posteriors) / total_count
+
+
+@partial(jax.jit, static_argnames=("max_em_its",))
+def _em_solve(probs, counts, total_count, max_em_its, max_rel_em_conv):
+    n_cols = probs.shape[1]
+    init_abundances = jnp.full(n_cols, 1.0 / n_cols, dtype=probs.dtype)
+
+    def cond(state):
+        _, _, conv_its, it = state
+        return (it < max_em_its) & (conv_its < MIN_EM_CONV_ITS)
+
+    def body(state):
+        abundances, prev, conv_its, it = state
+        new = _em_step(probs, counts, abundances, total_count)
+        active = new >= MIN_EM_ABUNDANCE
+        rel_diff = jnp.where(active, jnp.abs(new - abundances) / jnp.where(active, new, 1.0), 0.0)
+        has_converged = jnp.all(rel_diff <= max_rel_em_conv)
+        conv_its = jnp.where(has_converged, conv_its + 1, 0)
+        return new, abundances, conv_its, it + 1
+
+    abundances, _, _, iterations = jax.lax.while_loop(
+        cond, body, (init_abundances, init_abundances, jnp.int32(0), jnp.int32(0))
+    )
+    return abundances, iterations
+
+
+def em_abundances(
+    probs: np.ndarray,
+    counts: np.ndarray,
+    total_count: float,
+    max_em_its: int = 10000,
+    max_rel_em_conv: float = 0.001,
+) -> Tuple[np.ndarray, float]:
+    """Run EM on one cluster matrix (with trailing noise column).
+
+    Returns (per-path read counts with sub-threshold mass zeroed,
+    noise read count).  Mirrors the tail handling of the reference
+    (:100-113): abundances below 1e-8 fold into the noise count."""
+    probs = jnp.asarray(probs)
+    counts = jnp.asarray(counts, dtype=probs.dtype)
+    abundances, _ = _em_solve(
+        probs, counts, probs.dtype.type(total_count), int(max_em_its), probs.dtype.type(max_rel_em_conv)
+    )
+    abundances = np.asarray(abundances, dtype=np.float64)
+
+    path_counts = abundances[:-1] * total_count
+    low = abundances[:-1] < MIN_EM_ABUNDANCE
+    noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total_count)
+    path_counts[low] = 0.0
+    return path_counts, noise_count
+
+
+# ------------------------------------------------------------------ batched
+
+
+def _masked_em_step(probs, counts, abundances, total_count, col_mask):
+    weighted = probs * (abundances * col_mask)[None, :]
+    row_sums = weighted.sum(axis=1, keepdims=True)
+    posteriors = jnp.where(row_sums > 0, weighted / row_sums, 0.0)
+    return (counts @ posteriors) / jnp.maximum(total_count, 1.0)
+
+
+@partial(jax.jit, static_argnames=("max_em_its",))
+def _em_solve_batched(probs, counts, col_masks, max_em_its, max_rel_em_conv):
+    """probs: (B, R, C); counts: (B, R); col_masks: (B, C).
+
+    Padded rows must have zero counts; padded columns zero mask.  Runs a
+    fixed-shape while loop until every cluster in the batch converged."""
+    B, _, C = probs.shape
+    totals = counts.sum(axis=1)
+    n_cols = col_masks.sum(axis=1)
+    init = jnp.where(col_masks > 0, 1.0 / jnp.maximum(n_cols, 1.0)[:, None], 0.0)
+
+    step = jax.vmap(_masked_em_step, in_axes=(0, 0, 0, 0, 0))
+
+    def cond(state):
+        _, _, conv_its, it = state
+        return (it < max_em_its) & jnp.any(conv_its < MIN_EM_CONV_ITS)
+
+    def body(state):
+        abundances, prev, conv_its, it = state
+        # Clusters that already hit the consecutive-iteration target are
+        # frozen so batchmates can keep iterating without changing them.
+        already_done = conv_its >= MIN_EM_CONV_ITS
+        new = step(probs, counts, abundances, totals, col_masks)
+        new = jnp.where(already_done[:, None], abundances, new)
+        active = (new >= MIN_EM_ABUNDANCE) & (col_masks > 0)
+        rel_diff = jnp.where(active, jnp.abs(new - abundances) / jnp.where(active, new, 1.0), 0.0)
+        has_converged = jnp.all(rel_diff <= max_rel_em_conv, axis=1)
+        conv_its = jnp.where(
+            already_done, conv_its, jnp.where(has_converged, conv_its + 1, 0)
+        )
+        return new, abundances, conv_its, it + 1
+
+    abundances, _, _, iterations = jax.lax.while_loop(
+        cond,
+        body,
+        (init, init, jnp.zeros(B, dtype=jnp.int32), jnp.int32(0)),
+    )
+    return abundances, iterations
+
+
+def em_abundances_batched(
+    probs: np.ndarray,
+    counts: np.ndarray,
+    col_masks: np.ndarray,
+    max_em_its: int = 10000,
+    max_rel_em_conv: float = 0.001,
+):
+    """Batched EM over padded cluster stacks; returns (B, C) abundance
+    fractions (caller applies totals/threshold folding)."""
+    probs = jnp.asarray(probs)
+    abundances, its = _em_solve_batched(
+        probs,
+        jnp.asarray(counts, dtype=probs.dtype),
+        jnp.asarray(col_masks, dtype=probs.dtype),
+        int(max_em_its),
+        probs.dtype.type(max_rel_em_conv),
+    )
+    return np.asarray(abundances, dtype=np.float64), int(its)

@@ -1,0 +1,128 @@
+"""Dense probability-matrix assembly from sparse per-fragment
+probabilities (host-side numpy; feeds the device kernels).
+
+Behavioural contract: /root/reference/src/path_estimator.cpp:55-313.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import double_compare
+from ..probabilities import ReadPathProbs
+
+
+def construct_probability_matrix(
+    cluster_probs: Sequence[ReadPathProbs], num_paths: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Dense (R, P) path probabilities + (R,) noise probs + (R,) counts."""
+    R = len(cluster_probs)
+    probs = np.zeros((R, num_paths), dtype=np.float64)
+    noise = np.empty(R, dtype=np.float64)
+    counts = np.empty(R, dtype=np.float64)
+    for i, rpp in enumerate(cluster_probs):
+        for prob, path_ids in rpp.path_probs:
+            probs[i, path_ids] = prob
+        noise[i] = rpp.noise_prob
+        counts[i] = rpp.read_count
+    return probs, noise, counts
+
+
+def construct_partial_probability_matrix(
+    cluster_probs: Sequence[ReadPathProbs], path_ids: Sequence[int], num_paths: int
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Matrix restricted to a subset of path indices (columns ordered as
+    in `path_ids`)."""
+    col_of = -np.ones(num_paths, dtype=np.int64)
+    for j, pid in enumerate(path_ids):
+        col_of[pid] = j
+    R = len(cluster_probs)
+    probs = np.zeros((R, len(path_ids)), dtype=np.float64)
+    noise = np.empty(R, dtype=np.float64)
+    counts = np.empty(R, dtype=np.float64)
+    for i, rpp in enumerate(cluster_probs):
+        for prob, ids in rpp.path_probs:
+            for pid in ids:
+                j = col_of[pid]
+                if j >= 0:
+                    probs[i, j] = prob
+        noise[i] = rpp.noise_prob
+        counts[i] = rpp.read_count
+    return probs, noise, counts
+
+
+def construct_grouped_probability_matrix(
+    cluster_probs: Sequence[ReadPathProbs],
+    path_groups: Sequence[Sequence[int]],
+    num_paths: int,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Columns summed over path groups (a path may feed several groups)."""
+    group_of: List[List[int]] = [[] for _ in range(num_paths)]
+    for g, group in enumerate(path_groups):
+        for pid in group:
+            group_of[pid].append(g)
+    R = len(cluster_probs)
+    probs = np.zeros((R, len(path_groups)), dtype=np.float64)
+    noise = np.empty(R, dtype=np.float64)
+    counts = np.empty(R, dtype=np.float64)
+    for i, rpp in enumerate(cluster_probs):
+        for prob, ids in rpp.path_probs:
+            for pid in ids:
+                for g in group_of[pid]:
+                    probs[i, g] += prob
+        noise[i] = rpp.noise_prob
+        counts[i] = rpp.read_count
+    return probs, noise, counts
+
+
+def add_noise_and_normalize(probs: np.ndarray, noise: np.ndarray) -> np.ndarray:
+    """Row-normalize, scale by (1 - noise) and append the noise column
+    (reference :156-166)."""
+    with np.errstate(invalid="ignore", divide="ignore"):
+        normalized = probs / probs.sum(axis=1, keepdims=True)
+    normalized = normalized * (1.0 - noise)[:, None]
+    normalized = np.nan_to_num(normalized, nan=0.0, posinf=0.0, neginf=0.0)
+    return np.concatenate([normalized, noise[:, None]], axis=1)
+
+
+def read_collapse(
+    probs: np.ndarray, counts: np.ndarray, prob_precision: float
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Sort rows then merge consecutive rows identical within precision,
+    summing their counts (reference :197-259)."""
+    if probs.shape[0] == 0:
+        return probs, counts
+    order = np.lexsort(np.concatenate([probs, counts[:, None]], axis=1).T[::-1])
+    probs = probs[order]
+    counts = counts[order].copy()
+
+    keep = [0]
+    for i in range(1, probs.shape[0]):
+        if np.all(np.abs(probs[keep[-1]] - probs[i]) < prob_precision):
+            counts[keep[-1]] += counts[i]
+        else:
+            keep.append(i)
+    return probs[keep], counts[keep]
+
+
+def path_collapse(probs: np.ndarray, prob_precision: float) -> np.ndarray:
+    """Sort columns then merge consecutive near-identical columns
+    (reference :261-313)."""
+    if probs.shape[1] == 0:
+        return probs
+    order = np.lexsort(probs[::-1])
+    probs = probs[:, order]
+    keep = [0]
+    for j in range(1, probs.shape[1]):
+        if not np.all(np.abs(probs[:, keep[-1]] - probs[:, j]) < prob_precision):
+            keep.append(j)
+    return probs[:, keep]
+
+
+def calc_path_log_frequencies(path_counts: Sequence[int]) -> np.ndarray:
+    """Log frequency prior from path source counts (reference :315-330)."""
+    counts = np.asarray(path_counts, dtype=np.float64)
+    total = counts.sum()
+    return np.log(counts / total)

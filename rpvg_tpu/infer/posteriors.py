@@ -1,0 +1,218 @@
+"""Haplotype group posterior engines.
+
+Three engines over the (R, P) probability matrix + noise column:
+
+* :func:`path_group_posteriors_full` — exhaustive enumeration of path
+  multisets of the ploidy size (reference calculatePathGroupPosteriorsFull,
+  /root/reference/src/path_estimator.cpp:332-377).
+* :func:`path_group_posteriors_diploid` — dense all-pairs scoring for
+  ploidy 2 expressed as blocked (R, P, P) log-likelihood tensors with
+  threshold masking.  This replaces the reference's serial
+  branch-and-bound (calculatePathGroupPosteriorsBounded, :379-473) with
+  a TPU-shaped computation that provably yields the same posteriors: the
+  B&B's pruning bound is conservative, and its final filter (drop
+  likelihoods below max * min_rel_likelihood) is re-applied here over
+  the exact full set.
+* :func:`path_group_posteriors_gibbs` — collapsed Gibbs sampling over
+  group slots (reference estimatePathGroupPosteriorsGibbs, :475-589);
+  matches distributionally (chain/burn/iteration sizing identical).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from itertools import combinations_with_replacement
+from typing import List, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import (
+    BURN_ITS_SCALING,
+    GIBBS_CHAIN_SCALING,
+    GIBBS_ITS_SCALING,
+    MIN_BURN_ITS,
+    MIN_GIBBS_CHAINS,
+    MIN_GIBBS_ITS,
+)
+from ..mathutils import num_permutations
+from .matrices import calc_path_log_frequencies
+
+_LOWEST = -np.finfo(np.float64).max
+
+
+def _normalize_log_posteriors(log_posteriors: np.ndarray) -> np.ndarray:
+    max_lp = log_posteriors.max()
+    if not np.isfinite(max_lp):
+        return np.full_like(log_posteriors, np.nan)
+    shifted = np.exp(log_posteriors - max_lp)
+    return shifted / shifted.sum()
+
+
+def path_group_posteriors_full(
+    probs: np.ndarray,
+    noise: np.ndarray,
+    counts: np.ndarray,
+    path_counts: Sequence[int],
+    group_size: int,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Posterior over every multiset of `group_size` paths."""
+    P = probs.shape[1]
+    log_freqs = calc_path_log_frequencies(path_counts)
+
+    if group_size == 1:
+        # Vectorised marginal case: (R, P) directly.
+        with np.errstate(divide="ignore"):
+            log_liks = counts @ np.log(noise[:, None] + probs)
+        log_liks = log_liks + log_freqs
+        groups = [[i] for i in range(P)]
+        return groups, _normalize_log_posteriors(log_liks)
+
+    if group_size == 2:
+        groups, log_liks = _diploid_log_likelihoods(probs, noise, counts, log_freqs)
+        return groups, _normalize_log_posteriors(log_liks)
+
+    groups = [list(c) for c in combinations_with_replacement(range(P), group_size)]
+    log_liks = np.empty(len(groups), dtype=np.float64)
+    for g, group in enumerate(groups):
+        group_probs = noise + probs[:, group].sum(axis=1) / group_size
+        with np.errstate(divide="ignore"):
+            ll = float(counts @ np.log(group_probs))
+        ll += float(log_freqs[list(group)].sum())
+        ll += math.log(num_permutations(group))
+        log_liks[g] = ll
+    return groups, _normalize_log_posteriors(log_liks)
+
+
+@partial(jax.jit, static_argnames=())
+def _diploid_pair_scores(probs, noise, counts, log_freqs):
+    """(P, P) log-likelihood matrix of all ordered diplotype pairs."""
+    half = probs * 0.5
+    # group_probs[r, i, j] = noise[r] + (probs[r,i] + probs[r,j]) / 2
+    group = noise[:, None, None] + half[:, :, None] + half[:, None, :]
+    logs = jnp.where(group > 0, jnp.log(group), -jnp.inf)
+    pair_ll = jnp.einsum("r,rij->ij", counts, logs)
+    pair_ll = pair_ll + log_freqs[:, None] + log_freqs[None, :]
+    return pair_ll
+
+
+def _diploid_log_likelihoods(probs, noise, counts, log_freqs, block: int = 512):
+    """All P*(P+1)/2 diplotype log-likelihoods via the dense device
+    kernel, blocked over columns to bound memory."""
+    P = probs.shape[1]
+    pair_ll = np.asarray(
+        _diploid_pair_scores(
+            jnp.asarray(probs), jnp.asarray(noise), jnp.asarray(counts), jnp.asarray(log_freqs)
+        ),
+        dtype=np.float64,
+    )
+    iu = np.triu_indices(P)
+    log_liks = pair_ll[iu].copy()
+    # Heterozygous pairs carry the 2-permutation prior factor.
+    log_liks[iu[0] != iu[1]] += math.log(2.0)
+    groups = [[int(i), int(j)] for i, j in zip(*iu)]
+    return groups, log_liks
+
+
+def path_group_posteriors_diploid(
+    probs: np.ndarray,
+    noise: np.ndarray,
+    counts: np.ndarray,
+    path_counts: Sequence[int],
+    min_rel_likelihood: float,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Diploid posterior with the reference's relative-likelihood cutoff:
+    pairs below max * min_rel_likelihood carry zero posterior and are
+    dropped from the reported group sets."""
+    log_freqs = calc_path_log_frequencies(path_counts)
+    groups, log_liks = _diploid_log_likelihoods(probs, noise, counts, log_freqs)
+
+    max_ll = log_liks.max()
+    keep = log_liks - max_ll >= math.log(min_rel_likelihood)
+    kept_groups = [g for g, k in zip(groups, keep) if k]
+    posteriors = _normalize_log_posteriors(log_liks[keep])
+    return kept_groups, posteriors
+
+
+def gibbs_iteration_counts(group_size: int, num_paths: int) -> Tuple[int, int, int]:
+    """Chain/burn-in/sample sizing scaled to problem size (reference
+    path_estimator.cpp:4-11,501-503)."""
+    scale = group_size * num_paths
+    chains = MIN_GIBBS_CHAINS + round(GIBBS_CHAIN_SCALING * scale)
+    burn = MIN_BURN_ITS + round(BURN_ITS_SCALING * scale)
+    its = MIN_GIBBS_ITS + round(GIBBS_ITS_SCALING * scale)
+    return chains, burn, its
+
+
+@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its"))
+def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, num_its):
+    """Run all chains in parallel; returns (chains, its, group_size)
+    sampled path indices per recorded iteration (burn-in included —
+    caller slices)."""
+    P = probs.shape[1]
+
+    def conditional_logits(occupied_sum, slot_col):
+        # occupied_sum: (R,) sum of other slots' cols / g; candidate col
+        # added per path: logits over P paths.
+        group = noise[:, None] + occupied_sum[:, None] + probs / group_size
+        logs = jnp.where(group > 0, jnp.log(group), -jnp.inf)
+        return counts @ logs + log_freqs
+
+    def chain_step(state, key):
+        group = state  # (group_size,) int32 path indices
+        keys = jax.random.split(key, group_size)
+
+        def slot_body(j, group):
+            mask = jnp.arange(group_size) != j
+            occupied = (probs[:, group] * mask[None, :]).sum(axis=1) / group_size
+            logits = conditional_logits(occupied, j)
+            new_path = jax.random.categorical(keys[j], logits)
+            return group.at[j].set(new_path.astype(group.dtype))
+
+        group = jax.lax.fori_loop(0, group_size, slot_body, group)
+        return group, group
+
+    def run_chain(key):
+        init_key, scan_key = jax.random.split(key)
+        init_group = jax.random.randint(init_key, (group_size,), 0, P, dtype=jnp.int32)
+        step_keys = jax.random.split(scan_key, num_its)
+        _, samples = jax.lax.scan(chain_step, init_group, step_keys)
+        return samples  # (num_its, group_size)
+
+    chain_keys = jax.random.split(key, num_chains)
+    return jax.vmap(run_chain)(chain_keys)
+
+
+def path_group_posteriors_gibbs(
+    probs: np.ndarray,
+    noise: np.ndarray,
+    counts: np.ndarray,
+    path_counts: Sequence[int],
+    group_size: int,
+    rng_key,
+) -> Tuple[List[List[int]], np.ndarray]:
+    """Collapsed Gibbs over group slots; posterior = sample frequency of
+    each sorted group multiset."""
+    P = probs.shape[1]
+    log_freqs = calc_path_log_frequencies(path_counts)
+    num_chains, num_burn, num_its = gibbs_iteration_counts(group_size, P)
+
+    samples = _gibbs_chains(
+        rng_key,
+        jnp.asarray(probs),
+        jnp.asarray(noise),
+        jnp.asarray(counts),
+        jnp.asarray(log_freqs),
+        group_size,
+        num_chains,
+        num_burn + num_its,
+    )
+    samples = np.asarray(samples)[:, num_burn:, :]  # (chains, its, g)
+    samples = np.sort(samples, axis=2).reshape(-1, group_size)
+
+    unique, sample_counts = np.unique(samples, axis=0, return_counts=True)
+    groups = [list(map(int, row)) for row in unique]
+    posteriors = sample_counts / float(num_chains * num_its)
+    return groups, posteriors
