@@ -1,0 +1,288 @@
+"""Output writers: the six result file formats.
+
+Column schemas and numeric formatting mirror the reference writers
+(/root/reference/src/threaded_output_writer.cpp): 8 significant digits
+(C++ ostream setprecision semantics == printf %g), `Unknown` noise rows
+absorbing unaligned reads, `.`-padded joint haplotype rows.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+from typing import Dict, List, Optional, Sequence, TextIO, Tuple
+
+import numpy as np
+
+from ..constants import OUT_PRECISION_DIGITS
+from ..infer.estimates import PathClusterEstimates
+from ..probabilities import PathInfo, ReadPathProbs
+
+
+def fmt(value: float, digits: int = OUT_PRECISION_DIGITS) -> str:
+    """C++ `ostream << setprecision(digits)` formatting."""
+    if value != value:
+        return "nan"
+    if isinstance(value, (int, np.integer)) or (
+        isinstance(value, float) and value.is_integer() and abs(value) < 10**digits
+    ):
+        return str(int(value))
+    return f"{value:.{digits}g}"
+
+
+def _open(path: str) -> TextIO:
+    if path.endswith(".gz"):
+        return gzip.open(path, "wt")
+    return open(path, "w")
+
+
+class ProbabilityClusterWriter:
+    """<prefix>_probs.txt.gz: '#'-delimited clusters with a path header
+    line then `count noise prob:ids...` rows (reference :40-95)."""
+
+    def __init__(self, prefix: str, prob_precision: float):
+        self.handle = _open(prefix + ".txt.gz")
+        self.digits = max(OUT_PRECISION_DIGITS, math.ceil(-math.log10(prob_precision)))
+
+    def add_cluster(
+        self, cluster_probs: Sequence[ReadPathProbs], cluster_paths: Sequence[PathInfo]
+    ) -> None:
+        if not cluster_probs:
+            return
+        out = ["#"]
+        out.append(
+            " ".join(
+                f"{p.name},{p.length},{fmt(p.effective_length)}" for p in cluster_paths
+            )
+        )
+        for rpp in cluster_probs:
+            row = [str(rpp.read_count), fmt(rpp.noise_prob, self.digits)]
+            for prob, ids in rpp.path_probs:
+                row.append(f"{fmt(prob, self.digits)}:" + ",".join(map(str, ids)))
+            out.append(" ".join(row))
+        self.handle.write("\n".join(out) + "\n")
+
+    def close(self):
+        self.handle.close()
+
+
+class ReadCountGibbsSamplesWriter:
+    """<prefix>_gibbs.txt.gz: Name ClusterID ReadCountSample_i columns
+    with zero-fill for unsampled subsets and a trailing `Unknown` noise
+    row (reference :98-230)."""
+
+    def __init__(self, prefix: str, num_gibbs_samples: int):
+        self.handle = _open(prefix + ".txt.gz")
+        self.num_samples = num_gibbs_samples
+        self.noise_counts = np.zeros(num_gibbs_samples, dtype=np.float64)
+        header = ["Name", "ClusterID"] + [
+            f"ReadCountSample_{i + 1}" for i in range(num_gibbs_samples)
+        ]
+        self.handle.write("\t".join(header) + "\n")
+
+    def add_samples(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        if not estimates.gibbs_read_count_samples:
+            self.noise_counts += estimates.total_count
+            return
+
+        # Per path: which sample-subset carries it, at which column.
+        path_sampling_index: Dict[int, Dict[int, int]] = {}
+        noise_idx = 0
+        for s, samples in enumerate(estimates.gibbs_read_count_samples):
+            n_samples = len(samples.noise_samples)
+            for noise_sample in samples.noise_samples:
+                self.noise_counts[noise_idx] += noise_sample
+                noise_idx += 1
+            for j, pid in enumerate(samples.path_ids):
+                path_sampling_index.setdefault(pid, {})[s] = j
+        while noise_idx < self.num_samples:
+            self.noise_counts[noise_idx] += estimates.total_count
+            noise_idx += 1
+
+        for pid in sorted(path_sampling_index):
+            columns = path_sampling_index[pid]
+            row = [estimates.paths[pid].name, str(cluster_id)]
+            n_written = 0
+            for s, samples in enumerate(estimates.gibbs_read_count_samples):
+                n_here = len(samples.noise_samples)
+                j = columns.get(s)
+                if j is None:
+                    row.extend(["0"] * n_here)
+                else:
+                    P = len(samples.path_ids)
+                    row.extend(
+                        fmt(samples.abundance_samples[k * P + j]) for k in range(n_here)
+                    )
+                n_written += n_here
+            row.extend(["0"] * (self.num_samples - n_written))
+            self.handle.write("\t".join(row) + "\n")
+
+    def finish(self, unaligned_read_count: int) -> None:
+        row = ["Unknown", "0"] + [
+            fmt(c + unaligned_read_count) for c in self.noise_counts
+        ]
+        self.handle.write("\t".join(row) + "\n")
+        self.handle.close()
+
+
+class JointHaplotypeEstimatesWriter:
+    """<prefix>.txt for the haplotypes model: Name_1..Name_ploidy
+    ClusterID HaplotypingProbability (reference :233-280)."""
+
+    def __init__(self, prefix: str, ploidy: int, min_posterior: float):
+        self.handle = _open(prefix + ".txt")
+        self.ploidy = ploidy
+        self.min_posterior = min_posterior
+        header = [f"Name_{i + 1}" for i in range(ploidy)] + ["ClusterID", "HaplotypingProbability"]
+        self.handle.write("\t".join(header) + "\n")
+
+    def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        for group_set, posterior in zip(estimates.path_group_sets, estimates.posteriors):
+            if posterior < self.min_posterior:
+                continue
+            names = [estimates.paths[p].name for p in group_set]
+            names += ["."] * (self.ploidy - len(group_set))
+            self.handle.write(
+                "\t".join(names + [str(cluster_id), fmt(posterior)]) + "\n"
+            )
+
+    def close(self):
+        self.handle.close()
+
+
+class AbundanceEstimatesWriter:
+    """<prefix>.txt: Name ClusterID Length EffectiveLength ReadCount TPM
+    (reference :283-343)."""
+
+    def __init__(self, prefix: str, total_transcript_count: float):
+        self.handle = _open(prefix + ".txt")
+        self.total_transcript_count = total_transcript_count
+        self.noise_count = 0.0
+        self.handle.write("Name\tClusterID\tLength\tEffectiveLength\tReadCount\tTPM\n")
+
+    def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        for i, group_set in enumerate(estimates.path_group_sets):
+            path = group_set[0]
+            info = estimates.paths[path]
+            count = estimates.abundances[i]
+            tpm = 0.0
+            if info.effective_length > 0:
+                tpm = count / info.effective_length / self.total_transcript_count * 1e6
+            self.handle.write(
+                "\t".join(
+                    [
+                        info.name,
+                        str(cluster_id),
+                        str(info.length),
+                        fmt(info.effective_length),
+                        fmt(count),
+                        fmt(tpm),
+                    ]
+                )
+                + "\n"
+            )
+        self.noise_count += estimates.noise_count
+
+    def finish(self, unaligned_read_count: int) -> None:
+        self.handle.write(
+            f"Unknown\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
+        )
+        self.handle.close()
+
+
+class HaplotypeAbundanceEstimatesWriter:
+    """<prefix>.txt for haplotype-transcripts: adds HaplotypeProbability,
+    marginalising group sets per path (reference :346-432)."""
+
+    def __init__(self, prefix: str, ploidy: int, total_transcript_count: float):
+        self.handle = _open(prefix + ".txt")
+        self.ploidy = ploidy
+        self.total_transcript_count = total_transcript_count
+        self.noise_count = 0.0
+        self.handle.write(
+            "Name\tClusterID\tLength\tEffectiveLength\tHaplotypeProbability\tReadCount\tTPM\n"
+        )
+
+    def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        n_paths = len(estimates.paths)
+        hap_probs = np.zeros(n_paths)
+        read_counts = np.zeros(n_paths)
+
+        abundance_it = iter(estimates.abundances)
+        for group_set, posterior in zip(estimates.path_group_sets, estimates.posteriors):
+            hap_probs[group_set[0]] += posterior
+            read_counts[group_set[0]] += next(abundance_it)
+            for j in range(1, len(group_set)):
+                if group_set[j] != group_set[j - 1]:
+                    hap_probs[group_set[j]] += posterior
+                read_counts[group_set[j]] += next(abundance_it)
+
+        for i, info in enumerate(estimates.paths):
+            tpm = 0.0
+            if info.effective_length > 0:
+                tpm = read_counts[i] / info.effective_length / self.total_transcript_count * 1e6
+            self.handle.write(
+                "\t".join(
+                    [
+                        info.name,
+                        str(cluster_id),
+                        str(info.length),
+                        fmt(info.effective_length),
+                        fmt(hap_probs[i]),
+                        fmt(read_counts[i]),
+                        fmt(tpm),
+                    ]
+                )
+                + "\n"
+            )
+        self.noise_count += estimates.noise_count
+
+    def finish(self, unaligned_read_count: int) -> None:
+        self.handle.write(
+            f"Unknown\t0\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
+        )
+        self.handle.close()
+
+
+class JointHaplotypeAbundanceEstimatesWriter:
+    """<prefix>_joint.txt: per-group-set rows with per-slot
+    ReadCount/TPM columns (reference :434-546)."""
+
+    def __init__(self, prefix: str, ploidy: int, min_posterior: float, total_transcript_count: float):
+        self.handle = _open(prefix + ".txt")
+        self.ploidy = ploidy
+        self.min_posterior = min_posterior
+        self.total_transcript_count = total_transcript_count
+        self.noise_counts = np.zeros(ploidy)
+        header = [f"Name_{i + 1}" for i in range(ploidy)]
+        header += ["ClusterID", "HaplotypingProbability"]
+        for i in range(ploidy):
+            header += [f"ReadCount_{i + 1}", f"TPM_{i + 1}"]
+        self.handle.write("\t".join(header) + "\n")
+
+    def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        abundance_it = iter(estimates.abundances)
+        for group_set, posterior in zip(estimates.path_group_sets, estimates.posteriors):
+            slot_counts = [next(abundance_it) for _ in group_set]
+            if posterior < self.min_posterior:
+                continue
+            names = [estimates.paths[p].name for p in group_set]
+            names += ["."] * (self.ploidy - len(group_set))
+            row = names + [str(cluster_id), fmt(posterior)]
+            for path, count in zip(group_set, slot_counts):
+                info = estimates.paths[path]
+                tpm = 0.0
+                if info.effective_length > 0:
+                    tpm = count / info.effective_length / self.total_transcript_count * 1e6
+                row += [fmt(count), fmt(tpm)]
+            for _ in range(self.ploidy - len(group_set)):
+                row += ["0", "0"]
+            self.handle.write("\t".join(row) + "\n")
+        self.noise_counts += estimates.noise_count / self.noise_counts.size
+
+    def finish(self, unaligned_read_count: int) -> None:
+        row = ["Unknown"] * self.ploidy + ["0", "0"]
+        for noise in self.noise_counts:
+            row += [fmt(noise + unaligned_read_count / self.noise_counts.size), "0"]
+        self.handle.write("\t".join(row) + "\n")
+        self.handle.close()

@@ -1,0 +1,544 @@
+"""End-to-end quantification pipeline.
+
+Phases (mirroring the reference driver, /root/reference/src/main.cpp):
+
+1. load graph + path index (+ optional haplotype/transcript info),
+2. fragment pass: project every read (pair) onto the panel, condense and
+   deduplicate alignment-path lists, accumulate the fragment-length
+   histogram,
+3. re-fit the fragment length distribution (skew-normal MLE),
+4. cluster paths (read-sharing, optionally node-sharing) and partition
+   fragments by their anchor path's cluster,
+5. per cluster (largest first): assemble read-path probabilities and run
+   the model estimator (JAX kernels),
+6. reduce the TPM normaliser and write outputs.
+
+Each phase is its own function so benchmarks, tests and the sharded
+multi-host runner can drive them independently.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import numpy as np
+
+from .alignments import Alignment, MultipathAlignment
+from .clustering import PathClusters
+from .constants import FRAG_LENGTH_MIN_MAPQ
+from .fragments import FragmentLengthDist
+from .graph import Graph, load_graph
+from .infer.estimates import PathClusterEstimates
+from .infer.estimators import ClusterRNG, make_estimator
+from .io import json_stream, writers
+from .io.info import parse_haplotype_transcript_info
+from .pathindex import PathIndex
+from .probabilities import PathInfo, ReadPathProbs
+from .projection import AlignmentPath, AlignmentPathFinder
+
+
+@dataclass
+class PipelineConfig:
+    graph: Union[str, Graph] = None
+    paths: Union[str, PathIndex] = None
+    alignments: Union[str, Iterable] = None
+    output_prefix: str = "rpvg_tpu"
+    inference_model: str = "transcripts"
+
+    rng_seed: int = 0
+    library_type: str = "unstranded"
+    single_path: bool = False
+    single_end: bool = False
+    long_reads: bool = False
+    score_not_qual: bool = False
+
+    frag_mean: Optional[float] = None
+    frag_sd: Optional[float] = None
+    max_num_sd_frag: int = 10
+
+    write_probs: bool = False
+    max_par_offset: int = 4
+    max_score_diff: int = 20
+    filt_best_score: float = 0.9
+    use_allelic_mapq: bool = False
+    min_noise_prob: float = 1e-4
+    prob_precision: float = 1e-8
+    path_node_cluster: bool = False
+
+    ploidy: int = 2
+    path_info: Optional[str] = None
+    min_hap_prob: float = 0.001
+    ind_hap_inference: bool = False
+    use_hap_gibbs: bool = False
+
+    num_gibbs_samples: int = 0
+    max_em_its: int = 10000
+    max_rel_em_conv: float = 0.001
+    gibbs_thin_its: int = 25
+
+    def is_single_end(self) -> bool:
+        return self.single_end or self.long_reads
+
+
+# ----------------------------------------------------------- fragment pass
+
+
+def condense_alignment_paths(align_paths: List[AlignmentPath]) -> List[AlignmentPath]:
+    """Collapse consecutive sorted entries with identical (search state,
+    fragment length), keeping the first (reference
+    addAlignmentPathsToBuffer, src/main.cpp:54-96)."""
+    if not align_paths:
+        return align_paths
+    if len(align_paths) == 2:
+        return align_paths
+    out = [align_paths[0]]
+    for ap in align_paths[1:]:
+        prev = out[-1]
+        if prev.search == ap.search and prev.frag_length == ap.frag_length:
+            continue
+        out.append(ap)
+    return out
+
+
+class FragmentIndex:
+    """Deduplicated fragment alignment-path lists with multiplicities,
+    plus the high-confidence fragment-length histogram (reference
+    addAlignmentPathsBufferToIndexes, src/main.cpp:200-237)."""
+
+    def __init__(self, pre_frag_length_dist: FragmentLengthDist, is_single_end: bool):
+        self.entries: Dict[tuple, Tuple[List[AlignmentPath], int]] = {}
+        self.frag_length_counts = np.zeros(
+            pre_frag_length_dist.max_length + 1, dtype=np.int64
+        )
+        self.pre_loc = int(pre_frag_length_dist.loc)
+        self.is_single_end = is_single_end
+        self.unaligned_count = 0
+
+    def add(self, align_paths: List[AlignmentPath]) -> None:
+        if not align_paths:
+            self.unaligned_count += 1
+            return
+        align_paths = condense_alignment_paths(align_paths)
+
+        first = align_paths[0]
+        if (
+            not self.is_single_end
+            and first.is_simple
+            and first.min_mapq >= FRAG_LENGTH_MIN_MAPQ
+            and first.frag_length < self.frag_length_counts.size
+        ):
+            self.frag_length_counts[first.frag_length] += 1
+
+        if len(align_paths) == 2:
+            # Unique hit: score/length carry no information; fragment
+            # length standardised to the prior mean so all unique hits
+            # on a path dedup together.
+            first.score_sum = 1
+            first.align_length = 1
+            first.frag_length = self.pre_loc
+
+        key = tuple(ap.key() for ap in align_paths)
+        entry = self.entries.get(key)
+        if entry is None:
+            self.entries[key] = (align_paths, 1)
+        else:
+            self.entries[key] = (entry[0], entry[1] + 1)
+
+    def lists(self) -> List[Tuple[List[AlignmentPath], int]]:
+        return list(self.entries.values())
+
+
+def run_fragment_pass(
+    finder: AlignmentPathFinder,
+    fragments: Iterable,
+    pre_frag_length_dist: FragmentLengthDist,
+    is_single_end: bool,
+) -> FragmentIndex:
+    """Project all fragments and index the results.  `fragments` yields
+    Alignment/MultipathAlignment objects (single-end) or pairs."""
+    index = FragmentIndex(pre_frag_length_dist, is_single_end)
+    if is_single_end:
+        for aln in fragments:
+            index.add(finder.find_alignment_paths(aln))
+    else:
+        for aln_1, aln_2 in fragments:
+            index.add(finder.find_paired_alignment_paths(aln_1, aln_2))
+    return index
+
+
+# ------------------------------------------------------------- clustering
+
+
+def partition_fragments(
+    paths_index: PathIndex,
+    clusters: PathClusters,
+    fragment_lists: Sequence[Tuple[List[AlignmentPath], int]],
+) -> List[List[Tuple[List[AlignmentPath], int]]]:
+    """Assign each distinct fragment list to its anchor path's cluster
+    (reference src/main.cpp:731-754)."""
+    per_cluster: List[List[Tuple[List[AlignmentPath], int]]] = [
+        [] for _ in range(clusters.num_clusters())
+    ]
+    for entry in fragment_lists:
+        align_paths, _ = entry
+        anchor_path_id = int(paths_index.locate(align_paths[0].search)[0])
+        per_cluster[clusters.path_to_cluster[anchor_path_id]].append(entry)
+    return per_cluster
+
+
+# ---------------------------------------------------------- cluster solve
+
+
+@dataclass
+class ClusterResult:
+    cluster_id: int
+    estimates: PathClusterEstimates
+    cluster_probs: List[ReadPathProbs] = field(default_factory=list)
+
+
+def build_cluster_probs(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    frag_length_dist: FragmentLengthDist,
+    cluster_path_ids: np.ndarray,
+    fragment_lists: Sequence[Tuple[List[AlignmentPath], int]],
+    haplotype_info: Optional[Dict[str, PathInfo]],
+    collapse_haps: bool,
+) -> Tuple[List[PathInfo], List[ReadPathProbs]]:
+    """Assemble PathInfos and deduplicated ReadPathProbs for one cluster
+    (reference src/main.cpp:846-973)."""
+    clustered_path_index = {int(pid): i for i, pid in enumerate(cluster_path_ids)}
+
+    paths: List[PathInfo] = []
+    group_name_index: Dict[str, int] = {}
+    for pid in cluster_path_ids:
+        name = paths_index.path_name(int(pid))
+        if haplotype_info is None:
+            info = PathInfo(name=name)
+        else:
+            info = haplotype_info[name].copy()
+        info.length = paths_index.path_length(int(pid))
+        if config.long_reads:
+            info.effective_length = float(info.length)
+        else:
+            info.effective_length = paths_index.effective_path_length(
+                int(pid), frag_length_dist
+            )
+        if collapse_haps:
+            group_name_index.setdefault(info.name, len(group_name_index))
+        paths.append(info)
+
+    cluster_probs: List[ReadPathProbs] = []
+    for align_paths, count in fragment_lists:
+        align_paths_ids = [
+            paths_index.locate(ap.search).tolist() for ap in align_paths
+        ]
+        rpp = ReadPathProbs(count, config.prob_precision)
+        rpp.add_path_probs(
+            align_paths,
+            align_paths_ids,
+            clustered_path_index,
+            paths,
+            frag_length_dist,
+            config.is_single_end(),
+            config.min_noise_prob,
+            collapse_haps,
+            group_name_index,
+        )
+        cluster_probs.append(rpp)
+
+    if collapse_haps:
+        # Merge per-transcript paths: lengths weighted by source counts
+        # (reference src/main.cpp:909-951).
+        collapsed = [None] * len(group_name_index)
+        for info in paths:
+            g = group_name_index[info.name]
+            if collapsed[g] is None:
+                merged = info.copy()
+                merged.length = info.length * info.source_count
+                merged.effective_length = info.effective_length * info.source_count
+                collapsed[g] = merged
+            else:
+                merged = collapsed[g]
+                merged.source_count += info.source_count
+                merged.length += info.length * info.source_count
+                merged.effective_length += info.effective_length * info.source_count
+        for merged in collapsed:
+            merged.length = round(merged.length / merged.source_count)
+            merged.effective_length /= merged.source_count
+        paths = collapsed
+
+    cluster_probs.sort(key=ReadPathProbs.sort_key)
+    deduped: List[ReadPathProbs] = []
+    for rpp in cluster_probs:
+        if deduped and deduped[-1].quick_merge_identical(rpp):
+            continue
+        deduped.append(rpp)
+
+    return paths, deduped
+
+
+# ------------------------------------------------------------ entry point
+
+
+def load_inputs(config: PipelineConfig) -> Tuple[Graph, PathIndex]:
+    graph = config.graph if isinstance(config.graph, Graph) else load_graph(config.graph)
+    if isinstance(config.paths, PathIndex):
+        paths_index = config.paths
+    else:
+        paths_index = PathIndex.from_json_file(config.paths, graph)
+    assert paths_index.number_of_paths() > 0, "path index contains no paths"
+    return graph, paths_index
+
+
+def resolve_pre_fragment_dist(config: PipelineConfig) -> FragmentLengthDist:
+    """Initial fragment-length parameters: unit for long reads, CLI
+    values, or scanned from the alignment stream (reference
+    src/main.cpp:514-551)."""
+    if config.long_reads:
+        return FragmentLengthDist.from_normal(1, 1, config.max_num_sd_frag)
+    if config.frag_mean is not None and config.frag_sd is not None:
+        return FragmentLengthDist.from_normal(
+            config.frag_mean, config.frag_sd, config.max_num_sd_frag
+        )
+    assert not config.single_end, (
+        "--frag-mean and --frag-sd are required for single-end short reads"
+    )
+    assert isinstance(config.alignments, str)
+    for obj in json_stream.stream_alignment_dicts(config.alignments):
+        from .alignments import _parse_annotation
+
+        record = dict(obj)
+        if "annotation" in record:
+            record["annotation"] = _parse_annotation(record["annotation"])
+        fld = record.get("fragment_length_distribution") or record.get(
+            "fragmentLengthDistribution"
+        )
+        if fld:
+            record["fragment_length_distribution"] = fld
+        parsed = FragmentLengthDist.parse_alignment(record)
+        if parsed is not None:
+            return FragmentLengthDist.from_params(*parsed, 0.0, config.max_num_sd_frag)
+    raise ValueError(
+        "no fragment length distribution found in alignments; "
+        "use frag_mean/frag_sd"
+    )
+
+
+def iter_fragments(config: PipelineConfig):
+    if not isinstance(config.alignments, str):
+        yield from config.alignments
+        return
+    if config.is_single_end():
+        yield from json_stream.stream_alignments(config.alignments, not config.single_path)
+    else:
+        yield from json_stream.stream_alignment_pairs(
+            config.alignments, not config.single_path
+        )
+
+
+def run_pipeline(config: PipelineConfig) -> Dict:
+    """Run the full pipeline; returns summary stats."""
+    t_start = time.perf_counter()
+    log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
+
+    graph, paths_index = load_inputs(config)
+    pre_frag_length_dist = resolve_pre_fragment_dist(config)
+    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s)")
+
+    finder = AlignmentPathFinder(
+        paths_index,
+        library_type=config.library_type,
+        score_not_qual=config.score_not_qual,
+        use_allelic_mapq=config.use_allelic_mapq,
+        max_pair_frag_length=pre_frag_length_dist.max_length,
+        max_partial_offset=config.max_par_offset,
+        est_missing_noise_prob=False,
+        max_score_diff=config.max_score_diff,
+        min_best_score_filter=config.filt_best_score,
+    )
+
+    t_phase = time.perf_counter()
+    fragment_index = run_fragment_pass(
+        finder, iter_fragments(config), pre_frag_length_dist, config.is_single_end()
+    )
+    log(
+        f"Found {len(fragment_index.entries)} distinct alignment path lists and "
+        f"{fragment_index.unaligned_count} unaligned reads "
+        f"({time.perf_counter() - t_phase:.2f}s)"
+    )
+
+    if config.is_single_end():
+        frag_length_dist = pre_frag_length_dist
+    else:
+        frag_length_dist = FragmentLengthDist.from_counts(
+            fragment_index.frag_length_counts, skew_normal=True
+        )
+        if not frag_length_dist.is_valid():
+            assert config.frag_mean is not None, (
+                "too few unambiguous read pairs to re-estimate fragment lengths; "
+                "provide frag_mean/frag_sd"
+            )
+            frag_length_dist = pre_frag_length_dist
+        else:
+            log(
+                "Fragment length distribution re-estimated "
+                f"(loc: {frag_length_dist.loc:.4f}, scale: {frag_length_dist.scale:.4f}, "
+                f"shape: {frag_length_dist.shape:.4f})"
+            )
+
+    collapse_haps = config.inference_model == "transcripts" and config.path_info is not None
+
+    t_phase = time.perf_counter()
+    fragment_lists = fragment_index.lists()
+    clusters = PathClusters(paths_index, [fl[0] for fl in fragment_lists])
+    if config.path_node_cluster or collapse_haps:
+        clusters.add_node_clusters(paths_index)
+    per_cluster = partition_fragments(paths_index, clusters, fragment_lists)
+    log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s)")
+
+    haplotype_info = None
+    if config.path_info is not None:
+        haplotype_info = parse_haplotype_transcript_info(
+            config.path_info,
+            parse_haplotype_ids=config.inference_model == "haplotype-transcripts",
+            use_transcript_names=collapse_haps,
+        )
+
+    estimator = make_estimator(
+        config.inference_model,
+        ploidy=config.ploidy,
+        use_hap_gibbs=config.use_hap_gibbs,
+        min_hap_prob=config.min_hap_prob,
+        ind_hap_inference=config.ind_hap_inference,
+        max_em_its=config.max_em_its,
+        max_rel_em_conv=config.max_rel_em_conv,
+        num_gibbs_samples=config.num_gibbs_samples,
+        gibbs_thin_its=config.gibbs_thin_its,
+        prob_precision=config.prob_precision,
+    )
+
+    # Clusters processed largest-first (reference sorts by fragment count
+    # for load balance; the rank also seeds the per-cluster RNG and
+    # becomes the output ClusterID).
+    order = sorted(
+        range(clusters.num_clusters()),
+        key=lambda c: (len(per_cluster[c]), c),
+        reverse=True,
+    )
+
+    prob_writer = None
+    if config.write_probs:
+        prob_writer = writers.ProbabilityClusterWriter(
+            config.output_prefix + "_probs", config.prob_precision
+        )
+    gibbs_writer = None
+    if config.num_gibbs_samples > 0 and config.inference_model != "haplotypes":
+        gibbs_writer = writers.ReadCountGibbsSamplesWriter(
+            config.output_prefix + "_gibbs", config.num_gibbs_samples
+        )
+
+    t_phase = time.perf_counter()
+    results: List[ClusterResult] = []
+    for rank, cluster_idx in enumerate(order):
+        estimates = PathClusterEstimates()
+        paths, cluster_probs = build_cluster_probs(
+            config,
+            paths_index,
+            frag_length_dist,
+            clusters.cluster_to_paths[cluster_idx],
+            per_cluster[cluster_idx],
+            haplotype_info,
+            collapse_haps,
+        )
+        estimates.paths = paths
+        rng = ClusterRNG(config.rng_seed, rank)
+        estimator.estimate(estimates, cluster_probs, rng)
+
+        cluster_id = rank + 1
+        if prob_writer is not None:
+            prob_writer.add_cluster(cluster_probs, paths)
+        if gibbs_writer is not None:
+            gibbs_writer.add_samples(cluster_id, estimates)
+            estimates.gibbs_read_count_samples = []
+        results.append(ClusterResult(cluster_id, estimates))
+
+    log(
+        f"Inferred path posterior probabilities"
+        f"{' and abundances' if config.inference_model != 'haplotypes' else ''} "
+        f"({time.perf_counter() - t_phase:.2f}s)"
+    )
+
+    if prob_writer is not None:
+        prob_writer.close()
+    if gibbs_writer is not None:
+        gibbs_writer.finish(fragment_index.unaligned_count)
+
+    write_outputs(config, results, fragment_index.unaligned_count)
+
+    return {
+        "num_fragment_lists": len(fragment_index.entries),
+        "unaligned_reads": fragment_index.unaligned_count,
+        "num_clusters": clusters.num_clusters(),
+        "frag_length_dist": frag_length_dist,
+        "results": results,
+        "wall_seconds": time.perf_counter() - t_start,
+    }
+
+
+def compute_tpm_normalizer(results: Sequence[ClusterResult]) -> float:
+    """Global sum of abundance / effective length over every group-set
+    slot — the TPM denominator (reference src/main.cpp:1029-1057).  On a
+    multi-host run this is the psum reduction point."""
+    total = 0.0
+    for result in results:
+        est = result.estimates
+        abundance_it = iter(est.abundances)
+        for group_set in est.path_group_sets:
+            for path in group_set:
+                abundance = next(abundance_it)
+                eff_len = est.paths[path].effective_length
+                if eff_len > 0:
+                    total += abundance / eff_len
+    return total
+
+
+def write_outputs(
+    config: PipelineConfig, results: Sequence[ClusterResult], unaligned_read_count: int
+) -> None:
+    if config.inference_model == "haplotypes":
+        writer = writers.JointHaplotypeEstimatesWriter(
+            config.output_prefix, config.ploidy, config.prob_precision
+        )
+        for result in results:
+            writer.add_estimates(result.cluster_id, result.estimates)
+        writer.close()
+        return
+
+    total_transcript_count = compute_tpm_normalizer(results)
+
+    if config.inference_model == "haplotype-transcripts":
+        hap_writer = writers.HaplotypeAbundanceEstimatesWriter(
+            config.output_prefix, config.ploidy, total_transcript_count
+        )
+        joint_writer = writers.JointHaplotypeAbundanceEstimatesWriter(
+            config.output_prefix + "_joint",
+            config.ploidy,
+            config.prob_precision,
+            total_transcript_count,
+        )
+        for result in results:
+            hap_writer.add_estimates(result.cluster_id, result.estimates)
+            joint_writer.add_estimates(result.cluster_id, result.estimates)
+        hap_writer.finish(unaligned_read_count)
+        joint_writer.finish(unaligned_read_count)
+    else:
+        writer = writers.AbundanceEstimatesWriter(
+            config.output_prefix, total_transcript_count
+        )
+        for result in results:
+            writer.add_estimates(result.cluster_id, result.estimates)
+        writer.finish(unaligned_read_count)

@@ -1,0 +1,279 @@
+"""Synthetic pantranscriptome + read simulator.
+
+Builds small variation-graph transcript panels (transcript groups with
+haplotype variants at bubble sites) and simulates paired-end fragments
+as perfect-match alignments, for end-to-end tests and benchmarks.  The
+reference ships a prebuilt binary example (stripped from this snapshot);
+this module regenerates equivalent inputs from scratch.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .graph import Graph
+from .pathindex import PathIndex
+
+
+@dataclass
+class SimulatedPanel:
+    graph: Graph
+    paths_index: PathIndex
+    path_names: List[str]
+    # name -> (transcript_name, haplotype_names)
+    info: Dict[str, Tuple[str, List[str]]]
+    node_lengths: Dict[int, int]
+    path_nodes: List[List[Tuple[int, bool]]]
+
+    def write_graph_json(self, path: str) -> None:
+        obj = {
+            "node": [
+                {"id": nid, "sequence": "A" * length}
+                for nid, length in sorted(self.node_lengths.items())
+            ]
+        }
+        with open(path, "w") as handle:
+            json.dump(obj, handle)
+
+    def write_panel_json(self, path: str) -> None:
+        obj = {
+            "bidirectional": self.paths_index.is_bidirectional,
+            "paths": [
+                {"name": name, "nodes": [[nid, int(rev)] for nid, rev in nodes]}
+                for name, nodes in zip(self.path_names, self.path_nodes)
+            ],
+        }
+        with open(path, "w") as handle:
+            json.dump(obj, handle)
+
+    def write_info_tsv(self, path: str) -> None:
+        with open(path, "w") as handle:
+            handle.write("Name\tLength\tTranscript\tHaplotypes\n")
+            for name in self.path_names:
+                transcript, haplotypes = self.info[name]
+                length = sum(self.node_lengths[nid] for nid, _ in self.path_nodes[
+                    self.path_names.index(name)
+                ])
+                handle.write(f"{name}\t{length}\t{transcript}\t{','.join(haplotypes)}\n")
+
+
+def build_panel(
+    num_transcripts: int = 4,
+    num_haplotypes: int = 2,
+    exons_per_transcript: int = 4,
+    exon_length: int = 80,
+    variant_sites: int = 2,
+    bidirectional: bool = True,
+    seed: int = 0,
+) -> SimulatedPanel:
+    """Transcript chains with haplotype-specific allele nodes at bubble
+    sites; haplotype h of transcript t is a path through the shared exon
+    nodes and its allele nodes."""
+    rng = np.random.default_rng(seed)
+    node_lengths: Dict[int, int] = {}
+    next_node = 1
+
+    def new_node(length: int) -> int:
+        nonlocal next_node
+        nid = next_node
+        node_lengths[nid] = length
+        next_node += 1
+        return nid
+
+    path_names: List[str] = []
+    path_nodes: List[List[Tuple[int, bool]]] = []
+    info: Dict[str, Tuple[str, List[str]]] = {}
+
+    for t in range(num_transcripts):
+        exons = [new_node(exon_length) for _ in range(exons_per_transcript)]
+        site_positions = sorted(
+            rng.choice(exons_per_transcript - 1, size=min(variant_sites, exons_per_transcript - 1), replace=False)
+        )
+        # One allele node per haplotype per site.
+        site_alleles = [
+            [new_node(max(4, exon_length // 8)) for _ in range(num_haplotypes)]
+            for _ in site_positions
+        ]
+
+        for h in range(num_haplotypes):
+            nodes: List[Tuple[int, bool]] = []
+            for e, exon in enumerate(exons):
+                nodes.append((exon, False))
+                for s, pos in enumerate(site_positions):
+                    if pos == e:
+                        nodes.append((site_alleles[s][h], False))
+            name = f"ENST{t:05d}_na_h{h}_1"
+            path_names.append(name)
+            path_nodes.append(nodes)
+            info[name] = (f"ENST{t:05d}", [f"hap{h}"])
+
+    graph = Graph(node_lengths)
+    paths_index = PathIndex.from_node_tuples(
+        path_nodes, graph, names=path_names, bidirectional=bidirectional
+    )
+    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
+
+
+def _mappings_for_interval(
+    path: Sequence[Tuple[int, bool]],
+    node_lengths: Dict[int, int],
+    start: int,
+    length: int,
+) -> List[dict]:
+    """Perfect-match mapping list covering [start, start+length) of the
+    path's concatenated sequence."""
+    mappings = []
+    offset = 0
+    remaining = length
+    pos = start
+    for nid, rev in path:
+        node_len = node_lengths[nid]
+        if pos >= offset + node_len:
+            offset += node_len
+            continue
+        in_node_offset = pos - offset
+        take = min(node_len - in_node_offset, remaining)
+        mappings.append(
+            {
+                "position": {"node_id": nid, "offset": in_node_offset, "is_reverse": rev},
+                "edit": [{"from_length": take, "to_length": take}],
+            }
+        )
+        remaining -= take
+        pos += take
+        offset += node_len
+        if remaining == 0:
+            break
+    assert remaining == 0, "interval extends past path end"
+    return mappings
+
+
+def _reverse_interval_mappings(
+    path: Sequence[Tuple[int, bool]],
+    node_lengths: Dict[int, int],
+    start: int,
+    length: int,
+) -> List[dict]:
+    """Mapping list for the reverse-complement read of the interval."""
+    forward = _mappings_for_interval(path, node_lengths, start, length)
+    reversed_mappings = []
+    for mapping in reversed(forward):
+        node_id = mapping["position"]["node_id"]
+        node_len = node_lengths[node_id]
+        used = sum(e["from_length"] for e in mapping["edit"])
+        fwd_offset = mapping["position"].get("offset", 0)
+        reversed_mappings.append(
+            {
+                "position": {
+                    "node_id": node_id,
+                    "offset": node_len - used - fwd_offset,
+                    "is_reverse": not mapping["position"].get("is_reverse", False),
+                },
+                "edit": list(reversed(mapping["edit"])),
+            }
+        )
+    return reversed_mappings
+
+
+def simulate_read_pairs(
+    panel: SimulatedPanel,
+    num_pairs: int,
+    read_length: int = 75,
+    frag_mean: float = 200.0,
+    frag_sd: float = 20.0,
+    abundances: Optional[np.ndarray] = None,
+    mapq: int = 60,
+    seed: int = 1,
+    as_multipath: bool = True,
+) -> Tuple[List[dict], np.ndarray]:
+    """Simulate perfect paired-end fragments; returns (records, true
+    per-path fragment counts).  Records are interleaved protobuf-JSON
+    dicts (multipath single-subpath by default, matching mpmap output
+    structure)."""
+    rng = np.random.default_rng(seed)
+    num_paths = len(panel.path_names)
+    if abundances is None:
+        abundances = rng.dirichlet(np.ones(num_paths) * 1.5)
+    abundances = np.asarray(abundances, dtype=np.float64)
+    abundances = abundances / abundances.sum()
+
+    path_lengths = np.array(
+        [
+            sum(panel.node_lengths[nid] for nid, _ in nodes)
+            for nodes in panel.path_nodes
+        ]
+    )
+
+    records: List[dict] = []
+    true_counts = np.zeros(num_paths, dtype=np.int64)
+
+    first = True
+    for _ in range(num_pairs):
+        while True:
+            path_idx = int(rng.choice(num_paths, p=abundances))
+            path_len = int(path_lengths[path_idx])
+            frag_len = int(round(rng.normal(frag_mean, frag_sd)))
+            frag_len = max(2 * read_length, min(frag_len, path_len))
+            if path_len >= frag_len:
+                break
+        start = int(rng.integers(0, path_len - frag_len + 1))
+        nodes = panel.path_nodes[path_idx]
+        true_counts[path_idx] += 1
+
+        score = read_length + 10  # all-match + both full-length bonuses
+        read_1 = {
+            "sequence": "A" * read_length,
+            "mapping_quality": mapq,
+            "mapping": _mappings_for_interval(
+                nodes, panel.node_lengths, start, read_length
+            ),
+            "score": score,
+        }
+        read_2 = {
+            "sequence": "A" * read_length,
+            "mapping_quality": mapq,
+            "mapping": _reverse_interval_mappings(
+                nodes, panel.node_lengths, start + frag_len - read_length, read_length
+            ),
+            "score": score,
+        }
+
+        for read in (read_1, read_2):
+            if as_multipath:
+                record = {
+                    "sequence": read["sequence"],
+                    "mapping_quality": read["mapping_quality"],
+                    "start": [0],
+                    "subpath": [
+                        {"path": {"mapping": read["mapping"]}, "score": read["score"]}
+                    ],
+                }
+            else:
+                record = {
+                    "sequence": read["sequence"],
+                    "mapping_quality": read["mapping_quality"],
+                    "path": {"mapping": read["mapping"]},
+                    "score": read["score"],
+                }
+            if first:
+                record["annotation"] = {
+                    "fragment_length_distribution": f"-I {frag_mean} -D {frag_sd}"
+                }
+                first = False
+            records.append(record)
+
+    return records, true_counts
+
+
+def write_alignment_json(records: Sequence[dict], path: str) -> None:
+    import gzip
+
+    opener = gzip.open if path.endswith(".gz") else open
+    with opener(path, "wt") as handle:
+        for record in records:
+            handle.write(json.dumps(record) + "\n")
