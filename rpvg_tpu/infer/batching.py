@@ -1,0 +1,79 @@
+"""Ragged -> padded cluster batching.
+
+Cluster sizes are power-law distributed (the reference sorts clusters by
+size for OpenMP load balance, src/main.cpp:811-827); on a TPU the
+equivalent is bucketing cluster matrices into a handful of padded shapes
+and vmapping the EM kernel over each bucket, so the whole inference pass
+compiles O(#buckets) programs instead of O(#clusters).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import MIN_EM_ABUNDANCE
+from .em import em_abundances_batched
+
+
+def _ceil_pow2(n: int, floor: int = 8) -> int:
+    size = floor
+    while size < n:
+        size *= 2
+    return size
+
+
+def run_batched_em(
+    cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    max_em_its: int = 10000,
+    max_rel_em_conv: float = 0.001,
+    dtype=np.float64,
+    max_bucket_rows: int = 4096,
+) -> List[Tuple[np.ndarray, float]]:
+    """Run EM over many clusters with shape bucketing.
+
+    cluster_inputs: per cluster (noise-normalised probs (R, P+1), counts
+    (R,)).  Returns per cluster (path read counts, noise count) with the
+    reference's sub-threshold folding."""
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for idx, (probs, counts) in enumerate(cluster_inputs):
+        R, C = probs.shape
+        key = (_ceil_pow2(R), _ceil_pow2(C))
+        buckets.setdefault(key, []).append(idx)
+
+    results: List[Tuple[np.ndarray, float]] = [None] * len(cluster_inputs)
+
+    for (R_pad, C_pad), indices in buckets.items():
+        # Split huge buckets to bound device memory.
+        max_batch = max(1, max_bucket_rows // R_pad) * 8
+        for chunk_start in range(0, len(indices), max_batch):
+            chunk = indices[chunk_start : chunk_start + max_batch]
+            B = len(chunk)
+            probs_pad = np.zeros((B, R_pad, C_pad), dtype=dtype)
+            counts_pad = np.zeros((B, R_pad), dtype=dtype)
+            col_masks = np.zeros((B, C_pad), dtype=dtype)
+            for b, idx in enumerate(chunk):
+                probs, counts = cluster_inputs[idx]
+                R, C = probs.shape
+                probs_pad[b, :R, :C] = probs
+                counts_pad[b, :R] = counts
+                col_masks[b, :C] = 1.0
+
+            fracs, _ = em_abundances_batched(
+                probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
+            )
+
+            for b, idx in enumerate(chunk):
+                probs, counts = cluster_inputs[idx]
+                R, C = probs.shape
+                total = float(counts.sum())
+                abundances = fracs[b, :C]
+                path_counts = abundances[:-1] * total
+                low = abundances[:-1] < MIN_EM_ABUNDANCE
+                noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total)
+                path_counts = path_counts.copy()
+                path_counts[low] = 0.0
+                results[idx] = (path_counts, noise_count)
+
+    return results

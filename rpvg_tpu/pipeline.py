@@ -442,9 +442,10 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         )
 
     t_phase = time.perf_counter()
-    results: List[ClusterResult] = []
+
+    # Host half: per-cluster path metadata + deduplicated probabilities.
+    cluster_data = []
     for rank, cluster_idx in enumerate(order):
-        estimates = PathClusterEstimates()
         paths, cluster_probs = build_cluster_probs(
             config,
             paths_index,
@@ -454,17 +455,62 @@ def run_pipeline(config: PipelineConfig) -> Dict:
             haplotype_info,
             collapse_haps,
         )
-        estimates.paths = paths
-        rng = ClusterRNG(config.rng_seed, rank)
-        estimator.estimate(estimates, cluster_probs, rng)
+        cluster_data.append((rank, paths, cluster_probs))
 
-        cluster_id = rank + 1
+    # Device half.  The transcripts model without read-count sampling is
+    # a pure batched-EM workload: bucket all cluster matrices into a few
+    # padded shapes and run them through the vmapped kernel in large
+    # batches.  Other models dispatch per cluster.
+    results: List[ClusterResult] = []
+    use_batched = (
+        config.inference_model == "transcripts" and config.num_gibbs_samples == 0
+    )
+    if use_batched:
+        from .infer.batching import run_batched_em
+        from .infer.matrices import add_noise_and_normalize, construct_probability_matrix
+
+        cluster_inputs = []
+        for rank, paths, cluster_probs in cluster_data:
+            if cluster_probs:
+                probs, noise, counts = construct_probability_matrix(
+                    cluster_probs, len(paths)
+                )
+                cluster_inputs.append((add_noise_and_normalize(probs, noise), counts))
+            else:
+                cluster_inputs.append(None)
+
+        em_results = run_batched_em(
+            [ci for ci in cluster_inputs if ci is not None],
+            config.max_em_its,
+            config.max_rel_em_conv,
+        )
+        em_it = iter(em_results)
+        for rank, paths, cluster_probs in cluster_data:
+            estimates = PathClusterEstimates()
+            estimates.paths = paths
+            estimates.reset(len(paths), 1)
+            if cluster_probs:
+                path_counts, noise_count = next(em_it)
+                estimates.total_count = float(
+                    cluster_inputs[rank][1].sum()
+                ) if cluster_inputs[rank] is not None else 0.0
+                estimates.abundances = list(map(float, path_counts))
+                estimates.noise_count = noise_count
+            results.append(ClusterResult(rank + 1, estimates))
+    else:
+        for rank, paths, cluster_probs in cluster_data:
+            estimates = PathClusterEstimates()
+            estimates.paths = paths
+            rng = ClusterRNG(config.rng_seed, rank)
+            estimator.estimate(estimates, cluster_probs, rng)
+            results.append(ClusterResult(rank + 1, estimates))
+
+    for (rank, paths, cluster_probs), result in zip(cluster_data, results):
         if prob_writer is not None:
             prob_writer.add_cluster(cluster_probs, paths)
         if gibbs_writer is not None:
-            gibbs_writer.add_samples(cluster_id, estimates)
-            estimates.gibbs_read_count_samples = []
-        results.append(ClusterResult(cluster_id, estimates))
+            gibbs_writer.add_samples(result.cluster_id, result.estimates)
+            result.estimates.gibbs_read_count_samples = []
 
     log(
         f"Inferred path posterior probabilities"
