@@ -1,0 +1,1349 @@
+// rpvg_native — C++ host kernels for the rpvg_tpu projection engine.
+//
+// Implements the irregular, data-dependent front half of the pipeline
+// (haplotype-panel substring search and alignment->path projection) as a
+// shared library with a C ABI, mirroring the semantics of the tested
+// Python engine (rpvg_tpu/projection.py; behavioural contract ultimately
+// /root/reference/src/alignment_path_finder.cpp).  The Python engine
+// remains the readable specification; this library is the speed path.
+//
+// Interface: batches of fragments are serialized into a compact binary
+// buffer by the Python wrapper (rpvg_tpu/native.py), processed here, and
+// results (finalized alignment paths incl. search-state occurrence
+// positions) are returned as a malloc'd buffer.
+
+#include <algorithm>
+#include <cassert>
+#include <cmath>
+#include <cstdint>
+#include <cstdlib>
+#include <cstring>
+#include <limits>
+#include <unordered_map>
+#include <vector>
+
+namespace {
+
+constexpr int64_t ENDMARKER = 0;
+constexpr double SCORE_LOG_BASE = 1.383325268738;
+constexpr double NOISE_SCORE_LOG_BASE = 1e-6;
+constexpr int32_t MATCH_SCORE = 1;
+constexpr int32_t MISMATCH_SCORE = 4;
+constexpr int32_t FULL_LENGTH_BONUS = 5;
+constexpr int32_t MAX_NOISE_SCORE_DIFF = (MATCH_SCORE + MISMATCH_SCORE) * 2;
+constexpr int32_t INT32_MAX_V = std::numeric_limits<int32_t>::max();
+constexpr int32_t INT32_MIN_V = std::numeric_limits<int32_t>::min();
+constexpr double LOWEST = static_cast<double>(INT32_MIN_V);
+
+inline double add_log(double log_x, double log_y) {
+  return log_x > log_y ? log_x + std::log1p(std::exp(log_y - log_x))
+                       : log_y + std::log1p(std::exp(log_x - log_y));
+}
+
+inline int32_t double_to_int(double value) {
+  double clamped = std::min(static_cast<double>(INT32_MAX_V),
+                            std::max(static_cast<double>(INT32_MIN_V), value));
+  return static_cast<int32_t>(std::llround(clamped));
+}
+
+// ---------------------------------------------------------------- index
+
+struct Index {
+  std::vector<int64_t> concat;      // panel sequences + endmarker separators
+  std::vector<int64_t> seq_starts;  // start offset per sequence
+  std::vector<int64_t> occ_offsets; // CSR over encoded nodes
+  std::vector<int64_t> occ_positions;
+  std::vector<int64_t> edge_offsets; // distinct successors per encoded node
+  std::vector<int64_t> edge_targets;
+  std::vector<int32_t> node_lengths; // by node id (-1 = absent)
+  bool bidirectional = false;
+  int64_t max_enc_node = 0;
+
+  bool has_node_id(int64_t node_id) const {
+    return node_id >= 0 && node_id < static_cast<int64_t>(node_lengths.size()) &&
+           node_lengths[node_id] >= 0;
+  }
+  int32_t node_length(int64_t node_id) const { return node_lengths[node_id]; }
+};
+
+// Search state: occurrence positions of the matched suffix's last node.
+struct SearchState {
+  int64_t node = ENDMARKER;
+  std::vector<int64_t> positions;
+
+  bool empty() const { return positions.empty(); }
+  size_t size() const { return positions.size(); }
+};
+
+void index_find(const Index& idx, int64_t node, SearchState* state) {
+  state->node = node;
+  state->positions.clear();
+  if (node >= 0 && node <= idx.max_enc_node) {
+    int64_t begin = idx.occ_offsets[node];
+    int64_t end = idx.occ_offsets[node + 1];
+    state->positions.assign(idx.occ_positions.begin() + begin,
+                            idx.occ_positions.begin() + end);
+  }
+}
+
+void index_extend(const Index& idx, SearchState* state, int64_t node) {
+  if (state->positions.empty()) {
+    state->node = node;
+    return;
+  }
+  size_t out = 0;
+  for (size_t i = 0; i < state->positions.size(); ++i) {
+    int64_t next = state->positions[i] + 1;
+    if (idx.concat[next] == node) {
+      state->positions[out++] = next;
+    }
+  }
+  state->positions.resize(out);
+  state->node = node;
+}
+
+// ------------------------------------------------------------ alignments
+
+struct MappingRec {
+  int64_t node;
+  int32_t offset;
+  int32_t to_length;
+  int32_t from_length;
+  int32_t first_edit_from, first_edit_to;
+  int32_t last_edit_from, last_edit_to;
+};
+
+struct PathRec {
+  std::vector<MappingRec> mappings;
+};
+
+struct SubpathRec {
+  PathRec path;
+  std::vector<int32_t> next;
+  int32_t n_connections = 0;
+  int32_t score = 0;
+};
+
+struct AlignmentRec {
+  int32_t seq_len = 0;
+  int32_t mapq = 0;
+  int32_t score = 0; // single-path score
+  bool is_multipath = false;
+  bool disconnected = false;
+  PathRec path;                       // single-path
+  std::vector<SubpathRec> subpaths;   // multipath
+  std::vector<int32_t> starts;
+  std::vector<uint8_t> quality;       // empty = no qualities
+};
+
+// Lazy reverse complement (offsets flipped, edits reversed; reference
+// utils.hpp:341-479 semantics on the compact record).
+MappingRec rc_mapping(const MappingRec& m, const Index& idx) {
+  MappingRec out = m;
+  int64_t node_id = m.node >> 1;
+  int32_t node_len = idx.node_length(node_id);
+  out.offset = node_len - m.from_length - m.offset;
+  out.node = m.node ^ 1;
+  out.first_edit_from = m.last_edit_from;
+  out.first_edit_to = m.last_edit_to;
+  out.last_edit_from = m.first_edit_from;
+  out.last_edit_to = m.first_edit_to;
+  return out;
+}
+
+PathRec rc_path(const PathRec& p, const Index& idx) {
+  PathRec out;
+  out.mappings.reserve(p.mappings.size());
+  for (auto it = p.mappings.rbegin(); it != p.mappings.rend(); ++it) {
+    out.mappings.push_back(rc_mapping(*it, idx));
+  }
+  return out;
+}
+
+AlignmentRec rc_alignment(const AlignmentRec& a, const Index& idx) {
+  AlignmentRec out;
+  out.seq_len = a.seq_len;
+  out.mapq = a.mapq;
+  out.score = a.score;
+  out.is_multipath = a.is_multipath;
+  out.disconnected = a.disconnected;
+  out.quality.assign(a.quality.rbegin(), a.quality.rend());
+
+  if (!a.is_multipath) {
+    out.path = rc_path(a.path, idx);
+    return out;
+  }
+
+  size_t n = a.subpaths.size();
+  std::vector<std::vector<int32_t>> reverse_edges(n);
+  std::vector<int32_t> reverse_starts;
+  out.subpaths.resize(n);
+  for (int64_t i = n - 1; i >= 0; --i) {
+    const SubpathRec& sp = a.subpaths[i];
+    SubpathRec& rc_sp = out.subpaths[n - 1 - i];
+    rc_sp.path = rc_path(sp.path, idx);
+    rc_sp.score = sp.score;
+    rc_sp.n_connections = 0;
+    if (!sp.next.empty() || sp.n_connections > 0) {
+      for (int32_t nxt : sp.next) reverse_edges[nxt].push_back(i);
+    } else {
+      reverse_starts.push_back(i);
+    }
+  }
+  for (size_t i = 0; i < n; ++i) {
+    for (int32_t src : reverse_edges[n - 1 - i]) {
+      out.subpaths[i].next.push_back(static_cast<int32_t>(n - 1 - src));
+    }
+  }
+  if (!a.starts.empty()) {
+    for (int32_t s : reverse_starts) {
+      out.starts.push_back(static_cast<int32_t>(n - 1 - s));
+    }
+  }
+  return out;
+}
+
+// -------------------------------------------------------------- scoring
+
+struct ScoreTables {
+  int32_t match_scores[256];
+  int32_t bonuses[256];
+};
+
+int32_t alignment_score(const ScoreTables& tables, const AlignmentRec& aln,
+                        bool score_not_qual, int32_t start, int32_t length) {
+  if (score_not_qual || aln.quality.empty()) return length;
+  int32_t score = 0;
+  for (int32_t i = start; i < start + length; ++i) {
+    score += tables.match_scores[aln.quality[i]];
+  }
+  return score;
+}
+
+int32_t optimal_alignment_score(const ScoreTables& tables, const AlignmentRec& aln,
+                                bool score_not_qual) {
+  if (score_not_qual || aln.quality.empty()) {
+    return aln.seq_len * MATCH_SCORE + 2 * FULL_LENGTH_BONUS;
+  }
+  int32_t score = alignment_score(tables, aln, score_not_qual, 0, aln.seq_len);
+  score += tables.bonuses[aln.quality.front()] + tables.bonuses[aln.quality.back()];
+  return score;
+}
+
+// -------------------------------------------------------- search paths
+
+struct InternalAlignment {
+  bool is_internal = false;
+  int32_t penalty = 0;
+  int32_t offset = 0;
+  int32_t max_offset = 0;
+
+  bool operator==(const InternalAlignment& o) const {
+    return is_internal == o.is_internal && penalty == o.penalty &&
+           offset == o.offset && max_offset == o.max_offset;
+  }
+  int compare(const InternalAlignment& o) const {
+    if (is_internal != o.is_internal) return is_internal < o.is_internal ? -1 : 1;
+    if (penalty != o.penalty) return penalty < o.penalty ? -1 : 1;
+    if (offset != o.offset) return offset < o.offset ? -1 : 1;
+    if (max_offset != o.max_offset) return max_offset < o.max_offset ? -1 : 1;
+    return 0;
+  }
+};
+
+struct AlignmentStats {
+  int32_t score = 0;
+  int32_t length = 0;
+  bool complete = false;
+  int32_t left_softclip = 0;
+  int32_t right_softclip = 0;
+  InternalAlignment internal_start;
+  InternalAlignment internal_end;
+  int64_t internal_end_next_node = ENDMARKER;
+
+  bool is_internal() const {
+    return internal_start.is_internal || internal_end.is_internal;
+  }
+  int32_t adjusted_score() const {
+    return score - internal_start.penalty - internal_end.penalty;
+  }
+  int32_t clipped_left() const { return left_softclip + internal_start.offset; }
+  int32_t clipped_right() const { return right_softclip + internal_end.offset; }
+  int32_t clipped_total() const { return clipped_left() + clipped_right(); }
+
+  void update_left_softclip(const PathRec& path) {
+    const MappingRec& m = path.mappings.front();
+    left_softclip = (m.first_edit_from == 0) ? m.first_edit_to : 0;
+  }
+  void update_right_softclip(const PathRec& path) {
+    const MappingRec& m = path.mappings.back();
+    right_softclip = (m.last_edit_from == 0) ? m.last_edit_to : 0;
+  }
+
+  int compare(const AlignmentStats& o) const {
+    if (score != o.score) return score < o.score ? -1 : 1;
+    if (length != o.length) return length < o.length ? -1 : 1;
+    if (complete != o.complete) return complete < o.complete ? -1 : 1;
+    if (left_softclip != o.left_softclip) return left_softclip < o.left_softclip ? -1 : 1;
+    if (right_softclip != o.right_softclip) return right_softclip < o.right_softclip ? -1 : 1;
+    int c = internal_start.compare(o.internal_start);
+    if (c) return c;
+    c = internal_end.compare(o.internal_end);
+    if (c) return c;
+    if (internal_end_next_node != o.internal_end_next_node)
+      return internal_end_next_node < o.internal_end_next_node ? -1 : 1;
+    return 0;
+  }
+};
+
+struct SearchPath {
+  std::vector<int64_t> path;
+  SearchState search;
+  int32_t start_offset = 0;
+  int32_t end_offset = 0;
+  int32_t insert_length = 0;
+  std::vector<AlignmentStats> read_stats;
+
+  void clear() {
+    path.clear();
+    search.node = ENDMARKER;
+    search.positions.clear();
+  }
+
+  int32_t alignment_length() const {
+    if (read_stats.size() == 1) {
+      return read_stats[0].length - read_stats[0].clipped_total();
+    }
+    return read_stats.front().length + read_stats.back().length -
+           read_stats.front().clipped_total() - read_stats.back().clipped_total();
+  }
+
+  int32_t fragment_length() const {
+    if (read_stats.size() == 1) {
+      if (insert_length == 0) return read_stats[0].length;
+      return read_stats[0].length + insert_length - read_stats[0].clipped_right();
+    }
+    return read_stats.front().length + read_stats.back().length + insert_length -
+           read_stats.front().clipped_right() - read_stats.back().clipped_left();
+  }
+
+  int32_t score_sum() const {
+    int32_t total = 0;
+    for (const auto& s : read_stats) total += s.adjusted_score();
+    return total;
+  }
+
+  double min_optimal_score_fraction(const std::vector<int32_t>& optimal) const {
+    double frac = 1.0;
+    for (size_t i = 0; i < read_stats.size(); ++i) {
+      frac = std::min(frac, read_stats[i].adjusted_score() /
+                                static_cast<double>(optimal[i]));
+    }
+    return std::max(0.0, frac);
+  }
+
+  bool is_complete() const {
+    for (const auto& s : read_stats) {
+      if (!s.complete) return false;
+    }
+    return true;
+  }
+
+  bool is_internal() const {
+    for (const auto& s : read_stats) {
+      if (s.is_internal()) return true;
+    }
+    return false;
+  }
+
+  // Ordering matching the Python engine's SearchPath.sort_key (itself
+  // mirroring reference operator<): by path length, path content,
+  // insert length, score, stats, offsets — all integers.
+  bool sort_greater(const SearchPath& o) const {
+    if (path.size() != o.path.size()) return path.size() > o.path.size();
+    for (size_t i = 0; i < path.size(); ++i) {
+      if (path[i] != o.path[i]) return path[i] > o.path[i];
+    }
+    if (insert_length != o.insert_length) return insert_length > o.insert_length;
+    int32_t s1 = score_sum(), s2 = o.score_sum();
+    if (s1 != s2) return s1 > s2;
+    if (read_stats.size() != o.read_stats.size())
+      return read_stats.size() > o.read_stats.size();
+    for (size_t i = 0; i < read_stats.size(); ++i) {
+      int c = read_stats[i].compare(o.read_stats[i]);
+      if (c) return c > 0;
+    }
+    if (start_offset != o.start_offset) return start_offset > o.start_offset;
+    return end_offset > o.end_offset;
+  }
+};
+
+struct AlignmentPathOut {
+  SearchState search;
+  bool is_simple;
+  int32_t mapq;
+  int32_t score_sum;
+  int32_t align_length;
+  int32_t frag_length;
+};
+
+// ---------------------------------------------------------------- finder
+
+struct Params {
+  int32_t library_type = 0;  // 0=unstranded, 1=fr, 2=rf
+  int32_t score_not_qual = 0;
+  int32_t max_pair_frag_length = 1000;
+  int32_t max_partial_offset = 4;
+  int32_t est_missing_noise_prob = 0;
+  int32_t max_score_diff = 20;
+  double min_best_score_filter = 0.9;
+};
+
+class Finder {
+ public:
+  Finder(const Index& index, const Params& params, const ScoreTables& tables)
+      : idx_(index), p_(params), tables_(tables) {}
+
+  // Returns empty vector for unaligned fragments.
+  std::vector<AlignmentPathOut> find_single(const AlignmentRec& aln) const {
+    if (!has_path(aln) || !starts_in_graph(aln)) return {};
+    std::vector<SearchPath> search_paths;
+    if (p_.library_type == 1) {
+      find_single_search_paths(&search_paths, aln);
+    } else if (p_.library_type == 2) {
+      AlignmentRec rc = rc_alignment(aln, idx_);
+      find_single_search_paths(&search_paths, rc);
+    } else {
+      find_single_search_paths(&search_paths, aln);
+      if (!idx_.bidirectional) {
+        AlignmentRec rc = rc_alignment(aln, idx_);
+        find_single_search_paths(&search_paths, rc);
+      }
+    }
+    return finalize(search_paths, aln.disconnected, aln.mapq);
+  }
+
+  std::vector<AlignmentPathOut> find_paired(const AlignmentRec& aln_1,
+                                            const AlignmentRec& aln_2) const {
+    if (!has_path(aln_1) || !has_path(aln_2)) return {};
+    if (!starts_in_graph(aln_1) || !starts_in_graph(aln_2)) return {};
+
+    std::vector<SearchPath> paired;
+    if (p_.library_type == 1) {
+      AlignmentRec rc2 = rc_alignment(aln_2, idx_);
+      find_paired_search_paths(&paired, aln_1, rc2);
+    } else if (p_.library_type == 2) {
+      AlignmentRec rc1 = rc_alignment(aln_1, idx_);
+      find_paired_search_paths(&paired, aln_2, rc1);
+    } else {
+      AlignmentRec rc2 = rc_alignment(aln_2, idx_);
+      find_paired_search_paths(&paired, aln_1, rc2);
+      if (!idx_.bidirectional) {
+        AlignmentRec rc1 = rc_alignment(aln_1, idx_);
+        find_paired_search_paths(&paired, aln_2, rc1);
+      }
+    }
+    bool is_multimap = aln_1.disconnected || aln_2.disconnected;
+    int32_t mapq = std::min(aln_1.mapq, aln_2.mapq);
+    return finalize(paired, is_multimap, mapq);
+  }
+
+ private:
+  const Index& idx_;
+  const Params& p_;
+  const ScoreTables& tables_;
+
+  static bool has_path(const AlignmentRec& aln) {
+    return aln.is_multipath ? !aln.subpaths.empty() : !aln.path.mappings.empty();
+  }
+
+  bool starts_in_graph(const AlignmentRec& aln) const {
+    if (aln.is_multipath) {
+      for (int32_t s : aln.starts) {
+        int64_t node = aln.subpaths[s].path.mappings.front().node;
+        if (!idx_.has_node_id(node >> 1)) return false;
+      }
+      return true;
+    }
+    return idx_.has_node_id(aln.path.mappings.front().node >> 1);
+  }
+
+  // ------------------------------------------------ node-level extension
+  void extend_with_mapping(SearchPath* sp, const MappingRec& mapping) const {
+    int64_t cur_node = mapping.node;
+    if (sp->path.empty()) {
+      sp->path.push_back(cur_node);
+      index_find(idx_, cur_node, &sp->search);
+      sp->start_offset = mapping.offset;
+    } else {
+      bool is_cycle_visit =
+          sp->path.back() == cur_node && mapping.offset != sp->end_offset;
+      if (is_cycle_visit && mapping.offset != 0) {
+        sp->clear();
+      } else if (sp->path.back() != cur_node || is_cycle_visit) {
+        sp->path.push_back(cur_node);
+        if (!sp->search.empty()) index_extend(idx_, &sp->search, cur_node);
+      }
+    }
+    sp->end_offset = mapping.offset + mapping.from_length;
+  }
+
+  // ------------------------------------------------ path-level extension
+  void extend_with_path(std::vector<SearchPath>* paths, const PathRec& graph_path,
+                        bool is_first_path, bool is_last_path,
+                        const AlignmentRec& aln, bool add_internal_start) const {
+    if (is_first_path) paths->front().read_stats.back().update_left_softclip(graph_path);
+    if (is_last_path) paths->front().read_stats.back().update_right_softclip(graph_path);
+
+    size_t last_internal_start_idx = 0;
+    size_t first_main_idx = 0;
+    int32_t seq_length = aln.seq_len;
+    size_t n_mappings = graph_path.mappings.size();
+
+    for (size_t m_idx = 0; m_idx < n_mappings; ++m_idx) {
+      const MappingRec& mapping = graph_path.mappings[m_idx];
+      int64_t cur_node = mapping.node;
+      int32_t mapping_read_length = mapping.to_length;
+      bool is_last_mapping = is_last_path && m_idx == n_mappings - 1;
+
+      // Select the "main" candidate for a partial-at-end branch.
+      bool have_main = false;
+      SearchPath main_path;
+      if (p_.max_partial_offset > 0 && !paths->front().path.empty()) {
+        while (first_main_idx < paths->size()) {
+          SearchPath& candidate = (*paths)[first_main_idx];
+          if (candidate.search.empty() ||
+              candidate.read_stats.back().internal_end.is_internal) {
+            ++first_main_idx;
+            continue;
+          }
+          if (seq_length - candidate.read_stats.back().length <=
+              candidate.read_stats.back().internal_end.max_offset) {
+            main_path = candidate;
+            have_main = true;
+          }
+          break;
+        }
+      }
+
+      for (auto& sp : *paths) {
+        AlignmentStats& stats = sp.read_stats.back();
+        if (stats.internal_end.is_internal) {
+          int32_t delta = mapping_read_length;
+          if (is_last_mapping) delta -= stats.right_softclip;
+          stats.internal_end.offset += delta;
+          if (stats.internal_end.offset <= p_.max_partial_offset) {
+            stats.internal_end.penalty +=
+                alignment_score(tables_, aln, p_.score_not_qual, stats.length, delta);
+          } else {
+            sp.clear();
+          }
+        } else {
+          extend_with_mapping(&sp, mapping);
+        }
+      }
+
+      if (have_main) {
+        const SearchPath& candidate = (*paths)[first_main_idx];
+        if (main_path.search.size() > candidate.search.size()) {
+          AlignmentStats& mstats = main_path.read_stats.back();
+          mstats.internal_end.is_internal = true;
+          mstats.internal_end.offset = mapping_read_length;
+          if (is_last_mapping) mstats.internal_end.offset -= mstats.right_softclip;
+          if (mstats.internal_end.offset <= p_.max_partial_offset) {
+            mstats.internal_end_next_node = cur_node;
+            mstats.internal_end.penalty = alignment_score(
+                tables_, aln, p_.score_not_qual, mstats.length,
+                mstats.internal_end.offset);
+            paths->push_back(std::move(main_path));
+          }
+        }
+      }
+
+      if (p_.max_partial_offset > 0 && add_internal_start &&
+          (*paths)[last_internal_start_idx].path.size() > 1 &&
+          !(*paths)[last_internal_start_idx].read_stats.back().internal_end.is_internal) {
+        const AlignmentStats& anchor = (*paths)[last_internal_start_idx].read_stats.back();
+        if (anchor.length <= anchor.internal_start.max_offset) {
+          AlignmentStats new_stats = anchor;
+          new_stats.internal_start.is_internal = true;
+          new_stats.internal_start.offset = new_stats.length - new_stats.left_softclip;
+          if (new_stats.internal_start.offset <= p_.max_partial_offset) {
+            SearchPath fresh;
+            extend_with_mapping(&fresh, mapping);
+            if (!fresh.search.empty() &&
+                fresh.search.size() > (*paths)[last_internal_start_idx].search.size()) {
+              new_stats.internal_start.penalty = alignment_score(
+                  tables_, aln, p_.score_not_qual, new_stats.left_softclip,
+                  new_stats.internal_start.offset);
+              fresh.read_stats.assign(1, new_stats);
+              paths->push_back(std::move(fresh));
+              last_internal_start_idx = paths->size() - 1;
+            }
+          }
+        }
+      }
+
+      for (auto& sp : *paths) sp.read_stats.back().length += mapping_read_length;
+    }
+  }
+
+  // --------------------------------------------- single-path extension
+  std::vector<SearchPath> extend_with_single_path(const SearchPath& base,
+                                                  const AlignmentRec& aln) const {
+    int32_t optimal = optimal_alignment_score(tables_, aln, p_.score_not_qual);
+    int32_t seq_length = aln.seq_len;
+
+    std::vector<SearchPath> paths(1, base);
+    AlignmentStats stats;
+    stats.score = aln.score;
+    stats.internal_start.max_offset = std::min(p_.max_partial_offset, seq_length);
+    stats.internal_end.max_offset = std::min(p_.max_partial_offset, seq_length);
+    paths[0].read_stats.push_back(stats);
+
+    extend_with_path(&paths, aln.path, true, true, aln, true);
+
+    int32_t max_score = 0;
+    for (auto& sp : paths) {
+      if ((sp.is_internal() || !p_.est_missing_noise_prob) && sp.search.empty())
+        continue;
+      if (sp.read_stats.back().length == seq_length) {
+        sp.read_stats.back().complete = true;
+        max_score = std::max(max_score, sp.score_sum());
+      }
+    }
+    for (auto& sp : paths) {
+      if (sp.read_stats.back().complete &&
+          max_score - sp.score_sum() > p_.max_score_diff) {
+        sp.read_stats.back().complete = false;
+      }
+    }
+    if (below_best_score_filter(paths, {optimal})) {
+      paths.push_back(make_error_sentinel(seq_length));
+    }
+    return paths;
+  }
+
+  // ----------------------------------------------- multipath extension
+  std::vector<SearchPath> extend_with_multipath(const SearchPath& base,
+                                                const AlignmentRec& aln) const {
+    int32_t optimal = optimal_alignment_score(tables_, aln, p_.score_not_qual);
+    int32_t seq_length = aln.seq_len;
+    std::vector<SearchPath> out;
+
+    int32_t min_right_softclip = INT32_MAX_V;
+    int32_t max_right_softclip = 0;
+    AlignmentStats probe;
+    for (const auto& sp : aln.subpaths) {
+      if (sp.next.empty()) {
+        probe.update_right_softclip(sp.path);
+        min_right_softclip = std::min(min_right_softclip, probe.right_softclip);
+        max_right_softclip = std::max(max_right_softclip, probe.right_softclip);
+      }
+    }
+
+    std::vector<std::pair<int32_t, int32_t>> start_order;
+    for (int32_t s : aln.starts) start_order.push_back({aln.subpaths[s].score, s});
+    std::sort(start_order.rbegin(), start_order.rend());
+
+    std::unordered_map<int64_t, int32_t> internal_node_subpaths;
+    int32_t best_align_score =
+        static_cast<int32_t>(std::floor(optimal * p_.min_best_score_filter));
+    bool has_right_bonus = min_right_softclip == 0;
+
+    for (const auto& [score, start_idx] : start_order) {
+      SearchPath init = base;
+      AlignmentStats init_stats;
+      probe.update_left_softclip(aln.subpaths[start_idx].path);
+      init_stats.internal_start.max_offset =
+          std::min(probe.left_softclip + p_.max_partial_offset, seq_length);
+      init_stats.internal_end.max_offset =
+          std::min(max_right_softclip + p_.max_partial_offset, seq_length);
+      init.read_stats.push_back(init_stats);
+
+      best_align_score =
+          multipath_dfs(&out, init, aln, start_idx, internal_node_subpaths,
+                        best_align_score, has_right_bonus);
+    }
+
+    for (auto& sp : out) {
+      if (best_align_score - sp.score_sum() > p_.max_score_diff) {
+        sp.read_stats.back().complete = false;
+      }
+    }
+    if (below_best_score_filter(out, {optimal})) {
+      out.push_back(make_error_sentinel(seq_length));
+    }
+    return out;
+  }
+
+  int32_t multipath_dfs(std::vector<SearchPath>* out, const SearchPath& init,
+                        const AlignmentRec& aln, int32_t start_idx,
+                        std::unordered_map<int64_t, int32_t>& internal_node_subpaths,
+                        int32_t best_align_score, bool has_right_bonus) const {
+    int32_t seq_length = aln.seq_len;
+    std::vector<std::pair<SearchPath, int32_t>> stack;
+    stack.push_back({init, start_idx});
+
+    while (!stack.empty()) {
+      SearchPath sp = std::move(stack.back().first);
+      int32_t subpath_idx = stack.back().second;
+      stack.pop_back();
+
+      const SubpathRec& subpath = aln.subpaths[subpath_idx];
+      AlignmentStats& stats = sp.read_stats.back();
+      stats.score += subpath.score;
+
+      int32_t subpath_length = 0;
+      for (const auto& m : subpath.path.mappings) subpath_length += m.to_length;
+      int32_t seq_left = seq_length - (stats.length + subpath_length);
+
+      int32_t max_score = stats.score + seq_left;
+      if (has_right_bonus && !subpath.next.empty()) max_score += FULL_LENGTH_BONUS;
+      if (best_align_score - max_score > p_.max_score_diff) continue;
+
+      bool add_internal_start = false;
+      if (p_.max_partial_offset > 0 &&
+          stats.length <= stats.internal_start.max_offset) {
+        add_internal_start = true;
+        int64_t memo_key =
+            (static_cast<int64_t>(subpath_idx) << 32) |
+            static_cast<uint32_t>(stats.length - stats.left_softclip);
+        auto it = internal_node_subpaths.find(memo_key);
+        if (it != internal_node_subpaths.end()) {
+          if (stats.score <= it->second) add_internal_start = false;
+          else it->second = stats.score;
+        } else {
+          internal_node_subpaths.emplace(memo_key, stats.score);
+        }
+      } else if (sp.search.empty()) {
+        if (best_align_score - max_score > MAX_NOISE_SCORE_DIFF) continue;
+      }
+
+      std::vector<SearchPath> extended;
+      extended.push_back(std::move(sp));
+      extend_with_path(&extended, subpath.path, subpath_idx == start_idx,
+                       subpath.next.empty(), aln, add_internal_start);
+
+      for (auto& ext : extended) {
+        if (ext.search.empty()) {
+          if (ext.is_internal()) continue;
+          if (!p_.est_missing_noise_prob && p_.max_partial_offset == 0) continue;
+          if (!p_.est_missing_noise_prob &&
+              ext.read_stats.back().length >
+                  ext.read_stats.back().internal_start.max_offset)
+            continue;
+        }
+        if (!subpath.next.empty()) {
+          std::vector<std::pair<int32_t, int32_t>> next_order;
+          for (int32_t n : subpath.next) next_order.push_back({aln.subpaths[n].score, n});
+          std::sort(next_order.begin(), next_order.end());
+          for (const auto& [nscore, next_idx] : next_order) {
+            stack.push_back({ext, next_idx});
+          }
+        } else if (subpath.n_connections == 0) {
+          best_align_score = std::max(best_align_score, ext.score_sum());
+          ext.read_stats.back().complete = true;
+          out->push_back(std::move(ext));
+        }
+      }
+    }
+    return best_align_score;
+  }
+
+  std::vector<SearchPath> extend_with_alignment(const SearchPath& base,
+                                                const AlignmentRec& aln) const {
+    return aln.is_multipath ? extend_with_multipath(base, aln)
+                            : extend_with_single_path(base, aln);
+  }
+
+  // ------------------------------------------------- single-read driver
+  void find_single_search_paths(std::vector<SearchPath>* out,
+                                const AlignmentRec& aln) const {
+    std::vector<SearchPath> candidates = extend_with_alignment(SearchPath(), aln);
+    if (candidates.empty()) return;
+
+    std::sort(candidates.begin(), candidates.end(),
+              [](const SearchPath& a, const SearchPath& b) { return a.sort_greater(b); });
+
+    double joint_score = LOWEST;
+    double joint_empty_score = LOWEST;
+
+    for (size_t i = 0; i < candidates.size(); ++i) {
+      SearchPath& sp = candidates[i];
+      if (!sp.is_complete()) continue;
+      if (i > 0 && sp.path == candidates[i - 1].path) continue;
+
+      int32_t score_sum = sp.score_sum();
+      if (sp.search.empty()) {
+        joint_empty_score = add_log(joint_empty_score, score_sum * SCORE_LOG_BASE);
+        continue;
+      }
+      if (!sp.is_internal()) {
+        joint_score = add_log(joint_score, score_sum * SCORE_LOG_BASE);
+      }
+      out->push_back(std::move(sp));
+    }
+
+    SearchPath noise;
+    AlignmentStats noise_stats;
+    noise_stats.score =
+        double_to_int((joint_score - joint_empty_score) / NOISE_SCORE_LOG_BASE);
+    noise.read_stats.push_back(noise_stats);
+    out->push_back(std::move(noise));
+  }
+
+  // ------------------------------------------------- paired-end driver
+  void find_paired_search_paths(std::vector<SearchPath>* out,
+                                const AlignmentRec& start_aln,
+                                const AlignmentRec& end_aln) const {
+    std::vector<SearchPath> start_candidates =
+        extend_with_alignment(SearchPath(), start_aln);
+    std::vector<SearchPath> end_candidates =
+        extend_with_alignment(SearchPath(), end_aln);
+    if (start_candidates.empty() || end_candidates.empty()) return;
+
+    auto cmp = [](const SearchPath& a, const SearchPath& b) { return a.sort_greater(b); };
+    std::sort(start_candidates.begin(), start_candidates.end(), cmp);
+    std::sort(end_candidates.begin(), end_candidates.end(), cmp);
+
+    int32_t end_seq_length = end_aln.seq_len;
+
+    uint32_t num_unique_end = 0;
+    int32_t end_max_left_softclip = 0;
+    std::unordered_map<int64_t, uint32_t> end_node_counts;
+    std::unordered_map<int64_t, std::vector<uint32_t>> end_start_node_index;
+
+    double joint_end = LOWEST, joint_empty_end = LOWEST;
+
+    for (size_t i = 0; i < end_candidates.size(); ++i) {
+      const SearchPath& sp = end_candidates[i];
+      if (!sp.is_complete()) continue;
+      if (i > 0 && sp.path == end_candidates[i - 1].path) continue;
+
+      int32_t score_sum = sp.score_sum();
+      if (sp.search.empty()) {
+        joint_empty_end = add_log(joint_empty_end, score_sum * SCORE_LOG_BASE);
+        continue;
+      }
+      if (!sp.is_internal()) {
+        joint_end = add_log(joint_end, score_sum * SCORE_LOG_BASE);
+      }
+      ++num_unique_end;
+      end_max_left_softclip =
+          std::max(end_max_left_softclip, sp.read_stats.back().left_softclip);
+      for (int64_t node : sp.path) end_node_counts[node] += 1;
+      end_start_node_index[sp.path.front()].push_back(static_cast<uint32_t>(i));
+    }
+
+    bool end_alignment_in_cycle = false;
+    for (const auto& [node, indices] : end_start_node_index) {
+      SearchState state;
+      index_find(idx_, node, &state);
+      if (num_located(state) < state.size()) {
+        end_alignment_in_cycle = true;
+        break;
+      }
+    }
+
+    std::vector<std::pair<SearchPath, bool>> stack;
+    double joint_start = LOWEST, joint_empty_start = LOWEST;
+
+    for (size_t i = 0; i < start_candidates.size(); ++i) {
+      const SearchPath& sp = start_candidates[i];
+      if (!sp.is_complete()) continue;
+      if (i > 0 && sp.path == start_candidates[i - 1].path) continue;
+
+      int32_t score_sum = sp.score_sum();
+      if (sp.search.empty()) {
+        joint_empty_start = add_log(joint_empty_start, score_sum * SCORE_LOG_BASE);
+        continue;
+      }
+      if (!sp.is_internal()) {
+        joint_start = add_log(joint_start, score_sum * SCORE_LOG_BASE);
+      }
+
+      int32_t node_length = idx_.node_length(sp.search.node >> 1);
+
+      for (const auto& [end_start_node, end_indices] : end_start_node_index) {
+        for (size_t pos = 0; pos < sp.path.size(); ++pos) {
+          if (sp.path[pos] != end_start_node) continue;
+          for (uint32_t end_idx : end_indices) {
+            SearchPath merged = sp;
+            merge_paired(&merged, pos, end_candidates[end_idx]);
+            if (!merged.search.empty() &&
+                merged.fragment_length() <= p_.max_pair_frag_length) {
+              out->push_back(std::move(merged));
+            }
+          }
+        }
+      }
+
+      SearchPath extended = sp;
+      extended.insert_length += node_length - sp.end_offset;
+      extended.end_offset = node_length;
+      stack.push_back({std::move(extended), false});
+    }
+
+    while (!stack.empty()) {
+      SearchPath cur = std::move(stack.back().first);
+      bool try_complete = stack.back().second;
+      stack.pop_back();
+
+      if (try_complete) {
+        auto it = end_start_node_index.find(cur.path.back());
+        if (it != end_start_node_index.end()) {
+          for (uint32_t end_idx : it->second) {
+            SearchPath merged = cur;
+            merged.insert_length -= merged.end_offset;
+            merged.end_offset = end_candidates[end_idx].start_offset;
+            merged.insert_length += merged.end_offset;
+            merge_paired(&merged, cur.path.size() - 1, end_candidates[end_idx]);
+            if (!merged.search.empty() &&
+                merged.fragment_length() <= p_.max_pair_frag_length) {
+              out->push_back(std::move(merged));
+            }
+          }
+        }
+      }
+
+      if (!end_alignment_in_cycle) {
+        auto it = end_node_counts.find(cur.path.back());
+        if (it != end_node_counts.end() && it->second == num_unique_end) continue;
+      }
+
+      if (cur.fragment_length() + end_seq_length - end_max_left_softclip >
+          p_.max_pair_frag_length) {
+        continue;
+      }
+
+      int64_t blocked_node = cur.read_stats.back().internal_end_next_node;
+      int64_t node = cur.search.node;
+      int64_t edge_begin = idx_.edge_offsets[node];
+      int64_t edge_end = idx_.edge_offsets[node + 1];
+      for (int64_t e = edge_begin; e < edge_end; ++e) {
+        int64_t succ = idx_.edge_targets[e];
+        if (succ == ENDMARKER || succ == blocked_node) continue;
+        SearchState new_search = cur.search;
+        index_extend(idx_, &new_search, succ);
+        if (new_search.empty()) continue;
+        SearchPath nxt = cur;
+        nxt.path.push_back(succ);
+        nxt.search = std::move(new_search);
+        nxt.end_offset = idx_.node_length(succ >> 1);
+        nxt.insert_length += nxt.end_offset;
+        nxt.read_stats.back().internal_end_next_node = ENDMARKER;
+        stack.push_back({std::move(nxt), true});
+      }
+    }
+
+    SearchPath noise;
+    AlignmentStats stats_1;
+    stats_1.score =
+        double_to_int((joint_start - joint_empty_start) / NOISE_SCORE_LOG_BASE);
+    AlignmentStats stats_2;
+    stats_2.score = double_to_int((joint_end - joint_empty_end) / NOISE_SCORE_LOG_BASE);
+    noise.read_stats = {stats_1, stats_2};
+    out->push_back(std::move(noise));
+  }
+
+  size_t num_located(const SearchState& state) const {
+    // Distinct sequence ids among occurrence positions.
+    size_t count = 0;
+    int64_t prev_seq = -1;
+    for (int64_t pos : state.positions) {
+      auto it = std::upper_bound(idx_.seq_starts.begin(), idx_.seq_starts.end(), pos);
+      int64_t seq = (it - idx_.seq_starts.begin()) - 1;
+      if (seq != prev_seq) {
+        ++count;
+        prev_seq = seq;
+      }
+    }
+    return count;
+  }
+
+  void merge_paired(SearchPath* main, size_t main_start_idx,
+                    const SearchPath& second) const {
+    if (second.path.size() < main->path.size() - main_start_idx) {
+      main->clear();
+      return;
+    }
+
+    const AlignmentStats& main_stats = main->read_stats.back();
+    const AlignmentStats& second_stats = second.read_stats.front();
+
+    if (main_start_idx == 0) {
+      int32_t main_left = main->start_offset - main_stats.clipped_left();
+      int32_t second_left = second.start_offset - second_stats.clipped_left();
+      if (second_left < main_left) {
+        main->clear();
+        return;
+      }
+    }
+
+    size_t second_idx = 0;
+    size_t idx = main_start_idx;
+    size_t n_main = main->path.size();
+
+    while (idx < n_main) {
+      if (main->path[idx] != second.path[second_idx]) {
+        main->clear();
+        return;
+      }
+
+      if (idx + 1 == n_main) {
+        if (second_idx + 1 == second.path.size()) {
+          int32_t main_right = main->end_offset + main_stats.clipped_right();
+          int32_t second_right = second.end_offset + second_stats.clipped_right();
+          if (second_right < main_right) {
+            main->clear();
+            return;
+          }
+          if (idx == 0) {
+            main->insert_length +=
+                std::max(main->start_offset, second.start_offset) -
+                std::min(main->end_offset, second.end_offset);
+          } else if (second_idx == 0) {
+            main->insert_length += second.start_offset -
+                                   std::min(main->end_offset, second.end_offset);
+          } else {
+            main->insert_length -= std::min(main->end_offset, second.end_offset);
+          }
+        } else if (second_idx == 0) {
+          main->insert_length += second.start_offset - main->end_offset;
+        } else {
+          main->insert_length -= main->end_offset;
+        }
+      } else if (second_idx == 0) {
+        int32_t node_length = idx_.node_length(main->path[idx] >> 1);
+        if (idx == 0) {
+          main->insert_length -=
+              node_length - std::max(main->start_offset, second.start_offset);
+        } else {
+          main->insert_length -= node_length - second.start_offset;
+        }
+      } else {
+        main->insert_length -= idx_.node_length(main->path[idx] >> 1);
+      }
+
+      ++idx;
+      ++second_idx;
+    }
+
+    main->end_offset = second.end_offset;
+    main->read_stats.push_back(second.read_stats.front());
+
+    while (second_idx < second.path.size()) {
+      main->path.push_back(second.path[second_idx]);
+      index_extend(idx_, &main->search, main->path.back());
+      if (main->search.empty()) break;
+      ++second_idx;
+    }
+  }
+
+  // -------------------------------------------------------------- misc
+  bool below_best_score_filter(const std::vector<SearchPath>& paths,
+                               const std::vector<int32_t>& optimal) const {
+    double best = 0.0;
+    for (const auto& sp : paths) {
+      if (sp.is_complete()) {
+        best = std::max(best, sp.min_optimal_score_fraction(optimal));
+      }
+    }
+    return best < p_.min_best_score_filter;
+  }
+
+  static SearchPath make_error_sentinel(int32_t seq_length) {
+    SearchPath sentinel;
+    sentinel.path.push_back(ENDMARKER);
+    AlignmentStats stats;
+    stats.score = INT32_MAX_V;
+    stats.length = seq_length;
+    stats.complete = true;
+    sentinel.read_stats.push_back(stats);
+    return sentinel;
+  }
+
+  std::vector<AlignmentPathOut> finalize(std::vector<SearchPath>& search_paths,
+                                         bool is_multimap, int32_t mapq) const {
+    if (search_paths.empty()) return {};
+
+    bool is_simple = !is_multimap;
+    if (is_simple) {
+      int32_t frag_length = 0;
+      for (const auto& sp : search_paths) {
+        if (sp.is_complete()) {
+          if (sp.is_internal() ||
+              (frag_length > 0 && sp.fragment_length() != frag_length)) {
+            is_simple = false;
+            break;
+          }
+          frag_length = sp.fragment_length();
+        }
+      }
+    }
+
+    std::vector<AlignmentPathOut> align_paths;
+    double noise_prob = 1.0;
+
+    for (auto& sp : search_paths) {
+      if (sp.search.empty()) {
+        double non_noise_prob = 1.0;
+        for (const auto& stats : sp.read_stats) {
+          double read_error_prob =
+              1.0 / (1.0 + std::exp(stats.score * NOISE_SCORE_LOG_BASE));
+          non_noise_prob *= 1.0 - read_error_prob;
+        }
+        noise_prob = std::min(noise_prob, 1.0 - non_noise_prob);
+      } else if (sp.is_complete()) {
+        AlignmentPathOut out;
+        out.search = std::move(sp.search);
+        out.is_simple = is_simple;
+        out.mapq = mapq;
+        out.score_sum = sp.score_sum();
+        out.align_length = sp.alignment_length();
+        out.frag_length = sp.fragment_length();
+        align_paths.push_back(std::move(out));
+      }
+    }
+
+    std::sort(align_paths.begin(), align_paths.end(),
+              [](const AlignmentPathOut& a, const AlignmentPathOut& b) {
+                if (a.search.node != b.search.node) return a.search.node > b.search.node;
+                if (a.search.positions != b.search.positions)
+                  return a.search.positions > b.search.positions;
+                if (a.is_simple != b.is_simple) return a.is_simple > b.is_simple;
+                if (a.mapq != b.mapq) return a.mapq > b.mapq;
+                if (a.frag_length != b.frag_length) return a.frag_length > b.frag_length;
+                if (a.align_length != b.align_length)
+                  return a.align_length > b.align_length;
+                return a.score_sum > b.score_sum;
+              });
+
+    if (!align_paths.empty()) {
+      AlignmentPathOut noise;
+      noise.is_simple = is_simple;
+      noise.mapq = mapq;
+      noise.align_length = 0;
+      noise.frag_length = 0;
+      const double eps = std::numeric_limits<double>::epsilon() * 100;
+      bool is_zero = noise_prob == 0.0 ||
+                     std::abs(noise_prob - 0.0) <
+                         std::abs(std::min(noise_prob, 0.0)) * eps;
+      if (is_zero) {
+        noise.score_sum = INT32_MIN_V;
+      } else {
+        noise.score_sum = double_to_int(std::log(noise_prob) / NOISE_SCORE_LOG_BASE);
+      }
+      align_paths.push_back(std::move(noise));
+    }
+    return align_paths;
+  }
+};
+
+// ---------------------------------------------------------- serialization
+
+struct Reader {
+  const uint8_t* ptr;
+  const uint8_t* end;
+
+  template <typename T>
+  T get() {
+    T value;
+    std::memcpy(&value, ptr, sizeof(T));
+    ptr += sizeof(T);
+    return value;
+  }
+};
+
+PathRec read_path(Reader* r) {
+  PathRec path;
+  int32_t n_mappings = r->get<int32_t>();
+  path.mappings.resize(n_mappings);
+  for (auto& m : path.mappings) {
+    m.node = r->get<int64_t>();
+    m.offset = r->get<int32_t>();
+    m.to_length = r->get<int32_t>();
+    m.from_length = r->get<int32_t>();
+    m.first_edit_from = r->get<int32_t>();
+    m.first_edit_to = r->get<int32_t>();
+    m.last_edit_from = r->get<int32_t>();
+    m.last_edit_to = r->get<int32_t>();
+  }
+  return path;
+}
+
+AlignmentRec read_alignment(Reader* r, bool is_multipath) {
+  AlignmentRec aln;
+  aln.is_multipath = is_multipath;
+  aln.seq_len = r->get<int32_t>();
+  aln.mapq = r->get<int32_t>();
+  aln.disconnected = r->get<uint8_t>() != 0;
+  uint8_t has_quality = r->get<uint8_t>();
+  if (has_quality) {
+    aln.quality.resize(aln.seq_len);
+    std::memcpy(aln.quality.data(), r->ptr, aln.seq_len);
+    r->ptr += aln.seq_len;
+  }
+  if (!is_multipath) {
+    aln.score = r->get<int32_t>();
+    aln.path = read_path(r);
+  } else {
+    int32_t n_subpaths = r->get<int32_t>();
+    int32_t n_starts = r->get<int32_t>();
+    aln.starts.resize(n_starts);
+    for (auto& s : aln.starts) s = r->get<int32_t>();
+    aln.subpaths.resize(n_subpaths);
+    for (auto& sp : aln.subpaths) {
+      sp.score = r->get<int32_t>();
+      sp.n_connections = r->get<int32_t>();
+      int32_t n_next = r->get<int32_t>();
+      sp.next.resize(n_next);
+      for (auto& n : sp.next) n = r->get<int32_t>();
+      sp.path = read_path(r);
+    }
+  }
+  return aln;
+}
+
+struct Writer {
+  std::vector<uint8_t> buf;
+
+  template <typename T>
+  void put(T value) {
+    size_t offset = buf.size();
+    buf.resize(offset + sizeof(T));
+    std::memcpy(buf.data() + offset, &value, sizeof(T));
+  }
+};
+
+void write_results(Writer* w, const std::vector<AlignmentPathOut>& paths) {
+  w->put<int32_t>(static_cast<int32_t>(paths.size()));
+  for (const auto& ap : paths) {
+    w->put<int64_t>(ap.search.node);
+    w->put<int32_t>(static_cast<int32_t>(ap.search.positions.size()));
+    for (int64_t pos : ap.search.positions) w->put<int64_t>(pos);
+    w->put<uint8_t>(ap.is_simple ? 1 : 0);
+    w->put<int32_t>(ap.mapq);
+    w->put<int32_t>(ap.score_sum);
+    w->put<int32_t>(ap.align_length);
+    w->put<int32_t>(ap.frag_length);
+  }
+}
+
+}  // namespace
+
+// ------------------------------------------------------------------ C ABI
+
+extern "C" {
+
+void* rpvg_index_create(const int64_t* concat, int64_t concat_len,
+                        const int64_t* seq_starts, int64_t n_seqs,
+                        const int32_t* node_lengths, int64_t n_nodes,
+                        int32_t bidirectional) {
+  auto* idx = new Index();
+  idx->concat.assign(concat, concat + concat_len);
+  idx->seq_starts.assign(seq_starts, seq_starts + n_seqs);
+  idx->node_lengths.assign(node_lengths, node_lengths + n_nodes);
+  idx->bidirectional = bidirectional != 0;
+
+  int64_t max_node = 0;
+  for (int64_t v : idx->concat) max_node = std::max(max_node, v);
+  idx->max_enc_node = max_node;
+
+  // Occurrence CSR (counting sort).
+  std::vector<int64_t> counts(max_node + 2, 0);
+  for (int64_t i = 0; i < concat_len; ++i) {
+    if (idx->concat[i] != ENDMARKER) counts[idx->concat[i] + 1]++;
+  }
+  idx->occ_offsets.resize(max_node + 2);
+  idx->occ_offsets[0] = 0;
+  for (int64_t v = 0; v <= max_node; ++v) {
+    idx->occ_offsets[v + 1] = idx->occ_offsets[v] + counts[v + 1];
+  }
+  idx->occ_positions.resize(idx->occ_offsets[max_node + 1]);
+  std::vector<int64_t> cursor(idx->occ_offsets.begin(), idx->occ_offsets.end() - 1);
+  for (int64_t i = 0; i < concat_len; ++i) {
+    int64_t node = idx->concat[i];
+    if (node != ENDMARKER) idx->occ_positions[cursor[node]++] = i;
+  }
+
+  // Distinct successor lists per node.
+  idx->edge_offsets.assign(max_node + 2, 0);
+  std::vector<std::vector<int64_t>> succ(max_node + 1);
+  for (int64_t v = 1; v <= max_node; ++v) {
+    int64_t begin = idx->occ_offsets[v], end = idx->occ_offsets[v + 1];
+    if (begin == end) continue;
+    std::vector<int64_t>& targets = succ[v];
+    for (int64_t i = begin; i < end; ++i) {
+      targets.push_back(idx->concat[idx->occ_positions[i] + 1]);
+    }
+    std::sort(targets.begin(), targets.end());
+    targets.erase(std::unique(targets.begin(), targets.end()), targets.end());
+  }
+  for (int64_t v = 0; v <= max_node; ++v) {
+    idx->edge_offsets[v + 1] =
+        idx->edge_offsets[v] + static_cast<int64_t>(succ[v].size());
+  }
+  idx->edge_targets.resize(idx->edge_offsets[max_node + 1]);
+  for (int64_t v = 0; v <= max_node; ++v) {
+    std::copy(succ[v].begin(), succ[v].end(),
+              idx->edge_targets.begin() + idx->edge_offsets[v]);
+  }
+  return idx;
+}
+
+void rpvg_index_free(void* handle) { delete static_cast<Index*>(handle); }
+
+// params layout (int32 x 6 + double): library_type, score_not_qual,
+// max_pair_frag_length, max_partial_offset, est_missing_noise_prob,
+// max_score_diff, min_best_score_filter.
+uint8_t* rpvg_project_batch(void* handle, const uint8_t* input, int64_t input_len,
+                            const int32_t* iparams, double min_best_score_filter,
+                            const int32_t* qual_match_scores,
+                            const int32_t* qual_bonuses, int64_t* out_len) {
+  const Index& idx = *static_cast<Index*>(handle);
+  Params params;
+  params.library_type = iparams[0];
+  params.score_not_qual = iparams[1];
+  params.max_pair_frag_length = iparams[2];
+  params.max_partial_offset = iparams[3];
+  params.est_missing_noise_prob = iparams[4];
+  params.max_score_diff = iparams[5];
+  params.min_best_score_filter = min_best_score_filter;
+
+  ScoreTables tables;
+  for (int i = 0; i < 256; ++i) {
+    tables.match_scores[i] = qual_match_scores[i];
+    tables.bonuses[i] = qual_bonuses[i];
+  }
+
+  Finder finder(idx, params, tables);
+
+  Reader reader{input, input + input_len};
+  Writer writer;
+  int32_t n_fragments = reader.get<int32_t>();
+  writer.put<int32_t>(n_fragments);
+
+  for (int32_t f = 0; f < n_fragments; ++f) {
+    uint8_t kind = reader.get<uint8_t>();
+    bool is_multipath = kind & 1;
+    bool is_paired = kind & 2;
+    AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
+    if (is_paired) {
+      AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
+      write_results(&writer, finder.find_paired(aln_1, aln_2));
+    } else {
+      write_results(&writer, finder.find_single(aln_1));
+    }
+  }
+
+  *out_len = static_cast<int64_t>(writer.buf.size());
+  auto* out = static_cast<uint8_t*>(std::malloc(writer.buf.size()));
+  std::memcpy(out, writer.buf.data(), writer.buf.size());
+  return out;
+}
+
+void rpvg_buffer_free(uint8_t* buf) { std::free(buf); }
+
+}  // extern "C"

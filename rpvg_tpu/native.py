@@ -1,0 +1,280 @@
+"""ctypes bridge to the C++ projection kernels (native/rpvg_native.cpp).
+
+Builds the shared library on demand (g++ -O3) and exposes a
+NativeFinder with the same find_alignment_paths /
+find_paired_alignment_paths surface as the Python engine; fragments are
+batched through a compact binary serialization for throughput.  Falls
+back gracefully when no toolchain is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import sys
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .alignments import Alignment, MultipathAlignment
+from .pathindex import PathIndex, SearchState
+from .projection import AlignmentPath
+from .scoring import QUAL_FULL_LENGTH_BONUSES, QUAL_MATCH_SCORES
+
+_NATIVE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native")
+_SRC = os.path.join(_NATIVE_DIR, "rpvg_native.cpp")
+_LIB = os.path.join(_NATIVE_DIR, "librpvg_native.so")
+
+_lib = None
+
+
+def _build_library() -> bool:
+    cmd = [
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        _SRC, "-o", _LIB,
+    ]
+    try:
+        result = subprocess.run(cmd, capture_output=True, text=True, timeout=300)
+    except (OSError, subprocess.TimeoutExpired):
+        return False
+    if result.returncode != 0:
+        print(f"rpvg_native build failed:\n{result.stderr}", file=sys.stderr)
+        return False
+    return True
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _lib
+    if _lib is not None:
+        return _lib
+    if not os.path.exists(_LIB) or os.path.getmtime(_LIB) < os.path.getmtime(_SRC):
+        if not _build_library():
+            return None
+    lib = ctypes.CDLL(_LIB)
+    lib.rpvg_index_create.restype = ctypes.c_void_p
+    lib.rpvg_index_create.argtypes = [
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.c_int32,
+    ]
+    lib.rpvg_index_free.argtypes = [ctypes.c_void_p]
+    lib.rpvg_project_batch.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rpvg_project_batch.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64),
+    ]
+    lib.rpvg_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    _lib = lib
+    return lib
+
+
+def native_available() -> bool:
+    return load_library() is not None
+
+
+_LIBRARY_TYPES = {"unstranded": 0, "fr": 1, "rf": 2}
+
+
+class _Serializer:
+    def __init__(self):
+        self.parts: List[bytes] = []
+
+    def put(self, fmt: str, *values):
+        self.parts.append(struct.pack(fmt, *values))
+
+    def raw(self, data: bytes):
+        self.parts.append(data)
+
+    def buffer(self) -> bytes:
+        return b"".join(self.parts)
+
+
+def _serialize_path(s: _Serializer, path) -> None:
+    mappings = path.mappings
+    s.put("<i", len(mappings))
+    for m in mappings:
+        first_edit = m.edits[0]
+        last_edit = m.edits[-1]
+        s.put(
+            "<qiiiiiii",
+            m.gbwt_node(),
+            m.offset,
+            m.to_length(),
+            m.from_length(),
+            first_edit.from_length,
+            first_edit.to_length,
+            last_edit.from_length,
+            last_edit.to_length,
+        )
+
+
+def _serialize_alignment(s: _Serializer, aln, mapq: int) -> None:
+    is_multipath = isinstance(aln, MultipathAlignment)
+    s.put("<iiBB", len(aln.sequence), mapq, int("disconnected" in aln.annotation),
+          int(bool(aln.quality)))
+    if aln.quality:
+        s.raw(bytes(aln.quality))
+    if not is_multipath:
+        s.put("<i", aln.score)
+        _serialize_path(s, aln.path)
+    else:
+        s.put("<ii", len(aln.subpaths), len(aln.start))
+        for start in aln.start:
+            s.put("<i", start)
+        for sp in aln.subpaths:
+            s.put("<iii", sp.score, len(sp.connections), len(sp.next))
+            for nxt in sp.next:
+                s.put("<i", nxt)
+            _serialize_path(s, sp.path)
+
+
+class NativeFinder:
+    """Projection driver backed by the C++ kernels.  Prefer
+    :meth:`project_batch` for throughput; the single-fragment methods
+    exist for drop-in compatibility and testing."""
+
+    def __init__(
+        self,
+        paths_index: PathIndex,
+        library_type: str = "unstranded",
+        score_not_qual: bool = False,
+        use_allelic_mapq: bool = False,
+        max_pair_frag_length: int = 1000,
+        max_partial_offset: int = 4,
+        est_missing_noise_prob: bool = False,
+        max_score_diff: int = 20,
+        min_best_score_filter: float = 0.9,
+    ):
+        lib = load_library()
+        assert lib is not None, "native library unavailable"
+        self._lib = lib
+        self.index = paths_index
+        self.use_allelic_mapq = use_allelic_mapq
+
+        concat = np.ascontiguousarray(paths_index.concat, dtype=np.int64)
+        seq_starts = np.ascontiguousarray(paths_index.seq_starts, dtype=np.int64)
+        node_lengths = np.ascontiguousarray(
+            paths_index.graph.node_lengths, dtype=np.int32
+        )
+        self._keepalive = (concat, seq_starts, node_lengths)
+        self._handle = lib.rpvg_index_create(
+            concat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            concat.size,
+            seq_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            seq_starts.size,
+            node_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            node_lengths.size,
+            int(paths_index.is_bidirectional),
+        )
+
+        self._iparams = np.array(
+            [
+                _LIBRARY_TYPES[library_type],
+                int(score_not_qual),
+                max_pair_frag_length,
+                max_partial_offset,
+                int(est_missing_noise_prob),
+                max_score_diff,
+            ],
+            dtype=np.int32,
+        )
+        self._min_best_score_filter = float(min_best_score_filter)
+        self._match_scores = np.ascontiguousarray(QUAL_MATCH_SCORES, dtype=np.int32)
+        self._bonuses = np.ascontiguousarray(QUAL_FULL_LENGTH_BONUSES, dtype=np.int32)
+
+    def __del__(self):
+        try:
+            self._lib.rpvg_index_free(self._handle)
+        except Exception:
+            pass
+
+    def _mapq(self, aln) -> int:
+        mapq = aln.mapping_quality
+        if self.use_allelic_mapq and "allelic_mapq" in aln.annotation:
+            return min(int(aln.annotation["allelic_mapq"]), mapq)
+        return mapq
+
+    # ------------------------------------------------------------ batching
+    def project_batch(self, fragments: Sequence) -> List[List[AlignmentPath]]:
+        """fragments: list of Alignment/MultipathAlignment (single-end)
+        or (mate1, mate2) tuples.  Returns per fragment the finalized
+        alignment-path list ([] = unaligned)."""
+        s = _Serializer()
+        s.put("<i", len(fragments))
+        for fragment in fragments:
+            paired = isinstance(fragment, tuple)
+            first = fragment[0] if paired else fragment
+            multipath = isinstance(first, MultipathAlignment)
+            kind = (1 if multipath else 0) | (2 if paired else 0)
+            s.put("<B", kind)
+            if paired:
+                _serialize_alignment(s, fragment[0], self._mapq(fragment[0]))
+                _serialize_alignment(s, fragment[1], self._mapq(fragment[1]))
+            else:
+                _serialize_alignment(s, first, self._mapq(first))
+
+        payload = s.buffer()
+        out_len = ctypes.c_int64()
+        in_buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+        out_ptr = self._lib.rpvg_project_batch(
+            self._handle,
+            in_buf,
+            len(payload),
+            self._iparams.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._min_best_score_filter,
+            self._match_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._bonuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            ctypes.byref(out_len),
+        )
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        return self._parse_results(data)
+
+    @staticmethod
+    def _parse_results(data: bytes) -> List[List[AlignmentPath]]:
+        view = memoryview(data)
+        offset = 0
+        (n_fragments,) = struct.unpack_from("<i", view, offset)
+        offset += 4
+        results: List[List[AlignmentPath]] = []
+        for _ in range(n_fragments):
+            (n_paths,) = struct.unpack_from("<i", view, offset)
+            offset += 4
+            paths: List[AlignmentPath] = []
+            for _ in range(n_paths):
+                node, n_pos = struct.unpack_from("<qi", view, offset)
+                offset += 12
+                positions = np.frombuffer(view, dtype=np.int64, count=n_pos, offset=offset).copy()
+                offset += 8 * n_pos
+                is_simple, mapq, score_sum, align_length, frag_length = struct.unpack_from(
+                    "<Biiii", view, offset
+                )
+                offset += 17
+                paths.append(
+                    AlignmentPath(
+                        SearchState(node, positions),
+                        bool(is_simple),
+                        mapq,
+                        score_sum,
+                        align_length,
+                        frag_length,
+                    )
+                )
+            results.append(paths)
+        return results
+
+    # --------------------------------------------- single-fragment surface
+    def find_alignment_paths(self, aln) -> List[AlignmentPath]:
+        return self.project_batch([aln])[0]
+
+    def find_paired_alignment_paths(self, aln_1, aln_2) -> List[AlignmentPath]:
+        return self.project_batch([(aln_1, aln_2)])[0]

@@ -79,6 +79,9 @@ class PipelineConfig:
     max_rel_em_conv: float = 0.001
     gibbs_thin_its: int = 25
 
+    # "auto" = C++ kernels when the toolchain is available, else Python.
+    native: str = "auto"
+
     def is_single_end(self) -> bool:
         return self.single_end or self.long_reads
 
@@ -151,15 +154,34 @@ class FragmentIndex:
         return list(self.entries.values())
 
 
+FRAGMENT_BATCH_SIZE = 10000
+
+
 def run_fragment_pass(
-    finder: AlignmentPathFinder,
+    finder,
     fragments: Iterable,
     pre_frag_length_dist: FragmentLengthDist,
     is_single_end: bool,
 ) -> FragmentIndex:
     """Project all fragments and index the results.  `fragments` yields
-    Alignment/MultipathAlignment objects (single-end) or pairs."""
+    Alignment/MultipathAlignment objects (single-end) or pairs.  A
+    NativeFinder is driven in batches (the reference's 10k-fragment
+    buffers, src/main.cpp:41); the Python engine per fragment."""
     index = FragmentIndex(pre_frag_length_dist, is_single_end)
+
+    if hasattr(finder, "project_batch"):
+        batch = []
+        for fragment in fragments:
+            batch.append(fragment)
+            if len(batch) == FRAGMENT_BATCH_SIZE:
+                for align_paths in finder.project_batch(batch):
+                    index.add(align_paths)
+                batch = []
+        if batch:
+            for align_paths in finder.project_batch(batch):
+                index.add(align_paths)
+        return index
+
     if is_single_end:
         for aln in fragments:
             index.add(finder.find_alignment_paths(aln))
@@ -349,8 +371,7 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     pre_frag_length_dist = resolve_pre_fragment_dist(config)
     log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s)")
 
-    finder = AlignmentPathFinder(
-        paths_index,
+    finder_kwargs = dict(
         library_type=config.library_type,
         score_not_qual=config.score_not_qual,
         use_allelic_mapq=config.use_allelic_mapq,
@@ -360,6 +381,16 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         max_score_diff=config.max_score_diff,
         min_best_score_filter=config.filt_best_score,
     )
+    finder = None
+    if config.native in ("auto", "on"):
+        from . import native as native_mod
+
+        if native_mod.native_available():
+            finder = native_mod.NativeFinder(paths_index, **finder_kwargs)
+        elif config.native == "on":
+            raise RuntimeError("native projection requested but unavailable")
+    if finder is None:
+        finder = AlignmentPathFinder(paths_index, **finder_kwargs)
 
     t_phase = time.perf_counter()
     fragment_index = run_fragment_pass(

@@ -1,0 +1,120 @@
+"""Differential tests: the C++ projection kernels must produce the same
+finalized alignment paths as the (oracle-tested) Python engine."""
+
+import numpy as np
+import pytest
+
+from helpers import aln, build_index, mp_aln, reverse_thread
+
+import test_projection_multipath as mp
+import test_projection_paired as pe
+import test_projection_partial as pp
+import test_projection_single as se
+
+from rpvg_tpu import sim
+from rpvg_tpu.projection import AlignmentPathFinder
+
+native = pytest.importorskip("rpvg_tpu.native")
+if not native.native_available():
+    pytest.skip("native toolchain unavailable", allow_module_level=True)
+
+
+def path_set(paths):
+    return sorted(p.key() for p in paths)
+
+
+def check_single(index, finder_kwargs, alignment):
+    py = AlignmentPathFinder(index, **finder_kwargs).find_alignment_paths(alignment)
+    cc = native.NativeFinder(index, **finder_kwargs).find_alignment_paths(alignment)
+    assert path_set(cc) == path_set(py)
+
+
+def check_paired(index, finder_kwargs, aln_1, aln_2):
+    py = AlignmentPathFinder(index, **finder_kwargs).find_paired_alignment_paths(aln_1, aln_2)
+    cc = native.NativeFinder(index, **finder_kwargs).find_paired_alignment_paths(aln_1, aln_2)
+    assert path_set(cc) == path_set(py)
+
+
+DEFAULTS = dict(
+    library_type="unstranded",
+    score_not_qual=True,
+    max_pair_frag_length=1000,
+    max_partial_offset=0,
+    est_missing_noise_prob=True,
+    max_score_diff=20,
+    min_best_score_filter=0.0,
+)
+
+
+def test_single_end_scenarios():
+    index = se.make_unidirectional_index()
+    check_single(index, DEFAULTS, aln(se.ALIGNMENT_1))
+
+    index_bd = build_index(
+        [se.THREAD_1, se.THREAD_2], se.make_graph(), bidirectional=True
+    )
+    check_single(index_bd, DEFAULTS, aln(se.ALIGNMENT_1))
+
+
+def test_paired_end_scenarios():
+    index = pe.make_index()
+    check_paired(index, DEFAULTS, aln(pe.ALIGNMENT_1), aln(pe.ALIGNMENT_2))
+
+    a2_rc = aln(pe.ALIGNMENT_2).reverse_complement(index.node_length)
+    a2_rc.sequence = "AAAA"
+    check_paired(index, DEFAULTS, aln(pe.ALIGNMENT_1), a2_rc)
+
+    circ = pe.make_circular_index()
+    check_paired(circ, DEFAULTS, aln(pe.CIRC_ALIGNMENT_1), aln(pe.CIRC_ALIGNMENT_2))
+
+
+def test_multipath_scenarios():
+    index = mp.make_se_index()
+    check_single(index, DEFAULTS, mp_aln(mp.SE_ALIGNMENT))
+
+    index_pe = mp.make_pe_index()
+    check_paired(index_pe, DEFAULTS, mp_aln(mp.PE_ALIGNMENT_1), mp_aln(mp.PE_ALIGNMENT_2))
+    for lib in ("fr", "rf"):
+        kwargs = dict(DEFAULTS, library_type=lib)
+        check_paired(index_pe, kwargs, mp_aln(mp.PE_ALIGNMENT_1), mp_aln(mp.PE_ALIGNMENT_2))
+    for msd in (1, 2, 6, 7):
+        kwargs = dict(DEFAULTS, max_score_diff=msd)
+        check_paired(index_pe, kwargs, mp_aln(mp.PE_ALIGNMENT_1), mp_aln(mp.PE_ALIGNMENT_2))
+
+
+def test_partial_match_scenarios():
+    index = pp.make_partial_index()
+    for k in (0, 1, 2, 3, 4, 8):
+        kwargs = dict(DEFAULTS, max_partial_offset=k)
+        check_paired(index, kwargs, mp_aln(pp.P_ALIGNMENT_1), mp_aln(pp.P_ALIGNMENT_2))
+
+
+def test_randomized_differential():
+    panel = sim.build_panel(
+        num_transcripts=6, num_haplotypes=2, exons_per_transcript=4,
+        exon_length=60, variant_sites=2, seed=23,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 150, read_length=50, frag_mean=140, frag_sd=15, seed=29
+    )
+    from rpvg_tpu.alignments import parse_multipath_alignment
+
+    alns = [parse_multipath_alignment(r) for r in records]
+    pairs = list(zip(alns[0::2], alns[1::2]))
+
+    kwargs = dict(
+        library_type="unstranded",
+        score_not_qual=True,
+        max_pair_frag_length=300,
+        max_partial_offset=4,
+        est_missing_noise_prob=False,
+        max_score_diff=20,
+        min_best_score_filter=0.9,
+    )
+    py_finder = AlignmentPathFinder(panel.paths_index, **kwargs)
+    cc_finder = native.NativeFinder(panel.paths_index, **kwargs)
+
+    cc_results = cc_finder.project_batch(pairs)
+    for (a1, a2), cc in zip(pairs, cc_results):
+        py = py_finder.find_paired_alignment_paths(a1, a2)
+        assert path_set(cc) == path_set(py)
