@@ -45,8 +45,24 @@ def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
         panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17
     )
 
+    # Production input path: binary rpa container parsed by the native
+    # engine (conversion excluded from the measured section, like the
+    # reference's prebuilt .gamp input).
+    from rpvg_tpu.alignments import parse_multipath_alignment
+    from rpvg_tpu.io import rpa
+    from rpvg_tpu.native import native_available
+
     aln_path = os.path.join(out_dir, "bench_aln.json")
     sim.write_alignment_json(records, aln_path)
+    if native_available():
+        alns = [parse_multipath_alignment(r) for r in records]
+        pairs = list(zip(alns[0::2], alns[1::2]))
+        rpa_path = os.path.join(out_dir, "bench_aln.rpa")
+        rpa.write_fragments(
+            rpa_path, pairs, is_multipath=True, is_paired=True,
+            frag_mean=250.0, frag_sd=25.0,
+        )
+        aln_path = rpa_path
 
     config = PipelineConfig(
         graph=panel.graph,

@@ -127,7 +127,8 @@ struct SubpathRec {
 struct AlignmentRec {
   int32_t seq_len = 0;
   int32_t mapq = 0;
-  int32_t score = 0; // single-path score
+  int32_t allelic_mapq = -1; // -1 = absent
+  int32_t score = 0;         // single-path score
   bool is_multipath = false;
   bool disconnected = false;
   PathRec path;                       // single-path
@@ -396,8 +397,16 @@ struct Params {
   int32_t max_partial_offset = 4;
   int32_t est_missing_noise_prob = 0;
   int32_t max_score_diff = 20;
+  int32_t use_allelic_mapq = 0;
   double min_best_score_filter = 0.9;
 };
+
+int32_t resolve_mapq(const Params& p, const AlignmentRec& aln) {
+  if (p.use_allelic_mapq && aln.allelic_mapq >= 0) {
+    return std::min(aln.allelic_mapq, aln.mapq);
+  }
+  return aln.mapq;
+}
 
 class Finder {
  public:
@@ -420,7 +429,7 @@ class Finder {
         find_single_search_paths(&search_paths, rc);
       }
     }
-    return finalize(search_paths, aln.disconnected, aln.mapq);
+    return finalize(search_paths, aln.disconnected, resolve_mapq(p_, aln));
   }
 
   std::vector<AlignmentPathOut> find_paired(const AlignmentRec& aln_1,
@@ -444,7 +453,7 @@ class Finder {
       }
     }
     bool is_multimap = aln_1.disconnected || aln_2.disconnected;
-    int32_t mapq = std::min(aln_1.mapq, aln_2.mapq);
+    int32_t mapq = std::min(resolve_mapq(p_, aln_1), resolve_mapq(p_, aln_2));
     return finalize(paired, is_multimap, mapq);
   }
 
@@ -1178,6 +1187,7 @@ AlignmentRec read_alignment(Reader* r, bool is_multipath) {
   aln.is_multipath = is_multipath;
   aln.seq_len = r->get<int32_t>();
   aln.mapq = r->get<int32_t>();
+  aln.allelic_mapq = r->get<int32_t>();
   aln.disconnected = r->get<uint8_t>() != 0;
   uint8_t has_quality = r->get<uint8_t>();
   if (has_quality) {
@@ -1295,9 +1305,9 @@ void* rpvg_index_create(const int64_t* concat, int64_t concat_len,
 
 void rpvg_index_free(void* handle) { delete static_cast<Index*>(handle); }
 
-// params layout (int32 x 6 + double): library_type, score_not_qual,
+// params layout (int32 x 7 + double): library_type, score_not_qual,
 // max_pair_frag_length, max_partial_offset, est_missing_noise_prob,
-// max_score_diff, min_best_score_filter.
+// max_score_diff, use_allelic_mapq, min_best_score_filter.
 uint8_t* rpvg_project_batch(void* handle, const uint8_t* input, int64_t input_len,
                             const int32_t* iparams, double min_best_score_filter,
                             const int32_t* qual_match_scores,
@@ -1310,6 +1320,7 @@ uint8_t* rpvg_project_batch(void* handle, const uint8_t* input, int64_t input_le
   params.max_partial_offset = iparams[3];
   params.est_missing_noise_prob = iparams[4];
   params.max_score_diff = iparams[5];
+  params.use_allelic_mapq = iparams[6];
   params.min_best_score_filter = min_best_score_filter;
 
   ScoreTables tables;

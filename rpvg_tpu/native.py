@@ -81,6 +81,25 @@ def native_available() -> bool:
 _LIBRARY_TYPES = {"unstranded": 0, "fr": 1, "rf": 2}
 
 
+def serialize_fragments(fragments: Sequence) -> bytes:
+    """Serialize fragments into the native batch format (also the .rpa
+    on-disk block payload)."""
+    s = _Serializer()
+    s.put("<i", len(fragments))
+    for fragment in fragments:
+        paired = isinstance(fragment, tuple)
+        first = fragment[0] if paired else fragment
+        multipath = isinstance(first, MultipathAlignment)
+        kind = (1 if multipath else 0) | (2 if paired else 0)
+        s.put("<B", kind)
+        if paired:
+            _serialize_alignment(s, fragment[0])
+            _serialize_alignment(s, fragment[1])
+        else:
+            _serialize_alignment(s, first)
+    return s.buffer()
+
+
 class _Serializer:
     def __init__(self):
         self.parts: List[bytes] = []
@@ -114,10 +133,11 @@ def _serialize_path(s: _Serializer, path) -> None:
         )
 
 
-def _serialize_alignment(s: _Serializer, aln, mapq: int) -> None:
+def _serialize_alignment(s: _Serializer, aln) -> None:
     is_multipath = isinstance(aln, MultipathAlignment)
-    s.put("<iiBB", len(aln.sequence), mapq, int("disconnected" in aln.annotation),
-          int(bool(aln.quality)))
+    allelic_mapq = int(aln.annotation.get("allelic_mapq", -1))
+    s.put("<iiiBB", len(aln.sequence), aln.mapping_quality, allelic_mapq,
+          int("disconnected" in aln.annotation), int(bool(aln.quality)))
     if aln.quality:
         s.raw(bytes(aln.quality))
     if not is_multipath:
@@ -181,6 +201,7 @@ class NativeFinder:
                 max_partial_offset,
                 int(est_missing_noise_prob),
                 max_score_diff,
+                int(use_allelic_mapq),
             ],
             dtype=np.int32,
         )
@@ -194,32 +215,16 @@ class NativeFinder:
         except Exception:
             pass
 
-    def _mapq(self, aln) -> int:
-        mapq = aln.mapping_quality
-        if self.use_allelic_mapq and "allelic_mapq" in aln.annotation:
-            return min(int(aln.annotation["allelic_mapq"]), mapq)
-        return mapq
-
     # ------------------------------------------------------------ batching
     def project_batch(self, fragments: Sequence) -> List[List[AlignmentPath]]:
         """fragments: list of Alignment/MultipathAlignment (single-end)
         or (mate1, mate2) tuples.  Returns per fragment the finalized
         alignment-path list ([] = unaligned)."""
-        s = _Serializer()
-        s.put("<i", len(fragments))
-        for fragment in fragments:
-            paired = isinstance(fragment, tuple)
-            first = fragment[0] if paired else fragment
-            multipath = isinstance(first, MultipathAlignment)
-            kind = (1 if multipath else 0) | (2 if paired else 0)
-            s.put("<B", kind)
-            if paired:
-                _serialize_alignment(s, fragment[0], self._mapq(fragment[0]))
-                _serialize_alignment(s, fragment[1], self._mapq(fragment[1]))
-            else:
-                _serialize_alignment(s, first, self._mapq(first))
+        return self.project_payload(serialize_fragments(fragments))
 
-        payload = s.buffer()
+    def project_payload(self, payload: bytes) -> List[List[AlignmentPath]]:
+        """Run projection on an already-serialized fragment block (the
+        .rpa on-disk format), bypassing Python object construction."""
         out_len = ctypes.c_int64()
         in_buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
         out_ptr = self._lib.rpvg_project_batch(

@@ -330,6 +330,21 @@ def resolve_pre_fragment_dist(config: PipelineConfig) -> FragmentLengthDist:
         "--frag-mean and --frag-sd are required for single-end short reads"
     )
     assert isinstance(config.alignments, str)
+    if config.alignments.endswith(".rpa"):
+        from .io.rpa import RpaReader
+
+        reader = RpaReader(config.alignments)
+        try:
+            if reader.frag_sd > 0:
+                return FragmentLengthDist.from_params(
+                    reader.frag_mean, reader.frag_sd, 0.0, config.max_num_sd_frag
+                )
+            raise ValueError(
+                "rpa header carries no fragment length parameters; "
+                "use frag_mean/frag_sd"
+            )
+        finally:
+            reader.close()
     for obj in json_stream.stream_alignment_dicts(config.alignments):
         from .alignments import _parse_annotation
 
@@ -393,9 +408,22 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         finder = AlignmentPathFinder(paths_index, **finder_kwargs)
 
     t_phase = time.perf_counter()
-    fragment_index = run_fragment_pass(
-        finder, iter_fragments(config), pre_frag_length_dist, config.is_single_end()
-    )
+    if isinstance(config.alignments, str) and config.alignments.endswith(".rpa"):
+        assert hasattr(finder, "project_payload"), (
+            "binary .rpa input requires the native projection engine"
+        )
+        from .io.rpa import RpaReader
+
+        fragment_index = FragmentIndex(pre_frag_length_dist, config.is_single_end())
+        reader = RpaReader(config.alignments)
+        for payload in reader.blocks():
+            for align_paths in finder.project_payload(payload):
+                fragment_index.add(align_paths)
+        reader.close()
+    else:
+        fragment_index = run_fragment_pass(
+            finder, iter_fragments(config), pre_frag_length_dist, config.is_single_end()
+        )
     log(
         f"Found {len(fragment_index.entries)} distinct alignment path lists and "
         f"{fragment_index.unaligned_count} unaligned reads "
