@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -1227,6 +1228,33 @@ struct Writer {
   }
 };
 
+void skip_path(Reader* r) {
+  int32_t n_mappings = r->get<int32_t>();
+  r->ptr += n_mappings * (8 + 7 * 4);
+}
+
+void skip_alignment(Reader* r, bool is_multipath) {
+  int32_t seq_len = r->get<int32_t>();
+  r->ptr += 8;  // mapq + allelic_mapq
+  r->ptr += 1;  // disconnected
+  uint8_t has_quality = r->get<uint8_t>();
+  if (has_quality) r->ptr += seq_len;
+  if (!is_multipath) {
+    r->ptr += 4;  // score
+    skip_path(r);
+  } else {
+    int32_t n_subpaths = r->get<int32_t>();
+    int32_t n_starts = r->get<int32_t>();
+    r->ptr += n_starts * 4;
+    for (int32_t i = 0; i < n_subpaths; ++i) {
+      r->ptr += 8;  // score + n_connections
+      int32_t n_next = r->get<int32_t>();
+      r->ptr += n_next * 4;
+      skip_path(r);
+    }
+  }
+}
+
 void write_results(Writer* w, const std::vector<AlignmentPathOut>& paths) {
   w->put<int32_t>(static_cast<int32_t>(paths.size()));
   for (const auto& ap : paths) {
@@ -1329,29 +1357,64 @@ uint8_t* rpvg_project_batch(void* handle, const uint8_t* input, int64_t input_le
     tables.bonuses[i] = qual_bonuses[i];
   }
 
-  Finder finder(idx, params, tables);
+  int32_t n_threads = std::max(1, iparams[7]);
 
-  Reader reader{input, input + input_len};
-  Writer writer;
-  int32_t n_fragments = reader.get<int32_t>();
-  writer.put<int32_t>(n_fragments);
-
+  // Locate per-fragment record offsets with a cheap skip scan so the
+  // batch can be partitioned across worker threads.
+  Reader scan{input, input + input_len};
+  int32_t n_fragments = scan.get<int32_t>();
+  std::vector<const uint8_t*> offsets(n_fragments + 1);
   for (int32_t f = 0; f < n_fragments; ++f) {
-    uint8_t kind = reader.get<uint8_t>();
-    bool is_multipath = kind & 1;
-    bool is_paired = kind & 2;
-    AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
-    if (is_paired) {
-      AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
-      write_results(&writer, finder.find_paired(aln_1, aln_2));
-    } else {
-      write_results(&writer, finder.find_single(aln_1));
+    offsets[f] = scan.ptr;
+    uint8_t kind = scan.get<uint8_t>();
+    skip_alignment(&scan, kind & 1);
+    if (kind & 2) skip_alignment(&scan, kind & 1);
+  }
+  offsets[n_fragments] = scan.ptr;
+
+  auto process_range = [&](int32_t begin, int32_t end, Writer* writer) {
+    Finder finder(idx, params, tables);
+    Reader reader{offsets[begin], input + input_len};
+    for (int32_t f = begin; f < end; ++f) {
+      uint8_t kind = reader.get<uint8_t>();
+      bool is_multipath = kind & 1;
+      bool is_paired = kind & 2;
+      AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
+      if (is_paired) {
+        AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
+        write_results(writer, finder.find_paired(aln_1, aln_2));
+      } else {
+        write_results(writer, finder.find_single(aln_1));
+      }
     }
+  };
+
+  n_threads = std::min<int32_t>(n_threads, std::max(1, n_fragments));
+  std::vector<Writer> writers(n_threads);
+  if (n_threads == 1) {
+    process_range(0, n_fragments, &writers[0]);
+  } else {
+    std::vector<std::thread> workers;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int32_t begin = static_cast<int32_t>(
+          static_cast<int64_t>(n_fragments) * t / n_threads);
+      int32_t end = static_cast<int32_t>(
+          static_cast<int64_t>(n_fragments) * (t + 1) / n_threads);
+      workers.emplace_back(process_range, begin, end, &writers[t]);
+    }
+    for (auto& w : workers) w.join();
   }
 
-  *out_len = static_cast<int64_t>(writer.buf.size());
-  auto* out = static_cast<uint8_t*>(std::malloc(writer.buf.size()));
-  std::memcpy(out, writer.buf.data(), writer.buf.size());
+  size_t total = sizeof(int32_t);
+  for (const auto& w : writers) total += w.buf.size();
+  auto* out = static_cast<uint8_t*>(std::malloc(total));
+  std::memcpy(out, &n_fragments, sizeof(int32_t));
+  size_t pos = sizeof(int32_t);
+  for (const auto& w : writers) {
+    std::memcpy(out + pos, w.buf.data(), w.buf.size());
+    pos += w.buf.size();
+  }
+  *out_len = static_cast<int64_t>(total);
   return out;
 }
 

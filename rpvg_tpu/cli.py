@@ -108,6 +108,7 @@ def main(argv=None) -> int:
         alignments=args.alignments,
         output_prefix=args.output_prefix,
         inference_model=args.inference_model,
+        threads=args.threads,
         rng_seed=rng_seed,
         library_type=args.strand_specific,
         single_path=args.single_path,

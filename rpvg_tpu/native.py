@@ -32,7 +32,7 @@ _lib = None
 
 def _build_library() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
         _SRC, "-o", _LIB,
     ]
     try:
@@ -170,6 +170,7 @@ class NativeFinder:
         est_missing_noise_prob: bool = False,
         max_score_diff: int = 20,
         min_best_score_filter: float = 0.9,
+        threads: int = 1,
     ):
         lib = load_library()
         assert lib is not None, "native library unavailable"
@@ -202,6 +203,7 @@ class NativeFinder:
                 int(est_missing_noise_prob),
                 max_score_diff,
                 int(use_allelic_mapq),
+                max(1, int(threads)),
             ],
             dtype=np.int32,
         )

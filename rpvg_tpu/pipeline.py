@@ -48,6 +48,7 @@ class PipelineConfig:
     output_prefix: str = "rpvg_tpu"
     inference_model: str = "transcripts"
 
+    threads: int = 1
     rng_seed: int = 0
     library_type: str = "unstranded"
     single_path: bool = False
@@ -401,7 +402,9 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         from . import native as native_mod
 
         if native_mod.native_available():
-            finder = native_mod.NativeFinder(paths_index, **finder_kwargs)
+            finder = native_mod.NativeFinder(
+                paths_index, threads=config.threads, **finder_kwargs
+            )
         elif config.native == "on":
             raise RuntimeError("native projection requested but unavailable")
     if finder is None:
