@@ -154,6 +154,19 @@ class FragmentIndex:
     def lists(self) -> List[Tuple[List[AlignmentPath], int]]:
         return list(self.entries.values())
 
+    def merge_from(self, other: "FragmentIndex") -> None:
+        """Fold another shard's index into this one: sum duplicate
+        fragment-list counts, add histograms and unaligned counts (the
+        cross-host reduction of the fragment pass)."""
+        for key, (align_paths, count) in other.entries.items():
+            entry = self.entries.get(key)
+            if entry is None:
+                self.entries[key] = (align_paths, count)
+            else:
+                self.entries[key] = (entry[0], entry[1] + count)
+        self.frag_length_counts += other.frag_length_counts
+        self.unaligned_count += other.unaligned_count
+
 
 FRAGMENT_BATCH_SIZE = 10000
 
@@ -378,15 +391,10 @@ def iter_fragments(config: PipelineConfig):
         )
 
 
-def run_pipeline(config: PipelineConfig) -> Dict:
-    """Run the full pipeline; returns summary stats."""
-    t_start = time.perf_counter()
-    log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
-
-    graph, paths_index = load_inputs(config)
-    pre_frag_length_dist = resolve_pre_fragment_dist(config)
-    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s)")
-
+def build_finder(config: PipelineConfig, paths_index: PathIndex,
+                 pre_frag_length_dist: FragmentLengthDist):
+    """Construct the projection engine (native C++ kernels when
+    available, else the Python engine)."""
     finder_kwargs = dict(
         library_type=config.library_type,
         score_not_qual=config.score_not_qual,
@@ -397,20 +405,29 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         max_score_diff=config.max_score_diff,
         min_best_score_filter=config.filt_best_score,
     )
-    finder = None
     if config.native in ("auto", "on"):
         from . import native as native_mod
 
         if native_mod.native_available():
-            finder = native_mod.NativeFinder(
+            return native_mod.NativeFinder(
                 paths_index, threads=config.threads, **finder_kwargs
             )
-        elif config.native == "on":
+        if config.native == "on":
             raise RuntimeError("native projection requested but unavailable")
-    if finder is None:
-        finder = AlignmentPathFinder(paths_index, **finder_kwargs)
+    return AlignmentPathFinder(paths_index, **finder_kwargs)
 
-    t_phase = time.perf_counter()
+
+def collect_fragments(
+    config: PipelineConfig,
+    finder,
+    pre_frag_length_dist: FragmentLengthDist,
+    shard: int = 0,
+    num_shards: int = 1,
+) -> FragmentIndex:
+    """Fragment pass over this shard of the input (block-interleaved for
+    rpa, fragment-interleaved otherwise).  Each host runs its own shard
+    against a replicated index; results merge via
+    FragmentIndex.merge_from."""
     if isinstance(config.alignments, str) and config.alignments.endswith(".rpa"):
         assert hasattr(finder, "project_payload"), (
             "binary .rpa input requires the native projection engine"
@@ -419,20 +436,62 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
         fragment_index = FragmentIndex(pre_frag_length_dist, config.is_single_end())
         reader = RpaReader(config.alignments)
-        for payload in reader.blocks():
+        for block_idx, payload in enumerate(reader.blocks()):
+            if block_idx % num_shards != shard:
+                continue
             for align_paths in finder.project_payload(payload):
                 fragment_index.add(align_paths)
         reader.close()
-    else:
-        fragment_index = run_fragment_pass(
-            finder, iter_fragments(config), pre_frag_length_dist, config.is_single_end()
+        return fragment_index
+
+    fragments = iter_fragments(config)
+    if num_shards > 1:
+        fragments = (
+            fragment
+            for i, fragment in enumerate(fragments)
+            if i % num_shards == shard
         )
+    return run_fragment_pass(
+        finder, fragments, pre_frag_length_dist, config.is_single_end()
+    )
+
+
+def run_pipeline(config: PipelineConfig) -> Dict:
+    """Run the full pipeline; returns summary stats."""
+    t_start = time.perf_counter()
+    log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
+
+    graph, paths_index = load_inputs(config)
+    pre_frag_length_dist = resolve_pre_fragment_dist(config)
+    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s)")
+
+    finder = build_finder(config, paths_index, pre_frag_length_dist)
+
+    t_phase = time.perf_counter()
+    fragment_index = collect_fragments(config, finder, pre_frag_length_dist)
     log(
         f"Found {len(fragment_index.entries)} distinct alignment path lists and "
         f"{fragment_index.unaligned_count} unaligned reads "
         f"({time.perf_counter() - t_phase:.2f}s)"
     )
 
+    stats = run_inference_phases(
+        config, paths_index, fragment_index, pre_frag_length_dist, log
+    )
+    stats["wall_seconds"] = time.perf_counter() - t_start
+    return stats
+
+
+def run_inference_phases(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    fragment_index: FragmentIndex,
+    pre_frag_length_dist: FragmentLengthDist,
+    log=lambda msg: print(msg, file=sys.stderr),
+) -> Dict:
+    """Everything downstream of the (possibly merged multi-shard)
+    fragment index: distribution re-fit, clustering, per-cluster
+    inference and output."""
     if config.is_single_end():
         frag_length_dist = pre_frag_length_dist
     else:
@@ -593,7 +652,6 @@ def run_pipeline(config: PipelineConfig) -> Dict:
         "num_clusters": clusters.num_clusters(),
         "frag_length_dist": frag_length_dist,
         "results": results,
-        "wall_seconds": time.perf_counter() - t_start,
     }
 
 

@@ -1,0 +1,81 @@
+"""Sharded execution tests: the data-parallel fragment pass must be
+shard-count invariant (byte-identical outputs)."""
+
+import numpy as np
+import pytest
+
+from rpvg_tpu import sim
+from rpvg_tpu.parallel.multihost import run_pipeline_sharded
+from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("multihost")
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=90, variant_sites=1, seed=9,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=13
+    )
+    aln_path = str(tmp / "aln.json")
+    sim.write_alignment_json(records, aln_path)
+    return {"panel": panel, "alignments": aln_path, "tmp": tmp}
+
+
+def make_config(dataset, prefix):
+    return PipelineConfig(
+        graph=dataset["panel"].graph,
+        paths=dataset["panel"].paths_index,
+        alignments=dataset["alignments"],
+        output_prefix=prefix,
+        inference_model="transcripts",
+        rng_seed=42,
+        score_not_qual=True,
+    )
+
+
+def test_sharded_matches_unsharded(dataset, tmp_path):
+    base_prefix = str(tmp_path / "base")
+    run_pipeline(make_config(dataset, base_prefix))
+
+    for num_shards in (2, 4):
+        prefix = str(tmp_path / f"sharded_{num_shards}")
+        run_pipeline_sharded(make_config(dataset, prefix), num_shards)
+        with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+            assert a.read() == b.read()
+
+
+def test_sharded_rpa_input(dataset, tmp_path):
+    from rpvg_tpu.alignments import parse_multipath_alignment
+    from rpvg_tpu.io import rpa
+
+    native = pytest.importorskip("rpvg_tpu.native")
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+
+    import json
+
+    with open(dataset["alignments"]) as handle:
+        records = [json.loads(line) for line in handle if line.strip()]
+    alns = [parse_multipath_alignment(r) for r in records]
+    pairs = list(zip(alns[0::2], alns[1::2]))
+    rpa_path = str(tmp_path / "aln.rpa")
+    rpa.write_fragments(
+        rpa_path, pairs, is_multipath=True, is_paired=True,
+        frag_mean=150.0, frag_sd=12.0, block_size=32,
+    )
+
+    base_prefix = str(tmp_path / "rpa_base")
+    config = make_config(dataset, base_prefix)
+    config.alignments = rpa_path
+    run_pipeline(config)
+
+    prefix = str(tmp_path / "rpa_sharded")
+    config_sharded = make_config(dataset, prefix)
+    config_sharded.alignments = rpa_path
+    run_pipeline_sharded(config_sharded, 3)
+
+    with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+        assert a.read() == b.read()
