@@ -28,14 +28,25 @@ def run_batched_em(
     cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
     max_em_its: int = 10000,
     max_rel_em_conv: float = 0.001,
-    dtype=np.float64,
+    dtype=None,
     max_bucket_rows: int = 4096,
+    use_pallas: str = "auto",
 ) -> List[Tuple[np.ndarray, float]]:
     """Run EM over many clusters with shape bucketing.
 
     cluster_inputs: per cluster (noise-normalised probs (R, P+1), counts
     (R,)).  Returns per cluster (path read counts, noise count) with the
-    reference's sub-threshold folding."""
+    reference's sub-threshold folding.  On TPU backends the
+    VMEM-resident Pallas kernel handles buckets that fit on-chip;
+    elsewhere (and for oversized buckets) the XLA while-loop kernel
+    runs.  TPU uses float32 (no native f64), CPU float64."""
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if dtype is None:
+        dtype = np.float32 if on_tpu else np.float64
+    pallas_enabled = use_pallas == "on" or (use_pallas == "auto" and on_tpu)
+
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, counts) in enumerate(cluster_inputs):
         R, C = probs.shape
@@ -60,9 +71,21 @@ def run_batched_em(
                 counts_pad[b, :R] = counts
                 col_masks[b, :C] = 1.0
 
-            fracs, _ = em_abundances_batched(
-                probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
-            )
+            # Keep the whole block + temporaries comfortably inside VMEM.
+            fits_vmem = R_pad * C_pad * np.dtype(dtype).itemsize * 4 <= 8 * 2**20
+            if pallas_enabled and fits_vmem:
+                from ..ops.em_pallas import em_pallas_batched
+
+                fracs = np.asarray(
+                    em_pallas_batched(
+                        probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
+                    ),
+                    dtype=np.float64,
+                )
+            else:
+                fracs, _ = em_abundances_batched(
+                    probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
+                )
 
             for b, idx in enumerate(chunk):
                 probs, counts = cluster_inputs[idx]
