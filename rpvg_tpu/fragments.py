@@ -143,16 +143,10 @@ class FragmentLengthDist:
     def _fill_log_prob_buffer(self, size: int) -> None:
         values = np.arange(size + 1, dtype=np.float64)
         if double_compare(self.shape, 0.0):
-            z = (values - self.loc) / self.scale
-            self.log_prob_buffer = (
-                math.log(0.3989422804014327) - math.log(self.scale) - 0.5 * z * z
-            )
+            self.log_prob_buffer = mu.log_normal_pdf_vec(values, self.loc, self.scale)
         else:
-            self.log_prob_buffer = np.array(
-                [
-                    mu.log_skew_normal_pdf(float(v), self.loc, self.scale, self.shape)
-                    for v in values
-                ]
+            self.log_prob_buffer = mu.log_skew_normal_pdf_vec(
+                values, self.loc, self.scale, self.shape
             )
 
 
@@ -196,12 +190,7 @@ def _fit_skew_normal_mle(counts: np.ndarray, lengths: np.ndarray) -> tuple:
     nz_counts = counts[nz]
 
     def log_likelihood(m: float, s: float, a: float) -> float:
-        return float(
-            sum(
-                c * mu.log_skew_normal_pdf(x, m, s, a)
-                for x, c in zip(nz_lengths, nz_counts)
-            )
-        )
+        return float((nz_counts * mu.log_skew_normal_pdf_vec(nz_lengths, m, s, a)).sum())
 
     tol = 1e-4
     prev_mu = mu_est + 2.0 * tol

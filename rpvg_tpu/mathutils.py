@@ -149,6 +149,47 @@ def golden_section_search(
     return (x_lo + x_max) / 2.0
 
 
+def std_normal_cdf_vec(z: np.ndarray) -> np.ndarray:
+    """Vectorised standard normal CDF with the same branch structure as
+    the scalar version (erf near zero, erfc in the tails)."""
+    x = z * _SQRT1_2
+    a = np.abs(x)
+    near = a < _SQRT1_2
+    y = np.where(near, 0.5 + 0.5 * _sp.erf(x), 0.5 * _sp.erfc(a))
+    flip = (~near) & (x > 0)
+    return np.where(flip, 1.0 - y, y)
+
+
+def log_std_normal_cdf_vec(z: np.ndarray) -> np.ndarray:
+    """Vectorised log(Phi(z)); the deep left tail (z <= -20) falls back
+    to the scalar asymptotic series (rare)."""
+    z = np.asarray(z, dtype=np.float64)
+    out = np.empty_like(z)
+    hi = z > 6.0
+    low = z <= -20.0
+    mid = ~(hi | low)
+    if hi.any():
+        out[hi] = -std_normal_cdf_vec(-z[hi])
+    if mid.any():
+        with np.errstate(divide="ignore"):
+            out[mid] = np.log(std_normal_cdf_vec(z[mid]))
+    if low.any():
+        out[low] = [log_std_normal_cdf(float(v)) for v in np.atleast_1d(z[low])]
+    return out
+
+
+def log_skew_normal_pdf_vec(
+    x: np.ndarray, loc: float, scale: float, shape: float
+) -> np.ndarray:
+    z = (np.asarray(x, dtype=np.float64) - loc) / scale
+    return _LOG_SKEW_CONST + log_std_normal_cdf_vec(shape * z) - math.log(scale) - 0.5 * z * z
+
+
+def log_normal_pdf_vec(x: np.ndarray, loc: float, scale: float) -> np.ndarray:
+    z = (np.asarray(x, dtype=np.float64) - loc) / scale
+    return math.log(_INV_SQRT_2PI) - math.log(scale) - 0.5 * z * z
+
+
 def num_permutations(values: Sequence[int]) -> int:
     """Number of distinct orderings credited to a multiset group in the
     posterior prior (reference src/utils.hpp:95-117: n! / (n - u + 1)!
