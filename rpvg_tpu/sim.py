@@ -270,6 +270,61 @@ def simulate_read_pairs(
     return records, true_counts
 
 
+def simulate_single_reads(
+    panel: SimulatedPanel,
+    num_reads: int,
+    read_length: int = 75,
+    abundances: Optional[np.ndarray] = None,
+    mapq: int = 60,
+    seed: int = 1,
+    as_multipath: bool = True,
+) -> Tuple[List[dict], np.ndarray]:
+    """Simulate perfect single-end reads (one record per read)."""
+    rng = np.random.default_rng(seed)
+    num_paths = len(panel.path_names)
+    if abundances is None:
+        abundances = rng.dirichlet(np.ones(num_paths) * 1.5)
+    abundances = np.asarray(abundances, dtype=np.float64)
+    abundances = abundances / abundances.sum()
+
+    path_lengths = np.array(
+        [sum(panel.node_lengths[nid] for nid, _ in nodes) for nodes in panel.path_nodes]
+    )
+
+    records: List[dict] = []
+    true_counts = np.zeros(num_paths, dtype=np.int64)
+    for _ in range(num_reads):
+        while True:
+            path_idx = int(rng.choice(num_paths, p=abundances))
+            if path_lengths[path_idx] >= read_length:
+                break
+        start = int(rng.integers(0, path_lengths[path_idx] - read_length + 1))
+        true_counts[path_idx] += 1
+        mappings = _mappings_for_interval(
+            panel.path_nodes[path_idx], panel.node_lengths, start, read_length
+        )
+        score = read_length + 10
+        if as_multipath:
+            records.append(
+                {
+                    "sequence": "A" * read_length,
+                    "mapping_quality": mapq,
+                    "start": [0],
+                    "subpath": [{"path": {"mapping": mappings}, "score": score}],
+                }
+            )
+        else:
+            records.append(
+                {
+                    "sequence": "A" * read_length,
+                    "mapping_quality": mapq,
+                    "path": {"mapping": mappings},
+                    "score": score,
+                }
+            )
+    return records, true_counts
+
+
 def write_alignment_json(records: Sequence[dict], path: str) -> None:
     import gzip
 
