@@ -57,6 +57,13 @@ def _em_solve(probs, counts, total_count, max_em_its, max_rel_em_conv):
     return abundances, iterations
 
 
+def _ceil_pow2(n: int, floor: int = 8) -> int:
+    size = floor
+    while size < n:
+        size *= 2
+    return size
+
+
 def em_abundances(
     probs: np.ndarray,
     counts: np.ndarray,
@@ -68,13 +75,28 @@ def em_abundances(
 
     Returns (per-path read counts with sub-threshold mass zeroed,
     noise read count).  Mirrors the tail handling of the reference
-    (:100-113): abundances below 1e-8 fold into the noise count."""
-    probs = jnp.asarray(probs)
-    counts = jnp.asarray(counts, dtype=probs.dtype)
-    abundances, _ = _em_solve(
-        probs, counts, probs.dtype.type(total_count), int(max_em_its), probs.dtype.type(max_rel_em_conv)
+    (:100-113): abundances below 1e-8 fold into the noise count.
+
+    The matrix is zero-padded to power-of-two shapes with a column mask
+    so the compiled kernel is shared across clusters (a per-shape
+    compile per cluster would dominate the run)."""
+    R, C = probs.shape
+    R_pad, C_pad = _ceil_pow2(R), _ceil_pow2(C)
+    probs_pad = np.zeros((1, R_pad, C_pad), dtype=np.float64)
+    probs_pad[0, :R, :C] = probs
+    counts_pad = np.zeros((1, R_pad), dtype=np.float64)
+    counts_pad[0, :R] = counts
+    col_mask = np.zeros((1, C_pad), dtype=np.float64)
+    col_mask[0, :C] = 1.0
+
+    fracs, _ = _em_solve_batched(
+        jnp.asarray(probs_pad),
+        jnp.asarray(counts_pad),
+        jnp.asarray(col_mask),
+        int(max_em_its),
+        np.float64(max_rel_em_conv),
     )
-    abundances = np.asarray(abundances, dtype=np.float64)
+    abundances = np.asarray(fracs, dtype=np.float64)[0, :C]
 
     path_counts = abundances[:-1] * total_count
     low = abundances[:-1] < MIN_EM_ABUNDANCE

@@ -98,16 +98,38 @@ def _diploid_pair_scores(probs, noise, counts, log_freqs):
     return pair_ll
 
 
-def _diploid_log_likelihoods(probs, noise, counts, log_freqs, block: int = 512):
+def _ceil_pow2(n: int, floor: int = 8) -> int:
+    size = floor
+    while size < n:
+        size *= 2
+    return size
+
+
+def _diploid_log_likelihoods(probs, noise, counts, log_freqs):
     """All P*(P+1)/2 diplotype log-likelihoods via the dense device
-    kernel, blocked over columns to bound memory."""
-    P = probs.shape[1]
+    kernel.  Inputs are zero-padded to power-of-two shapes (padded rows
+    get unit noise and zero counts; padded paths -inf prior) so the
+    compiled kernel is shared across clusters."""
+    R, P = probs.shape
+    R_pad, P_pad = _ceil_pow2(R), _ceil_pow2(P)
+    probs_pad = np.zeros((R_pad, P_pad), dtype=np.float64)
+    probs_pad[:R, :P] = probs
+    noise_pad = np.ones(R_pad, dtype=np.float64)
+    noise_pad[:R] = noise
+    counts_pad = np.zeros(R_pad, dtype=np.float64)
+    counts_pad[:R] = counts
+    log_freqs_pad = np.full(P_pad, -np.inf)
+    log_freqs_pad[:P] = log_freqs
+
     pair_ll = np.asarray(
         _diploid_pair_scores(
-            jnp.asarray(probs), jnp.asarray(noise), jnp.asarray(counts), jnp.asarray(log_freqs)
+            jnp.asarray(probs_pad),
+            jnp.asarray(noise_pad),
+            jnp.asarray(counts_pad),
+            jnp.asarray(log_freqs_pad),
         ),
         dtype=np.float64,
-    )
+    )[:P, :P]
     iu = np.triu_indices(P)
     log_liks = pair_ll[iu].copy()
     # Heterozygous pairs carry the 2-permutation prior factor.
@@ -146,12 +168,13 @@ def gibbs_iteration_counts(group_size: int, num_paths: int) -> Tuple[int, int, i
     return chains, burn, its
 
 
-@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its"))
-def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, num_its):
+@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its", "num_real_paths"))
+def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, num_its,
+                  num_real_paths=None):
     """Run all chains in parallel; returns (chains, its, group_size)
     sampled path indices per recorded iteration (burn-in included —
     caller slices)."""
-    P = probs.shape[1]
+    P = num_real_paths if num_real_paths is not None else probs.shape[1]
 
     def conditional_logits(occupied_sum, slot_col):
         # occupied_sum: (R,) sum of other slots' cols / g; candidate col
@@ -195,19 +218,32 @@ def path_group_posteriors_gibbs(
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Collapsed Gibbs over group slots; posterior = sample frequency of
     each sorted group multiset."""
-    P = probs.shape[1]
+    R, P = probs.shape
     log_freqs = calc_path_log_frequencies(path_counts)
     num_chains, num_burn, num_its = gibbs_iteration_counts(group_size, P)
 
+    # Pad to shared shapes (padded rows: unit noise, zero counts; padded
+    # paths: -inf prior so they are never sampled).
+    R_pad, P_pad = _ceil_pow2(R), _ceil_pow2(P)
+    probs_pad = np.zeros((R_pad, P_pad), dtype=np.float64)
+    probs_pad[:R, :P] = probs
+    noise_pad = np.ones(R_pad, dtype=np.float64)
+    noise_pad[:R] = noise
+    counts_pad = np.zeros(R_pad, dtype=np.float64)
+    counts_pad[:R] = counts
+    log_freqs_pad = np.full(P_pad, -np.inf)
+    log_freqs_pad[:P] = log_freqs
+
     samples = _gibbs_chains(
         rng_key,
-        jnp.asarray(probs),
-        jnp.asarray(noise),
-        jnp.asarray(counts),
-        jnp.asarray(log_freqs),
+        jnp.asarray(probs_pad),
+        jnp.asarray(noise_pad),
+        jnp.asarray(counts_pad),
+        jnp.asarray(log_freqs_pad),
         group_size,
         num_chains,
         num_burn + num_its,
+        P,
     )
     samples = np.asarray(samples)[:, num_burn:, :]  # (chains, its, g)
     samples = np.sort(samples, axis=2).reshape(-1, group_size)
