@@ -432,16 +432,35 @@ def collect_fragments(
         assert hasattr(finder, "project_payload"), (
             "binary .rpa input requires the native projection engine"
         )
+        import queue
+        import threading
+
         from .io.rpa import RpaReader
 
         fragment_index = FragmentIndex(pre_frag_length_dist, config.is_single_end())
-        reader = RpaReader(config.alignments)
-        for block_idx, payload in enumerate(reader.blocks()):
-            if block_idx % num_shards != shard:
-                continue
+
+        # Producer-consumer overlap (the reference's reader/indexer thread
+        # split, src/main.cpp:654-693): a reader thread prefetches blocks
+        # while the native engine (which releases the GIL) projects.
+        block_queue: "queue.Queue" = queue.Queue(maxsize=4)
+
+        def read_blocks():
+            reader = RpaReader(config.alignments)
+            for block_idx, payload in enumerate(reader.blocks()):
+                if block_idx % num_shards == shard:
+                    block_queue.put(payload)
+            reader.close()
+            block_queue.put(None)
+
+        reader_thread = threading.Thread(target=read_blocks, daemon=True)
+        reader_thread.start()
+        while True:
+            payload = block_queue.get()
+            if payload is None:
+                break
             for align_paths in finder.project_payload(payload):
                 fragment_index.add(align_paths)
-        reader.close()
+        reader_thread.join()
         return fragment_index
 
     fragments = iter_fragments(config)
