@@ -56,12 +56,13 @@ class PathClusters:
         self.num_paths = paths_index.number_of_paths()
         self._uf = _UnionFind(self.num_paths)
 
+        locate = getattr(paths_index, "locate_cached", paths_index.locate)
         for align_paths in align_path_lists:
             anchor = None
             for ap in align_paths:
                 if ap.search.empty():
                     continue
-                ids = paths_index.locate(ap.search)
+                ids = locate(ap.search)
                 if anchor is None:
                     anchor = int(ids[0])
                 for pid in ids:

@@ -1,0 +1,127 @@
+"""Whole-population batched execution of the inference models.
+
+The per-cluster estimators are the specification; these drivers execute
+the same computation across ALL clusters at once so device kernels are
+dispatched O(buckets) times instead of O(clusters) — the TPU analogue of
+the reference's `omp parallel for` over size-sorted clusters
+(src/main.cpp:829).
+
+Covered here:
+* `haplotypes` (diploid, non-Gibbs): one batched dense pair-scoring
+  sweep over all clusters.
+* `haplotype-transcripts` (collapsed, diploid, non-Gibbs): batched
+  grouped pair scoring -> host subset selection -> one batched EM run
+  over every (cluster, subset) task.
+
+Other configurations (Gibbs posterior sampling, ploidy != 2,
+independent-group inference, read-count sampling) dispatch per cluster
+through the estimator classes.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD
+from .batching import run_batched_em
+from .estimators import NestedPathAbundanceEstimator, PathGroupPosteriorEstimator
+from .matrices import construct_probability_matrix
+from .posteriors import diploid_posteriors_batched
+
+
+def supports_batched_haplotypes(estimator) -> bool:
+    return (
+        isinstance(estimator, PathGroupPosteriorEstimator)
+        and estimator.ploidy == 2
+        and not estimator.use_hap_gibbs
+    )
+
+
+def batched_haplotypes(estimator, cluster_data) -> None:
+    """cluster_data: list of (PathClusterEstimates with .paths set,
+    cluster_probs).  Mutates estimates in place."""
+    inputs = []
+    meta = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(0, 0)
+        if not cluster_probs:
+            continue
+        probs, noise, counts = construct_probability_matrix(cluster_probs, len(est.paths))
+        inputs.append((probs, noise, counts, [p.source_count for p in est.paths]))
+        meta.append(ci)
+
+    results = diploid_posteriors_batched(inputs, HAPLOTYPES_MIN_REL_LIKELIHOOD)
+    for ci, (groups, posteriors) in zip(meta, results):
+        est = cluster_data[ci][0]
+        est.path_group_sets = groups
+        est.posteriors = list(map(float, posteriors))
+
+
+def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
+    return (
+        isinstance(estimator, NestedPathAbundanceEstimator)
+        and estimator.group_size == 2
+        and estimator.infer_collapsed
+        and not estimator.use_group_post_gibbs
+        and num_gibbs_samples == 0
+    )
+
+
+def batched_haplotype_transcripts(estimator, cluster_data) -> None:
+    """Batched collapsed-group nested inference; mutates the estimates
+    in cluster_data in place."""
+    # Phase A (host): grouped probability matrices per cluster.
+    inputs = []
+    meta: List[Tuple[int, List[List[int]]]] = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(0, 0)
+        if not cluster_probs:
+            continue
+        source_groups, source_counts = estimator.find_path_source_groups(est.paths)
+        g_probs, g_noise, g_counts = estimator._group_posterior_matrix(
+            cluster_probs, source_groups, len(est.paths)
+        )
+        inputs.append((g_probs, g_noise, g_counts, source_counts))
+        meta.append((ci, source_groups))
+
+    # Phase B (device): diploid group posteriors for every cluster.
+    posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+
+    # Phase C (host): subset selection + EM task preparation.
+    all_tasks: List[Tuple[int, dict]] = []
+    cluster_tasks: Dict[int, List[dict]] = {}
+    for (ci, source_groups), (groups, posteriors) in zip(meta, posterior_results):
+        est, cluster_probs = cluster_data[ci]
+
+        subset_probs: Dict[tuple, float] = {}
+        total_posterior = 0.0
+        for group_set, posterior in zip(groups, posteriors):
+            if posterior >= estimator.min_hap_prob:
+                path_subset: List[int] = []
+                for g in group_set:
+                    path_subset.extend(source_groups[g])
+                key = tuple(sorted(path_subset))
+                subset_probs[key] = subset_probs.get(key, 0.0) + float(posterior)
+                total_posterior += float(posterior)
+        subset_probs = {k: v / total_posterior for k, v in subset_probs.items()}
+
+        est.total_count = float(sum(rpp.read_count for rpp in cluster_probs))
+        tasks = estimator.prepare_subset_tasks(est, cluster_probs, subset_probs)
+        cluster_tasks[ci] = tasks
+        all_tasks.extend((ci, task) for task in tasks)
+
+    # Phase D (device): one batched EM run over every subset task.
+    em_inputs = [(task["matrix"], task["counts"]) for _, task in all_tasks]
+    em_results = run_batched_em(
+        em_inputs, estimator.max_em_its, estimator.max_rel_em_conv
+    )
+
+    # Phase E (host): posterior-weighted combination per cluster.
+    per_cluster: Dict[int, List] = {}
+    for (ci, _), result in zip(all_tasks, em_results):
+        per_cluster.setdefault(ci, []).append(result)
+    for ci, tasks in cluster_tasks.items():
+        est = cluster_data[ci][0]
+        estimator.combine_subset_tasks(est, tasks, per_cluster.get(ci, []))

@@ -89,11 +89,11 @@ def em_abundances(
     col_mask = np.zeros((1, C_pad), dtype=np.float64)
     col_mask[0, :C] = 1.0
 
-    fracs, _ = _em_solve_batched(
+    fracs, _, _ = _em_solve_batched(
         jnp.asarray(probs_pad),
         jnp.asarray(counts_pad),
         jnp.asarray(col_mask),
-        int(max_em_its),
+        jnp.int32(min(max_em_its, 2**31 - 1)),
         np.float64(max_rel_em_conv),
     )
     abundances = np.asarray(fracs, dtype=np.float64)[0, :C]
@@ -115,7 +115,7 @@ def _masked_em_step(probs, counts, abundances, total_count, col_mask):
     return (counts @ posteriors) / jnp.maximum(total_count, 1.0)
 
 
-@partial(jax.jit, static_argnames=("max_em_its",))
+@jax.jit
 def _em_solve_batched(probs, counts, col_masks, max_em_its, max_rel_em_conv):
     """probs: (B, R, C); counts: (B, R); col_masks: (B, C).
 
@@ -147,12 +147,12 @@ def _em_solve_batched(probs, counts, col_masks, max_em_its, max_rel_em_conv):
         )
         return new, abundances, conv_its, it + 1
 
-    abundances, _, _, iterations = jax.lax.while_loop(
+    abundances, _, conv_its, iterations = jax.lax.while_loop(
         cond,
         body,
         (init, init, jnp.zeros(B, dtype=jnp.int32), jnp.int32(0)),
     )
-    return abundances, iterations
+    return abundances, conv_its, iterations
 
 
 def em_abundances_batched(
@@ -163,13 +163,46 @@ def em_abundances_batched(
     max_rel_em_conv: float = 0.001,
 ):
     """Batched EM over padded cluster stacks; returns (B, C) abundance
-    fractions (caller applies totals/threshold folding)."""
+    fractions (caller applies totals/threshold folding).
+
+    Stragglers: in a synchronous batch every cluster pays the slowest
+    cluster's iteration count.  Caps escalate in stages — clusters that
+    converged at a lower cap keep their (frozen, identical) result,
+    unconverged ones re-run alone at the next cap."""
     probs = jnp.asarray(probs)
-    abundances, its = _em_solve_batched(
-        probs,
-        jnp.asarray(counts, dtype=probs.dtype),
-        jnp.asarray(col_masks, dtype=probs.dtype),
-        int(max_em_its),
-        probs.dtype.type(max_rel_em_conv),
+    counts = jnp.asarray(counts, dtype=probs.dtype)
+    col_masks = jnp.asarray(col_masks, dtype=probs.dtype)
+    conv = probs.dtype.type(max_rel_em_conv)
+
+    stages = [cap for cap in (128, 1024) if cap < max_em_its] + [int(max_em_its)]
+    abundances, conv_its, its = _em_solve_batched(
+        probs, counts, col_masks, jnp.int32(stages[0]), conv
     )
-    return np.asarray(abundances, dtype=np.float64), int(its)
+    total_its = int(its)
+    for cap in stages[1:]:
+        unconverged = np.asarray(conv_its < MIN_EM_CONV_ITS)
+        if not unconverged.any():
+            break
+        idx = np.flatnonzero(unconverged)
+        # Pad the straggler batch to a power of two (dummy clusters with
+        # empty masks converge immediately) so stage shapes stay cached.
+        B_sub = 1
+        while B_sub < idx.size:
+            B_sub *= 2
+        pad_idx = np.concatenate([idx, np.zeros(B_sub - idx.size, dtype=idx.dtype)])
+        pad_mask_scale = jnp.asarray(
+            np.concatenate(
+                [np.ones(idx.size), np.zeros(B_sub - idx.size)]
+            ).astype(np.asarray(col_masks).dtype)
+        )
+        sub_abund, sub_conv, sub_its = _em_solve_batched(
+            probs[pad_idx],
+            counts[pad_idx],
+            col_masks[pad_idx] * pad_mask_scale[:, None],
+            jnp.int32(cap),
+            conv,
+        )
+        abundances = abundances.at[idx].set(sub_abund[: idx.size])
+        conv_its = conv_its.at[idx].set(sub_conv[: idx.size])
+        total_its += int(sub_its)
+    return np.asarray(abundances, dtype=np.float64), total_its

@@ -391,22 +391,13 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
         noise = full[:, -1].copy()
         return full[:, :-1], noise, counts
 
-    def _infer_path_subset_abundance(self, estimates, cluster_probs, rng, subset_probs):
-        """EM per sampled path subset, posterior-weighted combination of
-        abundances and Gibbs-sample allocation (reference
-        inferPathSubsetAbundance :608-750)."""
-        estimates.total_count = float(sum(rpp.read_count for rpp in cluster_probs))
-
-        group_estimates: Dict[tuple, List] = {}
-        sum_hap_prob = 0.0
-        remaining_gibbs = self.num_gibbs_samples
-        remaining_prob = 1.0
-
+    def prepare_subset_tasks(self, estimates, cluster_probs, subset_probs):
+        """Build the EM inputs for every selected path subset.  Returns
+        a list of task dicts consumed by :meth:`combine_subset_task`."""
+        tasks = []
         for subset, subset_prob in subset_probs.items():
             if subset_prob < self.min_hap_prob:
                 continue
-            sum_hap_prob += subset_prob
-
             # Collapse repeated path ids (a homozygous diplotype lists a
             # path twice); multiplicity splits its abundance later.
             collapsed: List[int] = []
@@ -423,11 +414,77 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
             )
             sub_full = add_noise_and_normalize(sub_probs, sub_noise)
             sub_full, sub_counts = read_collapse(sub_full, sub_counts, self.prob_precision)
+            tasks.append(
+                {
+                    "subset": subset,
+                    "subset_prob": subset_prob,
+                    "collapsed": collapsed,
+                    "multiplicity": multiplicity,
+                    "matrix": sub_full,
+                    "counts": sub_counts,
+                }
+            )
+        return tasks
+
+    def combine_subset_tasks(self, estimates, tasks, em_results):
+        """Posterior-weighted combination of per-subset EM results
+        (reference inferPathSubsetAbundance :608-750, combine tail)."""
+        group_estimates: Dict[tuple, List] = {}
+        sum_hap_prob = 0.0
+
+        for task, (abundances, noise_count) in zip(tasks, em_results):
+            subset_prob = task["subset_prob"]
+            sum_hap_prob += subset_prob
+            estimates.noise_count += noise_count * subset_prob
+
+            col_of = {pid: j for j, pid in enumerate(task["collapsed"])}
+            by_group: Dict[int, List[int]] = {}
+            for pid in task["subset"]:
+                by_group.setdefault(estimates.paths[pid].group_id, []).append(pid)
+
+            for group_paths in by_group.values():
+                key = tuple(group_paths)
+                entry = group_estimates.setdefault(key, [0.0, [0.0] * len(group_paths)])
+                entry[0] += subset_prob
+                for i, pid in enumerate(group_paths):
+                    entry[1][i] += (
+                        float(abundances[col_of[pid]])
+                        * subset_prob
+                        / task["multiplicity"][pid]
+                    )
+
+        estimates.path_group_sets = []
+        estimates.posteriors = []
+        estimates.abundances = []
+        for key, (posterior, path_abundances) in group_estimates.items():
+            estimates.path_group_sets.append(list(key))
+            estimates.posteriors.append(posterior)
+            estimates.abundances.extend(path_abundances)
+
+        estimates.noise_count += (1.0 - sum_hap_prob) * estimates.total_count
+
+    def _infer_path_subset_abundance(self, estimates, cluster_probs, rng, subset_probs):
+        """EM per sampled path subset, posterior-weighted combination of
+        abundances and Gibbs-sample allocation (reference
+        inferPathSubsetAbundance :608-750)."""
+        estimates.total_count = float(sum(rpp.read_count for rpp in cluster_probs))
+
+        tasks = self.prepare_subset_tasks(estimates, cluster_probs, subset_probs)
+        em_results = []
+        remaining_gibbs = self.num_gibbs_samples
+        remaining_prob = 1.0
+
+        for task in tasks:
+            sub_full = task["matrix"]
+            sub_counts = task["counts"]
+            subset_prob = task["subset_prob"]
+            collapsed = task["collapsed"]
 
             total = float(sub_counts.sum())
             abundances, noise_count = em_abundances(
                 sub_full, sub_counts, total, self.max_em_its, self.max_rel_em_conv
             )
+            em_results.append((abundances, noise_count))
 
             if remaining_gibbs > 0:
                 n_here = rng.np_rng.binomial(
@@ -451,31 +508,7 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                     samples.abundance_samples = list(map(float, path_samples.reshape(-1)))
                     estimates.gibbs_read_count_samples.append(samples)
 
-            estimates.noise_count += noise_count * subset_prob
-
-            col_of = {pid: j for j, pid in enumerate(collapsed)}
-            by_group: Dict[int, List[int]] = {}
-            for pid in subset:
-                by_group.setdefault(estimates.paths[pid].group_id, []).append(pid)
-
-            for group_paths in by_group.values():
-                key = tuple(group_paths)
-                entry = group_estimates.setdefault(key, [0.0, [0.0] * len(group_paths)])
-                entry[0] += subset_prob
-                for i, pid in enumerate(group_paths):
-                    entry[1][i] += (
-                        float(abundances[col_of[pid]]) * subset_prob / multiplicity[pid]
-                    )
-
-        estimates.path_group_sets = []
-        estimates.posteriors = []
-        estimates.abundances = []
-        for key, (posterior, path_abundances) in group_estimates.items():
-            estimates.path_group_sets.append(list(key))
-            estimates.posteriors.append(posterior)
-            estimates.abundances.extend(path_abundances)
-
-        estimates.noise_count += (1.0 - sum_hap_prob) * estimates.total_count
+        self.combine_subset_tasks(estimates, tasks, em_results)
 
 
 def make_estimator(

@@ -80,11 +80,12 @@ def construct_grouped_probability_matrix(
 def add_noise_and_normalize(probs: np.ndarray, noise: np.ndarray) -> np.ndarray:
     """Row-normalize, scale by (1 - noise) and append the noise column
     (reference :156-166)."""
-    with np.errstate(invalid="ignore", divide="ignore"):
-        normalized = probs / probs.sum(axis=1, keepdims=True)
-    normalized = normalized * (1.0 - noise)[:, None]
-    normalized = np.nan_to_num(normalized, nan=0.0, posinf=0.0, neginf=0.0)
-    return np.concatenate([normalized, noise[:, None]], axis=1)
+    row_sums = probs.sum(axis=1, keepdims=True)
+    scale = np.where(row_sums > 0, (1.0 - noise)[:, None] / np.where(row_sums > 0, row_sums, 1.0), 0.0)
+    out = np.empty((probs.shape[0], probs.shape[1] + 1), dtype=np.float64)
+    np.multiply(probs, scale, out=out[:, :-1])
+    out[:, -1] = noise
+    return out
 
 
 def read_collapse(

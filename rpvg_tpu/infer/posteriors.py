@@ -138,6 +138,80 @@ def _diploid_log_likelihoods(probs, noise, counts, log_freqs):
     return groups, log_liks
 
 
+@jax.jit
+def _diploid_pair_scores_batched(probs, noise, counts, log_freqs):
+    """(B, P, P) pair log-likelihoods for a padded cluster batch."""
+    half = probs * 0.5
+    group = noise[:, :, None, None] + half[:, :, :, None] + half[:, :, None, :]
+    logs = jnp.where(group > 0, jnp.log(group), -jnp.inf)
+    pair_ll = jnp.einsum("br,brij->bij", counts, logs)
+    return pair_ll + log_freqs[:, :, None] + log_freqs[:, None, :]
+
+
+def diploid_posteriors_batched(
+    cluster_inputs,
+    min_rel_likelihood: float,
+):
+    """Diploid posteriors for many clusters at once.
+
+    cluster_inputs: per cluster (probs (R,P), noise (R,), counts (R,),
+    path_counts).  Buckets clusters into padded power-of-two shapes so a
+    handful of compiled kernels cover the whole population; applies the
+    reference's relative-likelihood cutoff per cluster.
+
+    Returns per cluster (group_sets, posteriors)."""
+    from typing import Dict, List, Tuple
+
+    buckets: Dict[Tuple[int, int], List[int]] = {}
+    for idx, (probs, _, _, _) in enumerate(cluster_inputs):
+        R, P = probs.shape
+        buckets.setdefault((_ceil_pow2(R), _ceil_pow2(P)), []).append(idx)
+
+    results = [None] * len(cluster_inputs)
+    for (R_pad, P_pad), indices in buckets.items():
+        max_batch = max(1, (1 << 24) // max(1, R_pad * P_pad * P_pad))
+        for chunk_start in range(0, len(indices), max_batch):
+            chunk = indices[chunk_start : chunk_start + max_batch]
+            B = len(chunk)
+            probs_pad = np.zeros((B, R_pad, P_pad))
+            noise_pad = np.ones((B, R_pad))
+            counts_pad = np.zeros((B, R_pad))
+            log_freqs_pad = np.full((B, P_pad), -np.inf)
+            for b, idx in enumerate(chunk):
+                probs, noise, counts, path_counts = cluster_inputs[idx]
+                R, P = probs.shape
+                probs_pad[b, :R, :P] = probs
+                noise_pad[b, :R] = noise
+                counts_pad[b, :R] = counts
+                log_freqs_pad[b, :P] = calc_path_log_frequencies(path_counts)
+
+            pair_ll = np.asarray(
+                _diploid_pair_scores_batched(
+                    jnp.asarray(probs_pad),
+                    jnp.asarray(noise_pad),
+                    jnp.asarray(counts_pad),
+                    jnp.asarray(log_freqs_pad),
+                ),
+                dtype=np.float64,
+            )
+
+            for b, idx in enumerate(chunk):
+                probs = cluster_inputs[idx][0]
+                P = probs.shape[1]
+                iu = np.triu_indices(P)
+                log_liks = pair_ll[b, :P, :P][iu].copy()
+                log_liks[iu[0] != iu[1]] += math.log(2.0)
+                max_ll = log_liks.max()
+                keep = log_liks - max_ll >= math.log(min_rel_likelihood)
+                groups = [
+                    [int(i), int(j)]
+                    for i, j, k in zip(iu[0], iu[1], keep)
+                    if k
+                ]
+                results[idx] = (groups, _normalize_log_posteriors(log_liks[keep]))
+    return results
+
+
 def path_group_posteriors_diploid(
     probs: np.ndarray,
     noise: np.ndarray,

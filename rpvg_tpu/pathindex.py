@@ -153,6 +153,7 @@ class PathIndex:
             self._edges[node] = np.unique(self.concat[positions + 1])
 
         self._path_length_cache: Dict[int, int] = {}
+        self._locate_cache: Dict[tuple, np.ndarray] = {}
 
     # ----------------------------------------------------------- builders
     @classmethod
@@ -228,6 +229,17 @@ class PathIndex:
         if self.is_bidirectional:
             seq_ids = seq_ids // 2
         return seq_ids
+
+    def locate_cached(self, state: SearchState) -> np.ndarray:
+        """Memoised locate: repeated fragments share search states, so
+        the probability pass hits the same states many times (the job
+        the reference's r-index accelerates)."""
+        key = state.key()
+        ids = self._locate_cache.get(key)
+        if ids is None:
+            ids = self.locate(state)
+            self._locate_cache[key] = ids
+        return ids
 
     def path_name(self, path_id: int) -> str:
         if self.names is None or path_id >= len(self.names):

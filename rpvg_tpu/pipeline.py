@@ -220,7 +220,7 @@ def partition_fragments(
     ]
     for entry in fragment_lists:
         align_paths, _ = entry
-        anchor_path_id = int(paths_index.locate(align_paths[0].search)[0])
+        anchor_path_id = int(paths_index.locate_cached(align_paths[0].search)[0])
         per_cluster[clusters.path_to_cluster[anchor_path_id]].append(entry)
     return per_cluster
 
@@ -270,7 +270,7 @@ def build_cluster_probs(
     cluster_probs: List[ReadPathProbs] = []
     for align_paths, count in fragment_lists:
         align_paths_ids = [
-            paths_index.locate(ap.search).tolist() for ap in align_paths
+            paths_index.locate_cached(ap.search) for ap in align_paths
         ]
         rpp = ReadPathProbs(count, config.prob_precision)
         rpp.add_path_probs(
@@ -597,15 +597,35 @@ def run_inference_phases(
         )
         cluster_data.append((rank, paths, cluster_probs))
 
-    # Device half.  The transcripts model without read-count sampling is
-    # a pure batched-EM workload: bucket all cluster matrices into a few
-    # padded shapes and run them through the vmapped kernel in large
-    # batches.  Other models dispatch per cluster.
+    # Device half.  Common configurations execute batched across the
+    # whole cluster population (O(buckets) kernel dispatches); the rest
+    # dispatch per cluster through the estimator classes.
+    from .infer.batched_models import (
+        batched_haplotype_transcripts,
+        batched_haplotypes,
+        supports_batched_haplotypes,
+        supports_batched_nested,
+    )
+
     results: List[ClusterResult] = []
     use_batched = (
         config.inference_model == "transcripts" and config.num_gibbs_samples == 0
     )
-    if use_batched:
+    if supports_batched_nested(estimator, config.num_gibbs_samples) or (
+        supports_batched_haplotypes(estimator)
+    ):
+        batch_data = []
+        for rank, paths, cluster_probs in cluster_data:
+            estimates = PathClusterEstimates()
+            estimates.paths = paths
+            batch_data.append((estimates, cluster_probs))
+        if supports_batched_nested(estimator, config.num_gibbs_samples):
+            batched_haplotype_transcripts(estimator, batch_data)
+        else:
+            batched_haplotypes(estimator, batch_data)
+        for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
+            results.append(ClusterResult(rank + 1, estimates))
+    elif use_batched:
         from .infer.batching import run_batched_em
         from .infer.matrices import add_noise_and_normalize, construct_probability_matrix
 

@@ -54,11 +54,9 @@ class SimulatedPanel:
     def write_info_tsv(self, path: str) -> None:
         with open(path, "w") as handle:
             handle.write("Name\tLength\tTranscript\tHaplotypes\n")
-            for name in self.path_names:
+            for name, nodes in zip(self.path_names, self.path_nodes):
                 transcript, haplotypes = self.info[name]
-                length = sum(self.node_lengths[nid] for nid, _ in self.path_nodes[
-                    self.path_names.index(name)
-                ])
+                length = sum(self.node_lengths[nid] for nid, _ in nodes)
                 handle.write(f"{name}\t{length}\t{transcript}\t{','.join(haplotypes)}\n")
 
 
