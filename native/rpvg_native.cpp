@@ -19,6 +19,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <limits>
+#include <string>
 #include <thread>
 #include <unordered_map>
 #include <vector>
@@ -1419,5 +1420,212 @@ uint8_t* rpvg_project_batch(void* handle, const uint8_t* input, int64_t input_le
 }
 
 void rpvg_buffer_free(uint8_t* buf) { std::free(buf); }
+
+}  // extern "C"
+
+// --------------------------------------------------------- fragment index
+//
+// Native twin of the Python FragmentIndex (pipeline.py): per-fragment
+// results are condensed, histogrammed, normalised (2-element rewrite)
+// and deduplicated entirely in C++; Python parses only the distinct
+// lists once at the end of the pass.
+
+namespace {
+
+struct NativeFragmentIndex {
+  std::unordered_map<std::string, uint64_t> entries;
+  std::vector<int64_t> histogram;
+  int32_t pre_loc = 0;
+  int32_t is_single_end = 0;
+  uint64_t unaligned = 0;
+};
+
+constexpr int32_t FRAG_LENGTH_MIN_MAPQ = 30;
+
+void serialize_path_list(Writer* w, const std::vector<AlignmentPathOut>& paths) {
+  for (const auto& ap : paths) {
+    w->put<int64_t>(ap.search.node);
+    w->put<int32_t>(static_cast<int32_t>(ap.search.positions.size()));
+    for (int64_t pos : ap.search.positions) w->put<int64_t>(pos);
+    w->put<uint8_t>(ap.is_simple ? 1 : 0);
+    w->put<int32_t>(ap.mapq);
+    w->put<int32_t>(ap.score_sum);
+    w->put<int32_t>(ap.align_length);
+    w->put<int32_t>(ap.frag_length);
+  }
+}
+
+void index_fragment(NativeFragmentIndex* fidx,
+                    std::vector<AlignmentPathOut>&& paths) {
+  if (paths.empty()) {
+    ++fidx->unaligned;
+    return;
+  }
+
+  // Condense: drop consecutive entries with identical (search state,
+  // fragment length), keeping the first (pipeline.condense_alignment_paths).
+  if (paths.size() > 2) {
+    std::vector<AlignmentPathOut> condensed;
+    condensed.reserve(paths.size());
+    condensed.push_back(std::move(paths.front()));
+    for (size_t i = 1; i < paths.size(); ++i) {
+      const AlignmentPathOut& prev = condensed.back();
+      AlignmentPathOut& cur = paths[i];
+      if (prev.search.node == cur.search.node &&
+          prev.search.positions == cur.search.positions &&
+          prev.frag_length == cur.frag_length) {
+        continue;
+      }
+      condensed.push_back(std::move(cur));
+    }
+    paths = std::move(condensed);
+  }
+
+  AlignmentPathOut& first = paths.front();
+  if (!fidx->is_single_end && first.is_simple &&
+      first.mapq >= FRAG_LENGTH_MIN_MAPQ &&
+      first.frag_length < static_cast<int32_t>(fidx->histogram.size())) {
+    fidx->histogram[first.frag_length] += 1;
+  }
+
+  if (paths.size() == 2) {
+    first.score_sum = 1;
+    first.align_length = 1;
+    first.frag_length = fidx->pre_loc;
+  }
+
+  Writer key_writer;
+  key_writer.put<int32_t>(static_cast<int32_t>(paths.size()));
+  serialize_path_list(&key_writer, paths);
+  std::string key(reinterpret_cast<const char*>(key_writer.buf.data()),
+                  key_writer.buf.size());
+  fidx->entries[key] += 1;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* rpvg_indexer_create(int64_t hist_size, int32_t pre_loc, int32_t is_single_end) {
+  auto* idx = new NativeFragmentIndex();
+  idx->histogram.assign(hist_size, 0);
+  idx->pre_loc = pre_loc;
+  idx->is_single_end = is_single_end;
+  return idx;
+}
+
+void rpvg_indexer_free(void* handle) {
+  delete static_cast<NativeFragmentIndex*>(handle);
+}
+
+// Project a batch and fold the results straight into the native
+// fragment index (no per-fragment Python round trip).
+void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
+                            int64_t input_len, const int32_t* iparams,
+                            double min_best_score_filter,
+                            const int32_t* qual_match_scores,
+                            const int32_t* qual_bonuses) {
+  const Index& idx = *static_cast<Index*>(handle);
+  auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
+
+  Params params;
+  params.library_type = iparams[0];
+  params.score_not_qual = iparams[1];
+  params.max_pair_frag_length = iparams[2];
+  params.max_partial_offset = iparams[3];
+  params.est_missing_noise_prob = iparams[4];
+  params.max_score_diff = iparams[5];
+  params.use_allelic_mapq = iparams[6];
+  params.min_best_score_filter = min_best_score_filter;
+  int32_t n_threads = std::max(1, iparams[7]);
+
+  ScoreTables tables;
+  for (int i = 0; i < 256; ++i) {
+    tables.match_scores[i] = qual_match_scores[i];
+    tables.bonuses[i] = qual_bonuses[i];
+  }
+
+  Reader scan{input, input + input_len};
+  int32_t n_fragments = scan.get<int32_t>();
+  std::vector<const uint8_t*> offsets(n_fragments + 1);
+  for (int32_t f = 0; f < n_fragments; ++f) {
+    offsets[f] = scan.ptr;
+    uint8_t kind = scan.get<uint8_t>();
+    skip_alignment(&scan, kind & 1);
+    if (kind & 2) skip_alignment(&scan, kind & 1);
+  }
+  offsets[n_fragments] = scan.ptr;
+
+  n_threads = std::min<int32_t>(n_threads, std::max(1, n_fragments));
+  std::vector<NativeFragmentIndex> locals(n_threads);
+  for (auto& l : locals) {
+    l.histogram.assign(fidx->histogram.size(), 0);
+    l.pre_loc = fidx->pre_loc;
+    l.is_single_end = fidx->is_single_end;
+  }
+
+  auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local) {
+    Finder finder(idx, params, tables);
+    Reader reader{offsets[begin], input + input_len};
+    for (int32_t f = begin; f < end; ++f) {
+      uint8_t kind = reader.get<uint8_t>();
+      bool is_multipath = kind & 1;
+      bool is_paired = kind & 2;
+      AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
+      if (is_paired) {
+        AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
+        index_fragment(local, finder.find_paired(aln_1, aln_2));
+      } else {
+        index_fragment(local, finder.find_single(aln_1));
+      }
+    }
+  };
+
+  if (n_threads == 1) {
+    process_range(0, n_fragments, &locals[0]);
+  } else {
+    std::vector<std::thread> workers;
+    for (int32_t t = 0; t < n_threads; ++t) {
+      int32_t begin = static_cast<int32_t>(
+          static_cast<int64_t>(n_fragments) * t / n_threads);
+      int32_t end = static_cast<int32_t>(
+          static_cast<int64_t>(n_fragments) * (t + 1) / n_threads);
+      workers.emplace_back(process_range, begin, end, &locals[t]);
+    }
+    for (auto& w : workers) w.join();
+  }
+
+  for (auto& local : locals) {
+    for (auto& [key, count] : local.entries) fidx->entries[key] += count;
+    for (size_t i = 0; i < local.histogram.size(); ++i) {
+      fidx->histogram[i] += local.histogram[i];
+    }
+    fidx->unaligned += local.unaligned;
+  }
+}
+
+// Dump the deduplicated index: [u64 n_entries][per entry: u64 count +
+// path-list block][u64 unaligned][i64 histogram...]
+uint8_t* rpvg_indexer_dump(void* indexer, int64_t* out_len) {
+  auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
+  Writer w;
+  size_t payload = 0;
+  for (const auto& [key, count] : fidx->entries) payload += key.size() + 8;
+  w.buf.reserve(payload + 16 + fidx->histogram.size() * 8);
+  w.put<uint64_t>(fidx->entries.size());
+  for (const auto& [key, count] : fidx->entries) {
+    w.put<uint64_t>(count);
+    size_t offset = w.buf.size();
+    w.buf.resize(offset + key.size());
+    std::memcpy(w.buf.data() + offset, key.data(), key.size());
+  }
+  w.put<uint64_t>(fidx->unaligned);
+  for (int64_t h : fidx->histogram) w.put<int64_t>(h);
+
+  *out_len = static_cast<int64_t>(w.buf.size());
+  auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
+  std::memcpy(out, w.buf.data(), w.buf.size());
+  return out;
+}
 
 }  // extern "C"

@@ -70,6 +70,17 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64),
     ]
     lib.rpvg_buffer_free.argtypes = [ctypes.POINTER(ctypes.c_uint8)]
+    lib.rpvg_indexer_create.restype = ctypes.c_void_p
+    lib.rpvg_indexer_create.argtypes = [ctypes.c_int64, ctypes.c_int32, ctypes.c_int32]
+    lib.rpvg_indexer_free.argtypes = [ctypes.c_void_p]
+    lib.rpvg_project_and_index.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int32), ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32),
+    ]
+    lib.rpvg_indexer_dump.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rpvg_indexer_dump.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
     _lib = lib
     return lib
 
@@ -98,6 +109,33 @@ def serialize_fragments(fragments: Sequence) -> bytes:
         else:
             _serialize_alignment(s, first)
     return s.buffer()
+
+
+def _parse_path_list(view, offset):
+    """Parse one serialized alignment-path list; returns (paths, offset)."""
+    (n_paths,) = struct.unpack_from("<i", view, offset)
+    offset += 4
+    paths: List[AlignmentPath] = []
+    for _ in range(n_paths):
+        node, n_pos = struct.unpack_from("<qi", view, offset)
+        offset += 12
+        positions = np.frombuffer(view, dtype=np.int64, count=n_pos, offset=offset).copy()
+        offset += 8 * n_pos
+        is_simple, mapq, score_sum, align_length, frag_length = struct.unpack_from(
+            "<Biiii", view, offset
+        )
+        offset += 17
+        paths.append(
+            AlignmentPath(
+                SearchState(node, positions),
+                bool(is_simple),
+                mapq,
+                score_sum,
+                align_length,
+                frag_length,
+            )
+        )
+    return paths, offset
 
 
 class _Serializer:
@@ -254,30 +292,55 @@ class NativeFinder:
         offset += 4
         results: List[List[AlignmentPath]] = []
         for _ in range(n_fragments):
-            (n_paths,) = struct.unpack_from("<i", view, offset)
-            offset += 4
-            paths: List[AlignmentPath] = []
-            for _ in range(n_paths):
-                node, n_pos = struct.unpack_from("<qi", view, offset)
-                offset += 12
-                positions = np.frombuffer(view, dtype=np.int64, count=n_pos, offset=offset).copy()
-                offset += 8 * n_pos
-                is_simple, mapq, score_sum, align_length, frag_length = struct.unpack_from(
-                    "<Biiii", view, offset
-                )
-                offset += 17
-                paths.append(
-                    AlignmentPath(
-                        SearchState(node, positions),
-                        bool(is_simple),
-                        mapq,
-                        score_sum,
-                        align_length,
-                        frag_length,
-                    )
-                )
+            paths, offset = _parse_path_list(view, offset)
             results.append(paths)
         return results
+
+    # ------------------------------------------------ native fragment index
+    def create_indexer(self, hist_size: int, pre_loc: int, is_single_end: bool) -> int:
+        return self._lib.rpvg_indexer_create(int(hist_size), int(pre_loc), int(is_single_end))
+
+    def free_indexer(self, indexer) -> None:
+        self._lib.rpvg_indexer_free(indexer)
+
+    def project_and_index(self, payload: bytes, indexer) -> None:
+        """Project a serialized fragment block and fold the results into
+        the native dedup index (no per-fragment Python round trip)."""
+        in_buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+        self._lib.rpvg_project_and_index(
+            self._handle,
+            indexer,
+            in_buf,
+            len(payload),
+            self._iparams.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._min_best_score_filter,
+            self._match_scores.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            self._bonuses.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        )
+
+    def dump_indexer(self, indexer, hist_size: int):
+        """Returns (entries [(align_paths, count)], histogram, unaligned)."""
+        out_len = ctypes.c_int64()
+        out_ptr = self._lib.rpvg_indexer_dump(indexer, ctypes.byref(out_len))
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        view = memoryview(data)
+        offset = 0
+        (n_entries,) = struct.unpack_from("<Q", view, offset)
+        offset += 8
+        entries = []
+        for _ in range(n_entries):
+            (count,) = struct.unpack_from("<Q", view, offset)
+            offset += 8
+            paths, offset = _parse_path_list(view, offset)
+            entries.append((paths, int(count)))
+        (unaligned,) = struct.unpack_from("<Q", view, offset)
+        offset += 8
+        histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()
+        return entries, histogram, int(unaligned)
 
     # --------------------------------------------- single-fragment surface
     def find_alignment_paths(self, aln) -> List[AlignmentPath]:

@@ -171,6 +171,38 @@ class FragmentIndex:
 FRAGMENT_BATCH_SIZE = 10000
 
 
+class _NativeIndexerSession:
+    """Drives the C++ project-and-index path: fragments are condensed,
+    histogrammed and deduplicated natively; Python parses only the
+    distinct lists once at the end."""
+
+    def __init__(self, finder, pre_frag_length_dist: FragmentLengthDist, is_single_end: bool):
+        self.finder = finder
+        self.pre = pre_frag_length_dist
+        self.is_single_end = is_single_end
+        self.hist_size = pre_frag_length_dist.max_length + 1
+        self.indexer = finder.create_indexer(
+            self.hist_size, int(pre_frag_length_dist.loc), is_single_end
+        )
+
+    def add_payload(self, payload: bytes) -> None:
+        self.finder.project_and_index(payload, self.indexer)
+
+    def finish(self) -> FragmentIndex:
+        entries, histogram, unaligned = self.finder.dump_indexer(
+            self.indexer, self.hist_size
+        )
+        self.finder.free_indexer(self.indexer)
+        index = FragmentIndex(self.pre, self.is_single_end)
+        index.entries = {
+            tuple(ap.key() for ap in align_paths): (align_paths, count)
+            for align_paths, count in entries
+        }
+        index.frag_length_counts = histogram
+        index.unaligned_count = unaligned
+        return index
+
+
 def run_fragment_pass(
     finder,
     fragments: Iterable,
@@ -181,21 +213,21 @@ def run_fragment_pass(
     Alignment/MultipathAlignment objects (single-end) or pairs.  A
     NativeFinder is driven in batches (the reference's 10k-fragment
     buffers, src/main.cpp:41); the Python engine per fragment."""
-    index = FragmentIndex(pre_frag_length_dist, is_single_end)
+    if hasattr(finder, "project_and_index"):
+        from .native import serialize_fragments
 
-    if hasattr(finder, "project_batch"):
+        session = _NativeIndexerSession(finder, pre_frag_length_dist, is_single_end)
         batch = []
         for fragment in fragments:
             batch.append(fragment)
             if len(batch) == FRAGMENT_BATCH_SIZE:
-                for align_paths in finder.project_batch(batch):
-                    index.add(align_paths)
+                session.add_payload(serialize_fragments(batch))
                 batch = []
         if batch:
-            for align_paths in finder.project_batch(batch):
-                index.add(align_paths)
-        return index
+            session.add_payload(serialize_fragments(batch))
+        return session.finish()
 
+    index = FragmentIndex(pre_frag_length_dist, is_single_end)
     if is_single_end:
         for aln in fragments:
             index.add(finder.find_alignment_paths(aln))
@@ -437,7 +469,9 @@ def collect_fragments(
 
         from .io.rpa import RpaReader
 
-        fragment_index = FragmentIndex(pre_frag_length_dist, config.is_single_end())
+        session = _NativeIndexerSession(
+            finder, pre_frag_length_dist, config.is_single_end()
+        )
 
         # Producer-consumer overlap (the reference's reader/indexer thread
         # split, src/main.cpp:654-693): a reader thread prefetches blocks
@@ -458,10 +492,9 @@ def collect_fragments(
             payload = block_queue.get()
             if payload is None:
                 break
-            for align_paths in finder.project_payload(payload):
-                fragment_index.add(align_paths)
+            session.add_payload(payload)
         reader_thread.join()
-        return fragment_index
+        return session.finish()
 
     fragments = iter_fragments(config)
     if num_shards > 1:
