@@ -57,7 +57,7 @@ def sharded_em_step(mesh: Mesh, max_em_its: int = 10000, max_rel_em_conv: float 
         out_shardings=(batch_sharding, replicated),
     )
     def step(probs, counts, col_masks, inv_eff_lengths):
-        abundances, _ = _em_solve_batched(
+        abundances, _, _ = _em_solve_batched(
             probs, counts, col_masks, max_em_its, probs.dtype.type(max_rel_em_conv)
         )
         totals = counts.sum(axis=1)

@@ -1,0 +1,69 @@
+"""Device-mesh tests on the 8-device virtual CPU mesh."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_graft_entry_compiles():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    fn, args = mod.entry()
+    out = jax.jit(fn)(*args)
+    assert out.shape == (4, 16)
+
+
+def test_dryrun_multichip_8():
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "graft_entry", os.path.join(os.path.dirname(__file__), "..", "__graft_entry__.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    mod.dryrun_multichip(8)
+
+
+def test_sharded_em_matches_unsharded():
+    from rpvg_tpu.infer.em import em_abundances_batched
+    from rpvg_tpu.parallel.mesh import make_mesh, sharded_em_step
+
+    rng = np.random.default_rng(5)
+    B, R, C = 16, 32, 8
+    probs = rng.random((B, R, C))
+    probs /= probs.sum(axis=2, keepdims=True)
+    counts = rng.integers(1, 10, size=(B, R)).astype(np.float64)
+    col_masks = np.ones((B, C))
+    inv_eff = np.full((B, C - 1), 1.0 / 50.0)
+
+    mesh = make_mesh(8)
+    step = sharded_em_step(mesh, max_em_its=300)
+    sharded_abund, tpm = step(
+        jnp.asarray(probs), jnp.asarray(counts), jnp.asarray(col_masks), jnp.asarray(inv_eff)
+    )
+
+    local_abund, _ = em_abundances_batched(probs, counts, col_masks, 300, 0.001)
+    assert np.allclose(np.asarray(sharded_abund), local_abund, rtol=1e-8, atol=1e-10)
+
+    totals = counts.sum(axis=1)
+    expected_tpm = (local_abund[:, :-1] * totals[:, None] * inv_eff).sum()
+    assert float(tpm) == pytest.approx(expected_tpm, rel=1e-8)
+
+
+def test_psum_histogram():
+    from rpvg_tpu.parallel.mesh import make_mesh, psum_histogram
+
+    mesh = make_mesh(8)
+    local = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
+    reduced = np.asarray(psum_histogram(mesh)(jnp.asarray(local)))
+    assert np.allclose(reduced, local.sum(axis=0))
