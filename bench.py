@@ -64,12 +64,15 @@ def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
         )
         aln_path = rpa_path
 
+    import multiprocessing
+
     config = PipelineConfig(
         graph=panel.graph,
         paths=panel.paths_index,
         alignments=aln_path,
         output_prefix=os.path.join(out_dir, "bench_out"),
         inference_model="transcripts",
+        threads=min(8, multiprocessing.cpu_count()),
         rng_seed=42,
         score_not_qual=True,
     )

@@ -32,4 +32,21 @@ if os.environ.get("RPVG_TPU_DISABLE_X64", "0") != "1":
 
     jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compilation cache: the engine's kernel population is a
+# small set of padded bucket shapes, so warm runs skip compilation
+# entirely.  Opt out with RPVG_TPU_NO_COMPILE_CACHE=1.
+if os.environ.get("RPVG_TPU_NO_COMPILE_CACHE", "0") != "1":
+    import jax
+
+    _cache_dir = os.environ.get(
+        "RPVG_TPU_COMPILE_CACHE",
+        os.path.join(os.path.expanduser("~"), ".cache", "rpvg_tpu", "xla"),
+    )
+    try:
+        os.makedirs(_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
 __version__ = "0.1.0"
