@@ -73,16 +73,26 @@ def run_batched_em(
 
             # Keep the whole block + temporaries comfortably inside VMEM.
             fits_vmem = R_pad * C_pad * np.dtype(dtype).itemsize * 4 <= 8 * 2**20
+            fracs = None
             if pallas_enabled and fits_vmem:
-                from ..ops.em_pallas import em_pallas_batched
+                try:
+                    from ..ops.em_pallas import em_pallas_batched
 
-                fracs = np.asarray(
-                    em_pallas_batched(
-                        probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
-                    ),
-                    dtype=np.float64,
-                )
-            else:
+                    fracs = np.asarray(
+                        em_pallas_batched(
+                            probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
+                        ),
+                        dtype=np.float64,
+                    )
+                except Exception as exc:  # pragma: no cover - hardware-specific
+                    import sys
+
+                    print(
+                        f"pallas EM unavailable ({type(exc).__name__}); using XLA",
+                        file=sys.stderr,
+                    )
+                    pallas_enabled = False
+            if fracs is None:
                 fracs, _ = em_abundances_batched(
                     probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
                 )

@@ -33,9 +33,17 @@ def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
     counts = counts_ref[:]        # (1, R)
     col_mask = col_mask_ref[:]    # (1, C)
 
-    n_cols = jnp.maximum(jnp.sum(col_mask), 1.0)
-    total = jnp.maximum(jnp.sum(counts), 1.0)
-    init = jnp.where(col_mask > 0, 1.0 / n_cols, 0.0)  # (1, C)
+    # All constants explicitly typed: Mosaic rejects stray f64 scalars
+    # that weak Python literals can introduce under x64.
+    dt = probs.dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
+    conv_threshold = jnp.asarray(max_rel_em_conv, dt)
+    min_abundance = jnp.asarray(MIN_EM_ABUNDANCE, dt)
+
+    n_cols = jnp.maximum(jnp.sum(col_mask), one)
+    total = jnp.maximum(jnp.sum(counts), one)
+    init = jnp.where(col_mask > zero, one / n_cols, zero)  # (1, C)
 
     def cond(state):
         _, conv_its, it = state
@@ -45,16 +53,14 @@ def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
         abundances, conv_its, it = state
         weighted = probs * abundances                  # (R, C) broadcast over rows
         row_sums = jnp.sum(weighted, axis=1, keepdims=True)
-        posteriors = jnp.where(row_sums > 0, weighted / row_sums, 0.0)
-        new = (
-            jnp.dot(counts, posteriors, preferred_element_type=probs.dtype) / total
-        )
+        posteriors = jnp.where(row_sums > zero, weighted / row_sums, zero)
+        new = jnp.dot(counts, posteriors, preferred_element_type=dt) / total
 
-        active = (new >= MIN_EM_ABUNDANCE) & (col_mask > 0)
+        active = (new >= min_abundance) & (col_mask > zero)
         rel_diff = jnp.where(
-            active, jnp.abs(new - abundances) / jnp.where(active, new, 1.0), 0.0
+            active, jnp.abs(new - abundances) / jnp.where(active, new, one), zero
         )
-        has_converged = jnp.all(rel_diff <= max_rel_em_conv)
+        has_converged = jnp.all(rel_diff <= conv_threshold)
         conv_its = jnp.where(has_converged, conv_its + 1, 0)
         return new, conv_its, it + 1
 
@@ -65,6 +71,29 @@ def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
 
 
 @partial(jax.jit, static_argnames=("max_em_its", "max_rel_em_conv", "interpret"))
+def _em_pallas_call(probs, counts, col_masks, max_em_its, max_rel_em_conv, interpret):
+    B, R, C = probs.shape
+    kernel = partial(
+        _em_kernel, max_em_its=max_em_its, max_rel_em_conv=float(max_rel_em_conv)
+    )
+    # Vectors carry an explicit singleton row so every block's trailing
+    # two dims are TPU-tileable ((1, R) / (1, C) with the last dim equal
+    # to the full array dim).
+    out = pl.pallas_call(
+        kernel,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((None, R, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, R), lambda b: (b, 0, 0)),
+            pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((B, 1, C), probs.dtype),
+        interpret=interpret,
+    )(probs, counts[:, None, :], col_masks[:, None, :])
+    return out[:, 0, :]
+
+
 def em_pallas_batched(
     probs: jax.Array,      # (B, R, C), padded
     counts: jax.Array,     # (B, R)
@@ -73,23 +102,26 @@ def em_pallas_batched(
     max_rel_em_conv: float = 0.001,
     interpret: bool = False,
 ) -> jax.Array:
-    """Returns (B, C) abundance fractions."""
-    B, R, C = probs.shape
-    kernel = partial(
-        _em_kernel, max_em_its=max_em_its, max_rel_em_conv=float(max_rel_em_conv)
-    )
-    return pl.pallas_call(
-        kernel,
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((None, R, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, R), lambda b: (b, 0)),
-            pl.BlockSpec((None, C), lambda b: (b, 0)),
-        ],
-        out_specs=pl.BlockSpec((None, C), lambda b: (b, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, C), probs.dtype),
-        interpret=interpret,
-    )(probs, counts, col_masks)
+    """Returns (B, C) abundance fractions.
+
+    Traced with x64 disabled: Mosaic rejects the 64-bit index/scalar
+    constants that global x64 mode introduces, and the padded buckets
+    are float32 on TPU anyway."""
+    prev_x64 = jax.config.jax_enable_x64
+    if prev_x64:
+        jax.config.update("jax_enable_x64", False)
+    try:
+        return _em_pallas_call(
+            jnp.asarray(probs, dtype=jnp.float32),
+            jnp.asarray(counts, dtype=jnp.float32),
+            jnp.asarray(col_masks, dtype=jnp.float32),
+            int(max_em_its),
+            float(max_rel_em_conv),
+            bool(interpret),
+        )
+    finally:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", True)
 
 
 def em_pallas_available() -> bool:
