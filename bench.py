@@ -91,6 +91,12 @@ def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
 
 
 def child_main() -> None:
+    if os.environ.get("RPVG_TPU_FORCE_CPU") == "1":
+        # Env-based platform selection is overridden by the host's jax
+        # site bootstrap; the config update is authoritative.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     args = json.loads(sys.argv[2])
     with tempfile.TemporaryDirectory() as tmp:
         result = run_workload(args["num_pairs"], args["num_transcripts"], tmp)
@@ -102,7 +108,8 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pairs", type=int, default=20000)
     parser.add_argument("--transcripts", type=int, default=250)
-    parser.add_argument("--timeout", type=float, default=1200.0)
+    parser.add_argument("--timeout", type=float, default=900.0)
+    parser.add_argument("--probe-timeout", type=float, default=90.0)
     args = parser.parse_args()
 
     payload = json.dumps(
@@ -131,10 +138,33 @@ def main() -> int:
                 continue
         return None, "no result line"
 
-    result, err = attempt({})
+    def device_healthy() -> bool:
+        """Quick accelerator probe in a throwaway process: a wedged
+        device tunnel hangs transfers, so don't waste the main attempt."""
+        probe = (
+            "import jax, jax.numpy as jnp, os\n"
+            "x = jnp.ones((128, 128), jnp.float32)\n"
+            "print(float((x @ x).sum()))\n"
+            "os._exit(0)\n"
+        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True,
+                timeout=args.probe_timeout,
+            )
+            return proc.returncode == 0
+        except subprocess.TimeoutExpired:
+            return False
+
+    healthy = device_healthy()
+    if not healthy:
+        print("bench: accelerator probe failed; running on CPU backend", file=sys.stderr)
+
+    result, err = attempt({} if healthy else {"RPVG_TPU_FORCE_CPU": "1"})
     if result is None:
         print(f"bench: device run failed ({err}); retrying on CPU", file=sys.stderr)
-        result, err = attempt({"JAX_PLATFORMS": "cpu", "RPVG_TPU_FORCE_CPU": "1"})
+        result, err = attempt({"RPVG_TPU_FORCE_CPU": "1"})
     if result is None:
         print(f"bench: CPU fallback failed: {err}", file=sys.stderr)
         return 1

@@ -42,10 +42,16 @@ def run_batched_em(
     runs.  TPU uses float32 (no native f64), CPU float64."""
     import jax
 
+    import os
+
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
-    pallas_enabled = use_pallas == "on" or (use_pallas == "auto" and on_tpu)
+    # Pallas EM is opt-in (RPVG_TPU_PALLAS=1) until numerically validated
+    # against the XLA kernel on the target hardware generation.
+    pallas_enabled = use_pallas == "on" or (
+        use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") == "1"
+    )
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, counts) in enumerate(cluster_inputs):
