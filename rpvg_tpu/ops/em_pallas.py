@@ -54,7 +54,18 @@ def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
         weighted = probs * abundances                  # (R, C) broadcast over rows
         row_sums = jnp.sum(weighted, axis=1, keepdims=True)
         posteriors = jnp.where(row_sums > zero, weighted / row_sums, zero)
-        new = jnp.dot(counts, posteriors, preferred_element_type=dt) / total
+        # HIGHEST precision: the MXU's default bf16 passes cost ~1e-3
+        # relative error on the count contraction, outside tolerance.
+        new = (
+            jax.lax.dot_general(
+                counts,
+                posteriors,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=dt,
+            )
+            / total
+        )
 
         active = (new >= min_abundance) & (col_mask > zero)
         rel_diff = jnp.where(
