@@ -1,0 +1,104 @@
+"""Golden-output regression tests.
+
+A fixed synthetic dataset is regenerated deterministically and run
+through every model; outputs must match the committed golden files
+byte-for-byte.  This pins the full numeric contract (projection,
+probabilities, EM, posteriors, TPM, formatting) across refactors —
+regenerate deliberately with:
+
+    python tests/test_golden.py --regenerate
+"""
+
+import os
+import sys
+
+import pytest
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+MODELS = [
+    ("transcripts", {}),
+    ("haplotypes", {}),
+    ("strains", {}),
+    ("haplotype-transcripts", {"with_info": True}),
+]
+
+
+def make_dataset(tmp_dir):
+    from rpvg_tpu import sim
+
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=80, variant_sites=1, seed=101,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=103
+    )
+    aln_path = os.path.join(tmp_dir, "aln.json")
+    sim.write_alignment_json(records, aln_path)
+    info_path = os.path.join(tmp_dir, "info.tsv")
+    panel.write_info_tsv(info_path)
+    return panel, aln_path, info_path
+
+
+def run_model(panel, aln_path, info_path, model, opts, prefix):
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    config = PipelineConfig(
+        graph=panel.graph,
+        paths=panel.paths_index,
+        alignments=aln_path,
+        output_prefix=prefix,
+        inference_model=model,
+        path_info=info_path if opts.get("with_info") else None,
+        rng_seed=99,
+        score_not_qual=True,
+    )
+    run_pipeline(config)
+    outputs = {model + ".txt": prefix + ".txt"}
+    if model == "haplotype-transcripts":
+        outputs[model + "_joint.txt"] = prefix + "_joint.txt"
+    return outputs
+
+
+@pytest.mark.parametrize("model,opts", MODELS)
+def test_golden_outputs(model, opts, tmp_path):
+    panel, aln_path, info_path = make_dataset(str(tmp_path))
+    outputs = run_model(panel, aln_path, info_path, model, opts, str(tmp_path / "out"))
+    for golden_name, produced_path in outputs.items():
+        golden_path = os.path.join(GOLDEN_DIR, golden_name)
+        assert os.path.exists(golden_path), (
+            f"golden file missing: {golden_name}; regenerate with "
+            "python tests/test_golden.py --regenerate"
+        )
+        with open(produced_path) as produced, open(golden_path) as golden:
+            assert produced.read() == golden.read(), f"{golden_name} diverged"
+
+
+def regenerate():
+    import tempfile
+
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    with tempfile.TemporaryDirectory() as tmp:
+        panel, aln_path, info_path = make_dataset(tmp)
+        for model, opts in MODELS:
+            outputs = run_model(
+                panel, aln_path, info_path, model, opts, os.path.join(tmp, model)
+            )
+            for golden_name, produced_path in outputs.items():
+                with open(produced_path) as src:
+                    with open(os.path.join(GOLDEN_DIR, golden_name), "w") as dst:
+                        dst.write(src.read())
+                print(f"wrote {golden_name}")
+
+
+if __name__ == "__main__":
+    if "--regenerate" in sys.argv:
+        sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        regenerate()
+    else:
+        print("use --regenerate to rebuild golden files")
