@@ -23,7 +23,29 @@ def main(argv=None) -> int:
     convert.add_argument("--single-path", action="store_true", help="GAM-style single-path records")
     convert.add_argument("--single-end", action="store_true", help="not interleaved pairs")
 
+    gam = sub.add_parser(
+        "gamp-to-json",
+        help="decode a binary vg .gam/.gamp (requires a vg.proto schema file)",
+    )
+    gam.add_argument("input", help="binary .gam/.gamp file")
+    gam.add_argument("output", help="output JSON-lines path")
+    gam.add_argument("--vg-proto", required=True, help="path to vg.proto")
+    gam.add_argument("--single-path", action="store_true")
+
     args = parser.parse_args(argv)
+
+    if args.command == "gamp-to-json":
+        import json
+
+        from .io.gam import stream_gam_dicts
+
+        with open(args.output, "w") as handle:
+            for record in stream_gam_dicts(
+                args.input, args.vg_proto, is_multipath=not args.single_path
+            ):
+                handle.write(json.dumps(record) + "\n")
+        print(f"wrote {args.output}", file=sys.stderr)
+        return 0
 
     if args.command == "json-to-rpa":
         from .io.rpa import convert_json
