@@ -188,6 +188,7 @@ def simulate_read_pairs(
     mapq: int = 60,
     seed: int = 1,
     as_multipath: bool = True,
+    with_qualities: bool = False,
 ) -> Tuple[List[dict], np.ndarray]:
     """Simulate perfect paired-end fragments; returns (records, true
     per-path fragment counts).  Records are interleaved protobuf-JSON
@@ -240,6 +241,12 @@ def simulate_read_pairs(
             ),
             "score": score,
         }
+        if with_qualities:
+            import base64
+
+            for read in (read_1, read_2):
+                quals = rng.integers(20, 41, size=read_length).astype(np.uint8)
+                read["quality"] = base64.b64encode(bytes(quals)).decode()
 
         for read in (read_1, read_2):
             if as_multipath:
@@ -258,6 +265,8 @@ def simulate_read_pairs(
                     "path": {"mapping": read["mapping"]},
                     "score": read["score"],
                 }
+            if "quality" in read:
+                record["quality"] = read["quality"]
             if first:
                 record["annotation"] = {
                     "fragment_length_distribution": f"-I {frag_mean} -D {frag_sd}"

@@ -89,6 +89,65 @@ def test_partial_match_scenarios():
         check_paired(index, kwargs, mp_aln(pp.P_ALIGNMENT_1), mp_aln(pp.P_ALIGNMENT_2))
 
 
+def test_quality_adjusted_differential():
+    # Exercises the quality-adjusted scoring tables in both engines.
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=60, variant_sites=1, seed=51,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 60, read_length=50, frag_mean=130, frag_sd=10, seed=53,
+        with_qualities=True,
+    )
+    from rpvg_tpu.alignments import parse_multipath_alignment
+
+    alns = [parse_multipath_alignment(r) for r in records]
+    assert alns[0].quality  # qualities survive parsing
+    pairs = list(zip(alns[0::2], alns[1::2]))
+
+    kwargs = dict(
+        library_type="unstranded",
+        score_not_qual=False,  # quality-adjusted scoring active
+        max_pair_frag_length=250,
+        max_partial_offset=4,
+        est_missing_noise_prob=False,
+        max_score_diff=20,
+        min_best_score_filter=0.5,
+    )
+    py_finder = AlignmentPathFinder(panel.paths_index, **kwargs)
+    cc_finder = native.NativeFinder(panel.paths_index, **kwargs)
+    cc_results = cc_finder.project_batch(pairs)
+    for (a1, a2), cc in zip(pairs, cc_results):
+        py = py_finder.find_paired_alignment_paths(a1, a2)
+        assert path_set(cc) == path_set(py)
+
+
+def test_single_end_differential():
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=60, variant_sites=1, seed=61,
+    )
+    records, _ = sim.simulate_single_reads(panel, 80, read_length=50, seed=63)
+    from rpvg_tpu.alignments import parse_multipath_alignment
+
+    alns = [parse_multipath_alignment(r) for r in records]
+    kwargs = dict(
+        library_type="unstranded",
+        score_not_qual=True,
+        max_pair_frag_length=250,
+        max_partial_offset=4,
+        est_missing_noise_prob=False,
+        max_score_diff=20,
+        min_best_score_filter=0.9,
+    )
+    py_finder = AlignmentPathFinder(panel.paths_index, **kwargs)
+    cc_finder = native.NativeFinder(panel.paths_index, **kwargs)
+    cc_results = cc_finder.project_batch(alns)
+    for aln_obj, cc in zip(alns, cc_results):
+        py = py_finder.find_alignment_paths(aln_obj)
+        assert path_set(cc) == path_set(py)
+
+
 def test_randomized_differential():
     panel = sim.build_panel(
         num_transcripts=6, num_haplotypes=2, exons_per_transcript=4,
