@@ -98,6 +98,60 @@ def _diploid_pair_scores(probs, noise, counts, log_freqs):
     return pair_ll
 
 
+@partial(jax.jit, static_argnames=())
+def _diploid_pair_scores_block(probs, noise, counts, log_freqs, half_block, block_log_freqs):
+    """Column block of the pair matrix: (P, J) scores against
+    half_block (R, J)."""
+    half = probs * 0.5
+    group = noise[:, None, None] + half[:, :, None] + half_block[:, None, :]
+    logs = jnp.where(group > 0, jnp.log(group), -jnp.inf)
+    pair_ll = jnp.einsum("r,rij->ij", counts, logs)
+    return pair_ll + log_freqs[:, None] + block_log_freqs[None, :]
+
+
+# Memory guard: (R, P, P) tensors above this many elements score in
+# column blocks (the reference's giant-cluster branch-and-bound is the
+# serial analogue; blocking keeps the dense formulation).
+_PAIR_TENSOR_ELEMENT_LIMIT = 1 << 27
+
+
+def _pair_scores_blocked(probs, noise, counts, log_freqs):
+    R, P = probs.shape
+    if R * P * P <= _PAIR_TENSOR_ELEMENT_LIMIT:
+        return np.asarray(
+            _diploid_pair_scores(
+                jnp.asarray(probs), jnp.asarray(noise), jnp.asarray(counts),
+                jnp.asarray(log_freqs),
+            ),
+            dtype=np.float64,
+        )
+    block = max(8, _PAIR_TENSOR_ELEMENT_LIMIT // max(1, R * P))
+    block = _ceil_pow2(block) // 2 or 8
+    out = np.empty((P, P), dtype=np.float64)
+    probs_dev = jnp.asarray(probs)
+    noise_dev = jnp.asarray(noise)
+    counts_dev = jnp.asarray(counts)
+    freqs_dev = jnp.asarray(log_freqs)
+    half = probs * 0.5
+    for j0 in range(0, P, block):
+        j1 = min(P, j0 + block)
+        width = j1 - j0
+        # Pad the block to the fixed width so the kernel caches.
+        half_block = np.zeros((R, block), dtype=probs.dtype)
+        half_block[:, :width] = half[:, j0:j1]
+        freqs_block = np.full(block, -np.inf)
+        freqs_block[:width] = log_freqs[j0:j1]
+        scores = np.asarray(
+            _diploid_pair_scores_block(
+                probs_dev, noise_dev, counts_dev, freqs_dev,
+                jnp.asarray(half_block), jnp.asarray(freqs_block),
+            ),
+            dtype=np.float64,
+        )
+        out[:, j0:j1] = scores[:, :width]
+    return out
+
+
 def _ceil_pow2(n: int, floor: int = 8) -> int:
     size = floor
     while size < n:
@@ -121,15 +175,7 @@ def _diploid_log_likelihoods(probs, noise, counts, log_freqs):
     log_freqs_pad = np.full(P_pad, -np.inf)
     log_freqs_pad[:P] = log_freqs
 
-    pair_ll = np.asarray(
-        _diploid_pair_scores(
-            jnp.asarray(probs_pad),
-            jnp.asarray(noise_pad),
-            jnp.asarray(counts_pad),
-            jnp.asarray(log_freqs_pad),
-        ),
-        dtype=np.float64,
-    )[:P, :P]
+    pair_ll = _pair_scores_blocked(probs_pad, noise_pad, counts_pad, log_freqs_pad)[:P, :P]
     iu = np.triu_indices(P)
     log_liks = pair_ll[iu].copy()
     # Heterozygous pairs carry the 2-permutation prior factor.

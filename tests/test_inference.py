@@ -326,3 +326,31 @@ def test_posterior_estimator_marginal():
     PathPosteriorEstimator().estimate(est, rpps, ClusterRNG(42, 0))
     assert est.path_group_sets == [[0], [1]]
     assert est.posteriors[0] > 0.99
+
+
+def test_diploid_blocked_matches_dense():
+    # Force the blocked column path and compare against the dense kernel.
+    from rpvg_tpu.infer import posteriors as post
+
+    rng = np.random.default_rng(9)
+    R, P = 16, 24
+    probs = rng.random((R, P)) * 0.4
+    noise = rng.random(R) * 0.1 + 0.01
+    counts = rng.integers(1, 8, size=R).astype(float)
+    path_counts = [1] * P
+
+    dense_groups, dense_post = post.path_group_posteriors_diploid(
+        probs, noise, counts, path_counts, 1e-300
+    )
+
+    saved = post._PAIR_TENSOR_ELEMENT_LIMIT
+    post._PAIR_TENSOR_ELEMENT_LIMIT = 64  # force blocking
+    try:
+        blocked_groups, blocked_post = post.path_group_posteriors_diploid(
+            probs, noise, counts, path_counts, 1e-300
+        )
+    finally:
+        post._PAIR_TENSOR_ELEMENT_LIMIT = saved
+
+    assert blocked_groups == dense_groups
+    assert np.allclose(blocked_post, dense_post, rtol=1e-9, atol=1e-12)
