@@ -108,7 +108,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--pairs", type=int, default=20000)
     parser.add_argument("--transcripts", type=int, default=250)
-    parser.add_argument("--timeout", type=float, default=900.0)
+    parser.add_argument("--timeout", type=float, default=600.0)
     parser.add_argument("--probe-timeout", type=float, default=90.0)
     args = parser.parse_args()
 

@@ -1604,6 +1604,244 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
   }
 }
 
+}  // extern "C"
+
+// ----------------------------------------------------- cluster probs
+//
+// Native twin of ReadPathProbs.add_path_probs + the per-cluster sort /
+// identical-row merge (rpvg_tpu/probabilities.py; reference
+// src/read_path_probabilities.cpp) operating directly on serialized
+// alignment-path lists.
+
+namespace {
+
+struct RppRow {
+  uint64_t read_count;
+  double noise_prob;
+  std::vector<std::pair<double, std::vector<int32_t>>> path_probs;
+};
+
+void locate_path_ids(const Index& idx, const int64_t* positions, int32_t n_pos,
+                     std::vector<int64_t>* out) {
+  out->clear();
+  int64_t prev = -1;
+  for (int32_t i = 0; i < n_pos; ++i) {
+    auto it = std::upper_bound(idx.seq_starts.begin(), idx.seq_starts.end(),
+                               positions[i]);
+    int64_t seq = (it - idx.seq_starts.begin()) - 1;
+    if (seq != prev) {
+      out->push_back(idx.bidirectional ? seq / 2 : seq);
+      prev = seq;
+    }
+  }
+}
+
+bool rpp_row_less(const RppRow& a, const RppRow& b) {
+  if (a.noise_prob != b.noise_prob) return a.noise_prob < b.noise_prob;
+  if (a.path_probs.size() != b.path_probs.size())
+    return a.path_probs.size() < b.path_probs.size();
+  for (size_t i = 0; i < a.path_probs.size(); ++i) {
+    if (a.path_probs[i].first != b.path_probs[i].first)
+      return a.path_probs[i].first < b.path_probs[i].first;
+    if (a.path_probs[i].second.size() != b.path_probs[i].second.size())
+      return a.path_probs[i].second.size() < b.path_probs[i].second.size();
+    for (size_t j = 0; j < a.path_probs[i].second.size(); ++j) {
+      if (a.path_probs[i].second[j] != b.path_probs[i].second[j])
+        return a.path_probs[i].second[j] < b.path_probs[i].second[j];
+    }
+  }
+  return a.read_count < b.read_count;
+}
+
+bool rpp_merge_identical(RppRow* into, const RppRow& other, double precision) {
+  if (std::abs(into->noise_prob - other.noise_prob) >= precision) return false;
+  if (into->path_probs.size() != other.path_probs.size()) return false;
+  for (size_t i = 0; i < into->path_probs.size(); ++i) {
+    if (std::abs(into->path_probs[i].first - other.path_probs[i].first) >= precision)
+      return false;
+    if (into->path_probs[i].second != other.path_probs[i].second) return false;
+  }
+  into->read_count += other.read_count;
+  return true;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Build merged read-path probability rows for one cluster.
+//
+// entries: serialized alignment-path lists, each prefixed by u64 count
+//   (the exact bytes the indexer dump emits per entry).
+// cluster_path_ids: sorted global path ids of this cluster.
+// eff_lengths: per local path (cluster order) effective length.
+// group_of: per local path collapse-group index (or -1s when group
+//   collapse is off); n_groups: number of groups.
+// log_source_counts: per local path log(source_count).
+// frag_log_probs: fragment-length log-probability table.
+// Returns malloc'd buffer: u64 n_rows, per row: u64 count, f64 noise,
+// i32 n_entries, per entry: f64 prob, i32 n_ids, i32 ids...
+uint8_t* rpvg_build_cluster_probs(
+    void* handle, const uint8_t* entries, int64_t entries_len, int64_t n_entries,
+    const int64_t* cluster_path_ids, int64_t n_paths,
+    const double* eff_lengths, const int32_t* group_of, int64_t n_groups,
+    const double* log_source_counts, const double* frag_log_probs,
+    int64_t frag_table_size, int32_t is_single_end, double min_noise_prob,
+    double prob_precision, int64_t* out_len) {
+  const Index& idx = *static_cast<Index*>(handle);
+  constexpr double NEG_MAX = -std::numeric_limits<double>::max();
+
+  bool collapse = n_groups > 0;
+  int64_t n_cols = collapse ? n_groups : n_paths;
+
+  std::vector<RppRow> rows;
+  rows.reserve(n_entries);
+
+  Reader reader{entries, entries + entries_len};
+  std::vector<int64_t> located;
+  std::vector<double> read_path_log_probs(n_cols);
+  std::vector<double> path_log_probs(n_paths);
+  std::vector<double> max_align_lengths(n_paths);
+
+  for (int64_t e = 0; e < n_entries; ++e) {
+    uint64_t count = reader.get<uint64_t>();
+    int32_t n_align_paths = reader.get<int32_t>();
+
+    RppRow row;
+    row.read_count = count;
+    row.noise_prob = 1.0;
+
+    // Parse the alignment paths (last one is the noise record).
+    struct APView {
+      const int64_t* positions;
+      int32_t n_pos;
+      int32_t mapq, score_sum, align_length, frag_length;
+    };
+    std::vector<APView> aps(n_align_paths);
+    for (int32_t i = 0; i < n_align_paths; ++i) {
+      reader.get<int64_t>();  // node
+      int32_t n_pos = reader.get<int32_t>();
+      aps[i].positions = reinterpret_cast<const int64_t*>(reader.ptr);
+      reader.ptr += 8 * n_pos;
+      aps[i].n_pos = n_pos;
+      reader.get<uint8_t>();  // is_simple
+      aps[i].mapq = reader.get<int32_t>();
+      aps[i].score_sum = reader.get<int32_t>();
+      aps[i].align_length = reader.get<int32_t>();
+      aps[i].frag_length = reader.get<int32_t>();
+    }
+
+    if (aps[0].mapq > 0) {
+      double noise = std::max(
+          prob_precision,
+          std::max(min_noise_prob, std::pow(10.0, -aps[0].mapq / 10.0)));
+      double noise_log = aps[n_align_paths - 1].score_sum * NOISE_SCORE_LOG_BASE;
+      noise += (1.0 - noise) * std::exp(noise_log);
+      row.noise_prob = noise;
+
+      if (aps[n_align_paths - 1].score_sum != 0) {
+        std::fill(path_log_probs.begin(), path_log_probs.end(), NEG_MAX);
+        std::fill(max_align_lengths.begin(), max_align_lengths.end(), 0.0);
+
+        for (int32_t i = 0; i < n_align_paths - 1; ++i) {
+          double log_prob = aps[i].score_sum * SCORE_LOG_BASE;
+          if (!is_single_end) {
+            int32_t fl = aps[i].frag_length;
+            log_prob += (fl < frag_table_size) ? frag_log_probs[fl] : NEG_MAX;
+          }
+          locate_path_ids(idx, aps[i].positions, aps[i].n_pos, &located);
+          for (int64_t pid : located) {
+            auto it = std::lower_bound(cluster_path_ids,
+                                       cluster_path_ids + n_paths, pid);
+            int64_t local = it - cluster_path_ids;
+            double eff = eff_lengths[local];
+            if (eff == 0.0) continue;
+            double lp = log_prob - std::log(eff);
+            if (aps[i].align_length > max_align_lengths[local]) {
+              path_log_probs[local] = lp;
+              max_align_lengths[local] = aps[i].align_length;
+            } else if (aps[i].align_length == max_align_lengths[local]) {
+              path_log_probs[local] = std::max(path_log_probs[local], lp);
+            }
+          }
+        }
+
+        const double* col_log_probs = path_log_probs.data();
+        if (collapse) {
+          std::fill(read_path_log_probs.begin(), read_path_log_probs.end(), NEG_MAX);
+          for (int64_t p = 0; p < n_paths; ++p) {
+            int32_t g = group_of[p];
+            read_path_log_probs[g] = add_log(
+                read_path_log_probs[g], path_log_probs[p] + log_source_counts[p]);
+          }
+          col_log_probs = read_path_log_probs.data();
+        }
+
+        double log_sum = NEG_MAX;
+        for (int64_t c = 0; c < n_cols; ++c) log_sum = add_log(log_sum, col_log_probs[c]);
+
+        double low_prob_sum = 0.0;
+        for (int64_t c = 0; c < n_cols; ++c) {
+          double prob = std::exp(col_log_probs[c] - log_sum);
+          if (prob >= prob_precision) {
+            bool merged = false;
+            for (auto& [entry_prob, entry_ids] : row.path_probs) {
+              if (std::abs(entry_prob - prob) < prob_precision) {
+                entry_prob = (entry_prob * entry_ids.size() + prob) /
+                             (entry_ids.size() + 1);
+                entry_ids.push_back(static_cast<int32_t>(c));
+                merged = true;
+                break;
+              }
+            }
+            if (!merged) {
+              row.path_probs.push_back({prob, {static_cast<int32_t>(c)}});
+            }
+          } else {
+            low_prob_sum += prob;
+          }
+        }
+        for (auto& entry : row.path_probs) entry.first *= (1.0 - row.noise_prob);
+        row.noise_prob += low_prob_sum * (1.0 - row.noise_prob);
+        std::sort(row.path_probs.begin(), row.path_probs.end());
+      }
+    }
+    rows.push_back(std::move(row));
+  }
+
+  std::sort(rows.begin(), rows.end(), rpp_row_less);
+
+  std::vector<RppRow> merged;
+  merged.reserve(rows.size());
+  for (auto& row : rows) {
+    if (!merged.empty() && rpp_merge_identical(&merged.back(), row, prob_precision)) {
+      continue;
+    }
+    merged.push_back(std::move(row));
+  }
+
+  Writer w;
+  w.put<uint64_t>(merged.size());
+  for (const auto& row : merged) {
+    w.put<uint64_t>(row.read_count);
+    w.put<double>(row.noise_prob);
+    w.put<int32_t>(static_cast<int32_t>(row.path_probs.size()));
+    for (const auto& [prob, ids] : row.path_probs) {
+      w.put<double>(prob);
+      w.put<int32_t>(static_cast<int32_t>(ids.size()));
+      for (int32_t id : ids) w.put<int32_t>(id);
+    }
+  }
+  *out_len = static_cast<int64_t>(w.buf.size());
+  auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
+  std::memcpy(out, w.buf.data(), w.buf.size());
+  return out;
+}
+
+}  // extern "C"
+
+extern "C" {
+
 // Dump the deduplicated index: [u64 n_entries][per entry: u64 count +
 // path-list block][u64 unaligned][i64 histogram...]
 uint8_t* rpvg_indexer_dump(void* indexer, int64_t* out_len) {

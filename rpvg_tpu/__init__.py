@@ -38,9 +38,26 @@ if os.environ.get("RPVG_TPU_DISABLE_X64", "0") != "1":
 if os.environ.get("RPVG_TPU_NO_COMPILE_CACHE", "0") != "1":
     import jax
 
+    def _host_tag() -> str:
+        # Scope cached binaries by host CPU features: XLA:CPU AOT results
+        # compiled for another microarchitecture can SIGILL.
+        import hashlib
+        import platform
+
+        tag = platform.machine()
+        try:
+            with open("/proc/cpuinfo") as cpuinfo:
+                for line in cpuinfo:
+                    if line.startswith("flags"):
+                        tag += hashlib.sha1(line.encode()).hexdigest()[:8]
+                        break
+        except OSError:
+            pass
+        return tag
+
     _cache_dir = os.environ.get(
         "RPVG_TPU_COMPILE_CACHE",
-        os.path.join(os.path.expanduser("~"), ".cache", "rpvg_tpu", "xla"),
+        os.path.join(os.path.expanduser("~"), ".cache", "rpvg_tpu", "xla-" + _host_tag()),
     )
     try:
         os.makedirs(_cache_dir, exist_ok=True)

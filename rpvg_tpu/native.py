@@ -81,6 +81,16 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.rpvg_indexer_dump.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_indexer_dump.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.rpvg_build_cluster_probs.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rpvg_build_cluster_probs.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64, ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.POINTER(ctypes.c_int64),
+    ]
     _lib = lib
     return lib
 
@@ -319,7 +329,9 @@ class NativeFinder:
         )
 
     def dump_indexer(self, indexer, hist_size: int):
-        """Returns (entries [(align_paths, count)], histogram, unaligned)."""
+        """Returns (entries [(align_paths, count, raw_bytes)], histogram,
+        unaligned); raw_bytes is the serialized entry (count + path
+        list), consumable by :meth:`build_cluster_probs`."""
         out_len = ctypes.c_int64()
         out_ptr = self._lib.rpvg_indexer_dump(indexer, ctypes.byref(out_len))
         try:
@@ -333,14 +345,90 @@ class NativeFinder:
         offset += 8
         entries = []
         for _ in range(n_entries):
+            start = offset
             (count,) = struct.unpack_from("<Q", view, offset)
             offset += 8
             paths, offset = _parse_path_list(view, offset)
-            entries.append((paths, int(count)))
+            entries.append((paths, int(count), data[start:offset]))
         (unaligned,) = struct.unpack_from("<Q", view, offset)
         offset += 8
         histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()
         return entries, histogram, int(unaligned)
+
+    # ------------------------------------------------------- cluster probs
+    def build_cluster_probs(
+        self,
+        entry_blobs: bytes,
+        n_entries: int,
+        cluster_path_ids: np.ndarray,
+        eff_lengths: np.ndarray,
+        frag_log_probs: np.ndarray,
+        is_single_end: bool,
+        min_noise_prob: float,
+        prob_precision: float,
+        group_of: Optional[np.ndarray] = None,
+        n_groups: int = 0,
+        log_source_counts: Optional[np.ndarray] = None,
+    ):
+        """Native ReadPathProbs construction + identical-row merge for
+        one cluster; returns a list of ReadPathProbs."""
+        from .probabilities import ReadPathProbs
+
+        cluster_path_ids = np.ascontiguousarray(cluster_path_ids, dtype=np.int64)
+        eff_lengths = np.ascontiguousarray(eff_lengths, dtype=np.float64)
+        frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
+        if group_of is None:
+            group_of = np.full(cluster_path_ids.size, -1, dtype=np.int32)
+        else:
+            group_of = np.ascontiguousarray(group_of, dtype=np.int32)
+        if log_source_counts is None:
+            log_source_counts = np.zeros(cluster_path_ids.size, dtype=np.float64)
+        else:
+            log_source_counts = np.ascontiguousarray(log_source_counts, dtype=np.float64)
+
+        in_buf = (ctypes.c_uint8 * len(entry_blobs)).from_buffer_copy(entry_blobs)
+        out_len = ctypes.c_int64()
+        out_ptr = self._lib.rpvg_build_cluster_probs(
+            self._handle,
+            in_buf,
+            len(entry_blobs),
+            int(n_entries),
+            cluster_path_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            cluster_path_ids.size,
+            eff_lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            group_of.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            int(n_groups),
+            log_source_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.size,
+            int(is_single_end),
+            float(min_noise_prob),
+            float(prob_precision),
+            ctypes.byref(out_len),
+        )
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        view = memoryview(data)
+        offset = 0
+        (n_rows,) = struct.unpack_from("<Q", view, offset)
+        offset += 8
+        rows = []
+        for _ in range(n_rows):
+            count, noise, n_probs = struct.unpack_from("<Qdi", view, offset)
+            offset += 20
+            rpp = ReadPathProbs(int(count), prob_precision)
+            rpp.noise_prob = noise
+            for _ in range(n_probs):
+                prob, n_ids = struct.unpack_from("<di", view, offset)
+                offset += 12
+                ids = list(struct.unpack_from(f"<{n_ids}i", view, offset))
+                offset += 4 * n_ids
+                rpp.path_probs.append((prob, ids))
+            rows.append(rpp)
+        return rows
 
     # --------------------------------------------- single-fragment surface
     def find_alignment_paths(self, aln) -> List[AlignmentPath]:

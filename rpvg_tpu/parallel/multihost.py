@@ -63,7 +63,9 @@ def run_pipeline_sharded(config: PipelineConfig, num_shards: int) -> Dict:
         f"{fragment_index.unaligned_count} unaligned"
     )
 
-    return run_inference_phases(config, paths_index, fragment_index, pre_dist, log)
+    return run_inference_phases(
+        config, paths_index, fragment_index, pre_dist, log, finder=finder
+    )
 
 
 def _shard_worker(args):
@@ -74,7 +76,7 @@ def _shard_worker(args):
     index = collect_fragments(config, finder, pre_dist, shard=shard, num_shards=num_shards)
     # Ship only picklable state.
     return (
-        [(list_, count) for list_, count in index.entries.values()],
+        list(index.entries.values()),
         index.frag_length_counts,
         index.unaligned_count,
     )
@@ -99,8 +101,9 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     for entries, frag_counts, unaligned in shard_payloads:
         shard_index = FragmentIndex(pre_dist, config.is_single_end())
         shard_index.entries = {
-            tuple(ap.key() for ap in align_paths): (align_paths, count)
-            for align_paths, count in entries
+            tuple(ap.key() for ap in align_paths): entry
+            for entry in entries
+            for align_paths in (entry[0],)
         }
         shard_index.frag_length_counts = frag_counts
         shard_index.unaligned_count = unaligned

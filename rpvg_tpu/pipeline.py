@@ -113,7 +113,8 @@ class FragmentIndex:
     addAlignmentPathsBufferToIndexes, src/main.cpp:200-237)."""
 
     def __init__(self, pre_frag_length_dist: FragmentLengthDist, is_single_end: bool):
-        self.entries: Dict[tuple, Tuple[List[AlignmentPath], int]] = {}
+        # key -> (align_paths, count, raw_serialized_bytes | None)
+        self.entries: Dict[tuple, Tuple[List[AlignmentPath], int, Optional[bytes]]] = {}
         self.frag_length_counts = np.zeros(
             pre_frag_length_dist.max_length + 1, dtype=np.int64
         )
@@ -147,9 +148,9 @@ class FragmentIndex:
         key = tuple(ap.key() for ap in align_paths)
         entry = self.entries.get(key)
         if entry is None:
-            self.entries[key] = (align_paths, 1)
+            self.entries[key] = (align_paths, 1, None)
         else:
-            self.entries[key] = (entry[0], entry[1] + 1)
+            self.entries[key] = (entry[0], entry[1] + 1, entry[2])
 
     def lists(self) -> List[Tuple[List[AlignmentPath], int]]:
         return list(self.entries.values())
@@ -158,12 +159,12 @@ class FragmentIndex:
         """Fold another shard's index into this one: sum duplicate
         fragment-list counts, add histograms and unaligned counts (the
         cross-host reduction of the fragment pass)."""
-        for key, (align_paths, count) in other.entries.items():
+        for key, (align_paths, count, raw) in other.entries.items():
             entry = self.entries.get(key)
             if entry is None:
-                self.entries[key] = (align_paths, count)
+                self.entries[key] = (align_paths, count, raw)
             else:
-                self.entries[key] = (entry[0], entry[1] + count)
+                self.entries[key] = (entry[0], entry[1] + count, entry[2])
         self.frag_length_counts += other.frag_length_counts
         self.unaligned_count += other.unaligned_count
 
@@ -195,8 +196,8 @@ class _NativeIndexerSession:
         self.finder.free_indexer(self.indexer)
         index = FragmentIndex(self.pre, self.is_single_end)
         index.entries = {
-            tuple(ap.key() for ap in align_paths): (align_paths, count)
-            for align_paths, count in entries
+            tuple(ap.key() for ap in align_paths): (align_paths, count, raw)
+            for align_paths, count, raw in entries
         }
         index.frag_length_counts = histogram
         index.unaligned_count = unaligned
@@ -251,7 +252,7 @@ def partition_fragments(
         [] for _ in range(clusters.num_clusters())
     ]
     for entry in fragment_lists:
-        align_paths, _ = entry
+        align_paths = entry[0]
         anchor_path_id = int(paths_index.locate_cached(align_paths[0].search)[0])
         per_cluster[clusters.path_to_cluster[anchor_path_id]].append(entry)
     return per_cluster
@@ -272,12 +273,15 @@ def build_cluster_probs(
     paths_index: PathIndex,
     frag_length_dist: FragmentLengthDist,
     cluster_path_ids: np.ndarray,
-    fragment_lists: Sequence[Tuple[List[AlignmentPath], int]],
+    fragment_lists: Sequence[Tuple[List[AlignmentPath], int, Optional[bytes]]],
     haplotype_info: Optional[Dict[str, PathInfo]],
     collapse_haps: bool,
+    finder=None,
+    frag_log_probs: Optional[np.ndarray] = None,
 ) -> Tuple[List[PathInfo], List[ReadPathProbs]]:
     """Assemble PathInfos and deduplicated ReadPathProbs for one cluster
-    (reference src/main.cpp:846-973)."""
+    (reference src/main.cpp:846-973).  When the native engine holds the
+    serialized fragment lists, probability construction runs in C++."""
     clustered_path_index = {int(pid): i for i, pid in enumerate(cluster_path_ids)}
 
     paths: List[PathInfo] = []
@@ -299,8 +303,53 @@ def build_cluster_probs(
             group_name_index.setdefault(info.name, len(group_name_index))
         paths.append(info)
 
+    use_native = (
+        finder is not None
+        and hasattr(finder, "build_cluster_probs")
+        and frag_log_probs is not None
+        and fragment_lists
+        and all(entry[2] is not None for entry in fragment_lists)
+    )
+    if use_native:
+        import struct as _struct
+
+        # Blobs embed the dedup count at serialization time; shard
+        # merging may have summed counts since, so splice in the current
+        # value.
+        entry_blobs = b"".join(
+            _struct.pack("<Q", count) + raw[8:]
+            for _, count, raw in fragment_lists
+        )
+        group_of = None
+        log_source_counts = None
+        n_groups = 0
+        if collapse_haps:
+            group_of = np.array(
+                [group_name_index[info.name] for info in paths], dtype=np.int32
+            )
+            log_source_counts = np.log(
+                np.array([info.source_count for info in paths], dtype=np.float64)
+            )
+            n_groups = len(group_name_index)
+        cluster_probs = finder.build_cluster_probs(
+            entry_blobs,
+            len(fragment_lists),
+            cluster_path_ids,
+            np.array([info.effective_length for info in paths]),
+            frag_log_probs,
+            config.is_single_end(),
+            config.min_noise_prob,
+            config.prob_precision,
+            group_of,
+            n_groups,
+            log_source_counts,
+        )
+        if collapse_haps:
+            paths = _collapse_cluster_paths(paths, group_name_index)
+        return paths, cluster_probs
+
     cluster_probs: List[ReadPathProbs] = []
-    for align_paths, count in fragment_lists:
+    for align_paths, count, _ in fragment_lists:
         align_paths_ids = [
             paths_index.locate_cached(ap.search) for ap in align_paths
         ]
@@ -319,25 +368,7 @@ def build_cluster_probs(
         cluster_probs.append(rpp)
 
     if collapse_haps:
-        # Merge per-transcript paths: lengths weighted by source counts
-        # (reference src/main.cpp:909-951).
-        collapsed = [None] * len(group_name_index)
-        for info in paths:
-            g = group_name_index[info.name]
-            if collapsed[g] is None:
-                merged = info.copy()
-                merged.length = info.length * info.source_count
-                merged.effective_length = info.effective_length * info.source_count
-                collapsed[g] = merged
-            else:
-                merged = collapsed[g]
-                merged.source_count += info.source_count
-                merged.length += info.length * info.source_count
-                merged.effective_length += info.effective_length * info.source_count
-        for merged in collapsed:
-            merged.length = round(merged.length / merged.source_count)
-            merged.effective_length /= merged.source_count
-        paths = collapsed
+        paths = _collapse_cluster_paths(paths, group_name_index)
 
     cluster_probs.sort(key=ReadPathProbs.sort_key)
     deduped: List[ReadPathProbs] = []
@@ -347,6 +378,30 @@ def build_cluster_probs(
         deduped.append(rpp)
 
     return paths, deduped
+
+
+def _collapse_cluster_paths(
+    paths: List[PathInfo], group_name_index: Dict[str, int]
+) -> List[PathInfo]:
+    """Merge per-transcript paths: lengths weighted by source counts
+    (reference src/main.cpp:909-951)."""
+    collapsed = [None] * len(group_name_index)
+    for info in paths:
+        g = group_name_index[info.name]
+        if collapsed[g] is None:
+            merged = info.copy()
+            merged.length = info.length * info.source_count
+            merged.effective_length = info.effective_length * info.source_count
+            collapsed[g] = merged
+        else:
+            merged = collapsed[g]
+            merged.source_count += info.source_count
+            merged.length += info.length * info.source_count
+            merged.effective_length += info.effective_length * info.source_count
+    for merged in collapsed:
+        merged.length = round(merged.length / merged.source_count)
+        merged.effective_length /= merged.source_count
+    return collapsed
 
 
 # ------------------------------------------------------------ entry point
@@ -528,7 +583,7 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     )
 
     stats = run_inference_phases(
-        config, paths_index, fragment_index, pre_frag_length_dist, log
+        config, paths_index, fragment_index, pre_frag_length_dist, log, finder=finder
     )
     stats["wall_seconds"] = time.perf_counter() - t_start
     return stats
@@ -540,6 +595,7 @@ def run_inference_phases(
     fragment_index: FragmentIndex,
     pre_frag_length_dist: FragmentLengthDist,
     log=lambda msg: print(msg, file=sys.stderr),
+    finder=None,
 ) -> Dict:
     """Everything downstream of the (possibly merged multi-shard)
     fragment index: distribution re-fit, clustering, per-cluster
@@ -564,6 +620,11 @@ def run_inference_phases(
             )
 
     collapse_haps = config.inference_model == "transcripts" and config.path_info is not None
+
+    # Fragment-length log-likelihood table for the native probability
+    # builder (fragment lengths are bounded by the pre-distribution's
+    # max, which also caps paired completion).
+    frag_log_probs = frag_length_dist.log_prob_array(pre_frag_length_dist.max_length)
 
     t_phase = time.perf_counter()
     fragment_lists = fragment_index.lists()
@@ -627,6 +688,8 @@ def run_inference_phases(
             per_cluster[cluster_idx],
             haplotype_info,
             collapse_haps,
+            finder=finder,
+            frag_log_probs=frag_log_probs,
         )
         cluster_data.append((rank, paths, cluster_probs))
 

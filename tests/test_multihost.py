@@ -79,3 +79,34 @@ def test_sharded_rpa_input(dataset, tmp_path):
 
     with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
         assert a.read() == b.read()
+
+
+def test_native_vs_python_pipeline_identical(dataset, tmp_path):
+    """The full pipeline must be byte-identical whether the C++ engine
+    (projection + dedup + probability builder) or the Python engine
+    runs, including transcript collapse."""
+    native = pytest.importorskip("rpvg_tpu.native")
+    if not native.native_available():
+        pytest.skip("native toolchain unavailable")
+
+    info_path = str(dataset["tmp"] / "info.tsv")
+    dataset["panel"].write_info_tsv(info_path)
+
+    for model, info in [("transcripts", None), ("transcripts", info_path),
+                        ("haplotypes", None)]:
+        tag = f"{model}_{'info' if info else 'plain'}"
+        cfg_native = make_config(dataset, str(tmp_path / f"{tag}_native"))
+        cfg_native.inference_model = model
+        cfg_native.path_info = info
+        run_pipeline(cfg_native)
+
+        cfg_python = make_config(dataset, str(tmp_path / f"{tag}_python"))
+        cfg_python.inference_model = model
+        cfg_python.path_info = info
+        cfg_python.native = "off"
+        run_pipeline(cfg_python)
+
+        with open(str(tmp_path / f"{tag}_native") + ".txt") as a, open(
+            str(tmp_path / f"{tag}_python") + ".txt"
+        ) as b:
+            assert a.read() == b.read(), f"{tag} diverged"
