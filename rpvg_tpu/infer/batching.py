@@ -24,6 +24,15 @@ def _ceil_pow2(n: int, floor: int = 8) -> int:
     return size
 
 
+def _ceil_pow4(n: int, floor: int = 8) -> int:
+    """Coarser (4x-step) bucketing for the row axis: fewer compiled
+    shapes at the cost of more padded compute."""
+    size = floor
+    while size < n:
+        size *= 4
+    return size
+
+
 def run_batched_em(
     cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
     max_em_its: int = 10000,
@@ -57,7 +66,7 @@ def run_batched_em(
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, counts) in enumerate(cluster_inputs):
         R, C = probs.shape
-        key = (_ceil_pow2(R), _ceil_pow2(C))
+        key = (_ceil_pow4(R), _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
 
     results: List[Tuple[np.ndarray, float]] = [None] * len(cluster_inputs)
@@ -67,7 +76,9 @@ def run_batched_em(
         max_batch = max(1, max_bucket_rows // R_pad) * 8
         for chunk_start in range(0, len(indices), max_batch):
             chunk = indices[chunk_start : chunk_start + max_batch]
-            B = len(chunk)
+            # Pad the batch axis too so (B, R, C) shapes stay cached
+            # (dummy zero-mask clusters converge immediately).
+            B = _ceil_pow2(len(chunk), floor=1)
             probs_pad = np.zeros((B, R_pad, C_pad), dtype=dtype)
             counts_pad = np.zeros((B, R_pad), dtype=dtype)
             col_masks = np.zeros((B, C_pad), dtype=dtype)

@@ -159,6 +159,13 @@ def _ceil_pow2(n: int, floor: int = 8) -> int:
     return size
 
 
+def _ceil_pow4(n: int, floor: int = 8) -> int:
+    size = floor
+    while size < n:
+        size *= 4
+    return size
+
+
 def _diploid_log_likelihoods(probs, noise, counts, log_freqs):
     """All P*(P+1)/2 diplotype log-likelihoods via the dense device
     kernel.  Inputs are zero-padded to power-of-two shapes (padded rows
@@ -211,14 +218,14 @@ def diploid_posteriors_batched(
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, _, _, _) in enumerate(cluster_inputs):
         R, P = probs.shape
-        buckets.setdefault((_ceil_pow2(R), _ceil_pow2(P)), []).append(idx)
+        buckets.setdefault((_ceil_pow4(R), _ceil_pow2(P)), []).append(idx)
 
     results = [None] * len(cluster_inputs)
     for (R_pad, P_pad), indices in buckets.items():
         max_batch = max(1, (1 << 24) // max(1, R_pad * P_pad * P_pad))
         for chunk_start in range(0, len(indices), max_batch):
             chunk = indices[chunk_start : chunk_start + max_batch]
-            B = len(chunk)
+            B = _ceil_pow2(len(chunk), floor=1)
             probs_pad = np.zeros((B, R_pad, P_pad))
             noise_pad = np.ones((B, R_pad))
             counts_pad = np.zeros((B, R_pad))
