@@ -28,14 +28,22 @@ import time
 BASELINE_PAIRS_PER_S = 1700.0
 
 
-def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
+def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
+    """Generate the reference-example-shaped dataset once (shared by
+    every backend attempt): a four-haplotype pantranscriptome with
+    `haplotype-transcripts` inputs — the bundled example is 100k pairs
+    over 36,120 paths."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import pickle
+
     from rpvg_tpu import sim
-    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+    from rpvg_tpu.alignments import parse_multipath_alignment
+    from rpvg_tpu.io import rpa
+    from rpvg_tpu.native import native_available
 
     panel = sim.build_panel(
         num_transcripts=num_transcripts,
-        num_haplotypes=2,
+        num_haplotypes=4,
         exons_per_transcript=5,
         exon_length=120,
         variant_sites=2,
@@ -45,33 +53,43 @@ def run_workload(num_pairs: int, num_transcripts: int, out_dir: str) -> dict:
         panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17
     )
 
-    # Production input path: binary rpa container parsed by the native
-    # engine (conversion excluded from the measured section, like the
-    # reference's prebuilt .gamp input).
-    from rpvg_tpu.alignments import parse_multipath_alignment
-    from rpvg_tpu.io import rpa
-    from rpvg_tpu.native import native_available
-
-    aln_path = os.path.join(out_dir, "bench_aln.json")
-    sim.write_alignment_json(records, aln_path)
+    sim.write_alignment_json(records, os.path.join(out_dir, "bench_aln.json"))
     if native_available():
         alns = [parse_multipath_alignment(r) for r in records]
         pairs = list(zip(alns[0::2], alns[1::2]))
-        rpa_path = os.path.join(out_dir, "bench_aln.rpa")
         rpa.write_fragments(
-            rpa_path, pairs, is_multipath=True, is_paired=True,
-            frag_mean=250.0, frag_sd=25.0,
+            os.path.join(out_dir, "bench_aln.rpa"), pairs,
+            is_multipath=True, is_paired=True, frag_mean=250.0, frag_sd=25.0,
         )
-        aln_path = rpa_path
+    panel.write_info_tsv(os.path.join(out_dir, "bench_info.tsv"))
+    with open(os.path.join(out_dir, "panel.pkl"), "wb") as handle:
+        pickle.dump(panel, handle)
 
+
+def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
+    """Measure the pipeline end-to-end from prebuilt binary inputs,
+    exactly as the reference measures from its prebuilt .gamp."""
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import multiprocessing
+    import pickle
+
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    with open(os.path.join(data_dir, "panel.pkl"), "rb") as handle:
+        panel = pickle.load(handle)
+
+    rpa_path = os.path.join(data_dir, "bench_aln.rpa")
+    aln_path = rpa_path if os.path.exists(rpa_path) else os.path.join(
+        data_dir, "bench_aln.json"
+    )
 
     config = PipelineConfig(
         graph=panel.graph,
         paths=panel.paths_index,
         alignments=aln_path,
-        output_prefix=os.path.join(out_dir, "bench_out"),
-        inference_model="transcripts",
+        output_prefix=os.path.join(data_dir, "bench_out"),
+        inference_model="haplotype-transcripts",
+        path_info=os.path.join(data_dir, "bench_info.tsv"),
         threads=min(8, multiprocessing.cpu_count()),
         rng_seed=42,
         score_not_qual=True,
@@ -98,22 +116,29 @@ def child_main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     args = json.loads(sys.argv[2])
-    with tempfile.TemporaryDirectory() as tmp:
-        result = run_workload(args["num_pairs"], args["num_transcripts"], tmp)
+    result = run_workload(args["num_pairs"], args["num_transcripts"], args["data_dir"])
     print(json.dumps(result), flush=True)
     os._exit(0)  # skip accelerator teardown (tunnel hangs on exit)
 
 
 def main() -> int:
     parser = argparse.ArgumentParser()
-    parser.add_argument("--pairs", type=int, default=20000)
-    parser.add_argument("--transcripts", type=int, default=250)
+    parser.add_argument("--pairs", type=int, default=100000)
+    parser.add_argument("--transcripts", type=int, default=9000)
     parser.add_argument("--timeout", type=float, default=600.0)
     parser.add_argument("--probe-timeout", type=float, default=90.0)
     args = parser.parse_args()
 
+    data_dir = tempfile.mkdtemp(prefix="rpvg_bench_")
+    print(f"bench: generating dataset ({args.pairs} pairs) ...", file=sys.stderr)
+    make_dataset(args.pairs, args.transcripts, data_dir)
+
     payload = json.dumps(
-        {"num_pairs": args.pairs, "num_transcripts": args.transcripts}
+        {
+            "num_pairs": args.pairs,
+            "num_transcripts": args.transcripts,
+            "data_dir": data_dir,
+        }
     )
 
     def attempt(extra_env):
@@ -180,6 +205,10 @@ def main() -> int:
         cpu_result["backend"] = "cpu"
         candidates.append(cpu_result)
 
+    import shutil
+
+    shutil.rmtree(data_dir, ignore_errors=True)
+
     if not candidates:
         return 1
     result = max(candidates, key=lambda r: r["pairs_per_s"])
@@ -205,4 +234,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--child":
         child_main()
     else:
-        raise SystemExit(main())
+        code = main()
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os._exit(code)  # skip any accelerator teardown
