@@ -258,12 +258,41 @@ class PathIndex:
             self._path_length_cache[path_id] = cached
         return cached
 
+    def all_path_lengths(self) -> np.ndarray:
+        """Sequence lengths for every path in one vectorised pass."""
+        lengths = np.empty(self.num_paths, dtype=np.int64)
+        for pid in range(self.num_paths):
+            cached = self._path_length_cache.get(pid)
+            if cached is None:
+                nodes = self.path_nodes(pid)
+                cached = int(self.graph.node_lengths[nodes >> 1].sum())
+                self._path_length_cache[pid] = cached
+            lengths[pid] = cached
+        return lengths
+
+    def all_effective_path_lengths(
+        self, fragment_length_dist: FragmentLengthDist
+    ) -> np.ndarray:
+        """Effective lengths for every path at once (vectorised over the
+        distinct path lengths, which are few)."""
+        lengths = self.all_path_lengths()
+        unique_lengths = np.unique(lengths)
+        table = {
+            int(length): self._effective_length_for(int(length), fragment_length_dist)
+            for length in unique_lengths
+        }
+        return np.array([table[int(length)] for length in lengths])
+
     def effective_path_length(
         self, path_id: int, fragment_length_dist: FragmentLengthDist
     ) -> float:
+        return self._effective_length_for(self.path_length(path_id), fragment_length_dist)
+
+    def _effective_length_for(
+        self, path_length: int, fragment_length_dist: FragmentLengthDist
+    ) -> float:
         """Path length minus the expected [1, L]-truncated fragment
         length, clamped to >= 1 (reference paths_index.cpp:190-219)."""
-        path_length = self.path_length(path_id)
         if path_length == 0:
             return 0.0
 

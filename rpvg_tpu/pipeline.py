@@ -278,6 +278,8 @@ def build_cluster_probs(
     collapse_haps: bool,
     finder=None,
     frag_log_probs: Optional[np.ndarray] = None,
+    all_lengths: Optional[np.ndarray] = None,
+    all_eff_lengths: Optional[np.ndarray] = None,
 ) -> Tuple[List[PathInfo], List[ReadPathProbs]]:
     """Assemble PathInfos and deduplicated ReadPathProbs for one cluster
     (reference src/main.cpp:846-973).  When the native engine holds the
@@ -287,17 +289,23 @@ def build_cluster_probs(
     paths: List[PathInfo] = []
     group_name_index: Dict[str, int] = {}
     for pid in cluster_path_ids:
-        name = paths_index.path_name(int(pid))
+        pid = int(pid)
+        name = paths_index.path_name(pid)
         if haplotype_info is None:
             info = PathInfo(name=name)
         else:
             info = haplotype_info[name].copy()
-        info.length = paths_index.path_length(int(pid))
+        info.length = (
+            int(all_lengths[pid]) if all_lengths is not None
+            else paths_index.path_length(pid)
+        )
         if config.long_reads:
             info.effective_length = float(info.length)
+        elif all_eff_lengths is not None:
+            info.effective_length = float(all_eff_lengths[pid])
         else:
             info.effective_length = paths_index.effective_path_length(
-                int(pid), frag_length_dist
+                pid, frag_length_dist
             )
         if collapse_haps:
             group_name_index.setdefault(info.name, len(group_name_index))
@@ -623,8 +631,14 @@ def run_inference_phases(
 
     # Fragment-length log-likelihood table for the native probability
     # builder (fragment lengths are bounded by the pre-distribution's
-    # max, which also caps paired completion).
+    # max, which also caps paired completion), plus the global
+    # length/effective-length tables (vectorised over distinct lengths).
     frag_log_probs = frag_length_dist.log_prob_array(pre_frag_length_dist.max_length)
+    all_lengths = paths_index.all_path_lengths()
+    all_eff_lengths = (
+        None if config.long_reads
+        else paths_index.all_effective_path_lengths(frag_length_dist)
+    )
 
     t_phase = time.perf_counter()
     fragment_lists = fragment_index.lists()
@@ -690,6 +704,8 @@ def run_inference_phases(
             collapse_haps,
             finder=finder,
             frag_log_probs=frag_log_probs,
+            all_lengths=all_lengths,
+            all_eff_lengths=all_eff_lengths,
         )
         cluster_data.append((rank, paths, cluster_probs))
 
