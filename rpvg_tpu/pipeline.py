@@ -541,6 +541,16 @@ def collect_fragments(
         # while the native engine (which releases the GIL) projects.
         block_queue: "queue.Queue" = queue.Queue(maxsize=4)
 
+        header = RpaReader(config.alignments)
+        assert header.is_paired == (not config.is_single_end()), (
+            f"rpa file is {'paired' if header.is_paired else 'single-end'} "
+            f"but the pipeline is configured otherwise"
+        )
+        assert header.is_multipath == (not config.single_path), (
+            "rpa record type (multipath/single-path) does not match configuration"
+        )
+        header.close()
+
         def read_blocks():
             reader = RpaReader(config.alignments)
             for block_idx, payload in enumerate(reader.blocks()):
