@@ -12,6 +12,8 @@ Covered here:
 * `haplotype-transcripts` (collapsed, diploid, non-Gibbs): batched
   grouped pair scoring -> host subset selection -> one batched EM run
   over every (cluster, subset) task.
+* `strains` (non-Gibbs): host greedy cover per cluster -> one batched
+  EM run over every cover sub-matrix.
 
 Other configurations (Gibbs posterior sampling, ploidy != 2,
 independent-group inference, read-count sampling) dispatch per cluster
@@ -26,7 +28,11 @@ import numpy as np
 
 from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD
 from .batching import run_batched_em
-from .estimators import NestedPathAbundanceEstimator, PathGroupPosteriorEstimator
+from .estimators import (
+    MinimumPathAbundanceEstimator,
+    NestedPathAbundanceEstimator,
+    PathGroupPosteriorEstimator,
+)
 from .matrices import construct_probability_matrix
 from .posteriors import diploid_posteriors_batched
 
@@ -125,3 +131,36 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
     for ci, tasks in cluster_tasks.items():
         est = cluster_data[ci][0]
         estimator.combine_subset_tasks(est, tasks, per_cluster.get(ci, []))
+
+
+def supports_batched_strains(estimator, num_gibbs_samples: int) -> bool:
+    return (
+        isinstance(estimator, MinimumPathAbundanceEstimator)
+        and num_gibbs_samples == 0
+    )
+
+
+def batched_strains(estimator, cluster_data) -> None:
+    """Batched `strains` inference: the greedy cover stays on the host
+    (cheap, data-dependent), the per-cover EM runs in one bucketed
+    batched sweep instead of per-cluster dispatches.  Mutates the
+    estimates in cluster_data in place."""
+    tasks = []
+    meta = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(len(est.paths), 1)
+        if not cluster_probs:
+            continue
+        task = estimator.prepare_cover_task(est, cluster_probs)
+        if task is None:
+            continue
+        tasks.append(task)
+        meta.append(ci)
+
+    em_results = run_batched_em(
+        [(task["matrix"], task["counts"]) for task in tasks],
+        estimator.max_em_its,
+        estimator.max_rel_em_conv,
+    )
+    for ci, task, (abundances, noise_count) in zip(meta, tasks, em_results):
+        estimator.apply_cover_result(cluster_data[ci][0], task, abundances, noise_count)

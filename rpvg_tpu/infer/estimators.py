@@ -174,18 +174,17 @@ class PathAbundanceEstimator(PathEstimator):
 class MinimumPathAbundanceEstimator(PathAbundanceEstimator):
     """Greedy minimum path cover then EM on the cover (`strains`)."""
 
-    def estimate(self, estimates, cluster_probs, rng):
-        estimates.reset(len(estimates.paths), 1)
-        if not cluster_probs:
-            return
+    def prepare_cover_task(self, estimates, cluster_probs) -> Optional[dict]:
+        """Host half: cover selection + collapsed sub-matrix, no EM.
+        Returns None when no path covers any read (empty estimates)."""
+        from ..constants import double_compare
+
         probs, noise, counts = construct_probability_matrix(cluster_probs, len(estimates.paths))
 
         cover_matrix = np.zeros_like(probs, dtype=bool)
         path_weights = np.zeros(probs.shape[1], dtype=np.float64)
         cover_counts = counts.copy()
         for i, rpp in enumerate(cluster_probs):
-            from ..constants import double_compare
-
             if double_compare(noise[i], 1.0):
                 cover_counts[i] = 0.0
             for prob, ids in rpp.path_probs:
@@ -196,15 +195,36 @@ class MinimumPathAbundanceEstimator(PathAbundanceEstimator):
 
         min_cover = weighted_minimum_path_cover(cover_matrix, cover_counts, path_weights)
         if not min_cover:
-            return
+            return None
 
         sub_probs, sub_noise, sub_counts = construct_partial_probability_matrix(
             cluster_probs, min_cover, len(estimates.paths)
         )
         sub_full = add_noise_and_normalize(sub_probs, sub_noise)
         sub_full, sub_counts = read_collapse(sub_full, sub_counts, self.prob_precision)
+        return {
+            "matrix": sub_full,
+            "counts": sub_counts,
+            "min_cover": min_cover,
+            "total": float(sub_counts.sum()),
+        }
 
-        total = float(sub_counts.sum())
+    def apply_cover_result(self, estimates, task, abundances, noise_count) -> None:
+        for j, pid in enumerate(task["min_cover"]):
+            estimates.abundances[pid] += float(abundances[j])
+        estimates.noise_count = noise_count
+        estimates.total_count = task["total"]
+
+    def estimate(self, estimates, cluster_probs, rng):
+        estimates.reset(len(estimates.paths), 1)
+        if not cluster_probs:
+            return
+        task = self.prepare_cover_task(estimates, cluster_probs)
+        if task is None:
+            return
+        sub_full, sub_counts = task["matrix"], task["counts"]
+        min_cover, total = task["min_cover"], task["total"]
+
         abundances, noise_count = em_abundances(
             sub_full, sub_counts, total, self.max_em_its, self.max_rel_em_conv
         )
@@ -225,10 +245,7 @@ class MinimumPathAbundanceEstimator(PathAbundanceEstimator):
             samples.abundance_samples = list(map(float, path_samples.reshape(-1)))
             estimates.gibbs_read_count_samples.append(samples)
 
-        for j, pid in enumerate(min_cover):
-            estimates.abundances[pid] += float(abundances[j])
-        estimates.noise_count = noise_count
-        estimates.total_count = total
+        self.apply_cover_result(estimates, task, abundances, noise_count)
 
 
 class NestedPathAbundanceEstimator(PathAbundanceEstimator):

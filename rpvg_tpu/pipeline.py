@@ -725,16 +725,20 @@ def run_inference_phases(
     from .infer.batched_models import (
         batched_haplotype_transcripts,
         batched_haplotypes,
+        batched_strains,
         supports_batched_haplotypes,
         supports_batched_nested,
+        supports_batched_strains,
     )
 
     results: List[ClusterResult] = []
     use_batched = (
         config.inference_model == "transcripts" and config.num_gibbs_samples == 0
     )
-    if supports_batched_nested(estimator, config.num_gibbs_samples) or (
-        supports_batched_haplotypes(estimator)
+    if (
+        supports_batched_nested(estimator, config.num_gibbs_samples)
+        or supports_batched_haplotypes(estimator)
+        or supports_batched_strains(estimator, config.num_gibbs_samples)
     ):
         batch_data = []
         for rank, paths, cluster_probs in cluster_data:
@@ -743,6 +747,8 @@ def run_inference_phases(
             batch_data.append((estimates, cluster_probs))
         if supports_batched_nested(estimator, config.num_gibbs_samples):
             batched_haplotype_transcripts(estimator, batch_data)
+        elif supports_batched_strains(estimator, config.num_gibbs_samples):
+            batched_strains(estimator, batch_data)
         else:
             batched_haplotypes(estimator, batch_data)
         for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):

@@ -354,3 +354,46 @@ def test_diploid_blocked_matches_dense():
 
     assert blocked_groups == dense_groups
     assert np.allclose(blocked_post, dense_post, rtol=1e-9, atol=1e-12)
+
+
+def test_batched_strains_matches_per_cluster():
+    # The batched strains driver must reproduce the per-cluster
+    # estimator exactly (same cover, same EM results).
+    from rpvg_tpu.infer.batched_models import batched_strains, supports_batched_strains
+
+    rng = np.random.default_rng(7)
+    specs = []
+    for n_paths, n_reads in [(1, 3), (2, 5), (4, 12), (7, 30), (3, 1), (5, 0)]:
+        paths_spec = [
+            (f"p{j}", j, 1, [j], 100 + 10 * j, 80.0 + 5.0 * j) for j in range(n_paths)
+        ]
+        rpps = []
+        for _ in range(n_reads):
+            k = int(rng.integers(1, n_paths + 1))
+            ids = sorted(rng.choice(n_paths, size=k, replace=False).tolist())
+            prob = float(rng.uniform(0.3, 0.99)) / k
+            rpps.append(
+                make_rpp(int(rng.integers(1, 6)), float(rng.uniform(0.001, 0.2)), [(prob, ids)])
+            )
+        specs.append((paths_spec, rpps))
+
+    estimator = MinimumPathAbundanceEstimator()
+    assert supports_batched_strains(estimator, 0)
+    assert not supports_batched_strains(estimator, 10)
+
+    serial = []
+    for paths_spec, rpps in specs:
+        est, _ = make_cluster(paths_spec, rpps)
+        estimator.estimate(est, rpps, ClusterRNG(42, 0))
+        serial.append(est)
+
+    batch_data = []
+    for paths_spec, rpps in specs:
+        est, _ = make_cluster(paths_spec, rpps)
+        batch_data.append((est, rpps))
+    batched_strains(estimator, batch_data)
+
+    for ser, (bat, _) in zip(serial, batch_data):
+        assert bat.abundances == pytest.approx(ser.abundances, rel=1e-9, abs=1e-12)
+        assert bat.noise_count == pytest.approx(ser.noise_count, rel=1e-9, abs=1e-12)
+        assert bat.total_count == ser.total_count
