@@ -39,6 +39,16 @@ def build_parser() -> argparse.ArgumentParser:
     general = parser.add_argument_group("general")
     general.add_argument("-t", "--threads", type=int, default=1)
     general.add_argument("-r", "--rng-seed", type=int, default=None)
+    general.add_argument(
+        "--backend",
+        default=None,
+        metavar="PLATFORM",
+        help=(
+            "force the JAX compute backend (e.g. 'cpu', 'tpu'); set this "
+            "BEFORE any device work happens, which is the only reliable "
+            "override when the environment pre-pins an accelerator platform"
+        ),
+    )
 
     alignment = parser.add_argument_group("alignment")
     alignment.add_argument(
@@ -82,6 +92,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.backend is not None:
+        # jax.config is authoritative even where the JAX_PLATFORMS env
+        # var is shadowed by a site bootstrap; must run before tracing.
+        import jax
+
+        jax.config.update("jax_platforms", args.backend)
 
     if args.frag_mean is None != args.frag_sd is None:
         print("ERROR: both --frag-mean and --frag-sd must be given.", file=sys.stderr)
