@@ -31,6 +31,7 @@ from .batching import run_batched_em
 from .estimators import (
     MinimumPathAbundanceEstimator,
     NestedPathAbundanceEstimator,
+    PathAbundanceEstimator,
     PathGroupPosteriorEstimator,
 )
 from .matrices import construct_probability_matrix
@@ -133,18 +134,89 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
         estimator.combine_subset_tasks(est, tasks, per_cluster.get(ci, []))
 
 
-def supports_batched_strains(estimator, num_gibbs_samples: int) -> bool:
-    return (
-        isinstance(estimator, MinimumPathAbundanceEstimator)
-        and num_gibbs_samples == 0
+def cluster_gibbs_keys(rng_seed: int, ranks: Sequence[int]) -> np.ndarray:
+    """The JAX PRNG key each cluster's first `rng.next_key()` would
+    yield (ClusterRNG parity: fold_in(seed, rank) then split), computed
+    for all clusters in two vmapped dispatches."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.PRNGKey(rng_seed)
+    folded = jax.vmap(lambda r: jax.random.fold_in(base, r))(jnp.asarray(list(ranks)))
+    split = jax.vmap(jax.random.split)(folded)
+    return np.asarray(split[:, 1])
+
+
+def _attach_gibbs_samples(est, path_ids, noise_samples, path_samples) -> None:
+    from .estimates import CountSamples
+
+    samples = CountSamples(path_ids=list(path_ids))
+    samples.noise_samples = list(map(float, noise_samples))
+    samples.abundance_samples = list(map(float, path_samples.reshape(-1)))
+    est.gibbs_read_count_samples.append(samples)
+
+
+def supports_batched_transcripts(estimator) -> bool:
+    return type(estimator) is PathAbundanceEstimator
+
+
+def batched_transcripts(estimator, cluster_data, rng_seed: int = 0) -> None:
+    """Batched `transcripts` inference: one bucketed EM sweep over every
+    cluster, then (when sampling) one bucketed Gibbs sweep.  Mutates the
+    estimates in cluster_data in place."""
+    from .matrices import add_noise_and_normalize
+    from .readcount_gibbs import run_batched_gibbs
+
+    inputs = []
+    meta = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(len(est.paths), 1)
+        if not cluster_probs:
+            continue
+        probs, noise, counts = construct_probability_matrix(cluster_probs, len(est.paths))
+        full_probs = add_noise_and_normalize(probs, noise)
+        est.total_count = float(counts.sum())
+        inputs.append((full_probs, counts))
+        meta.append(ci)
+
+    em_results = run_batched_em(
+        inputs, estimator.max_em_its, estimator.max_rel_em_conv
     )
+    for ci, (abundances, noise_count) in zip(meta, em_results):
+        est = cluster_data[ci][0]
+        est.abundances = list(map(float, abundances))
+        est.noise_count = noise_count
+
+    if estimator.num_gibbs_samples > 0:
+        keys = cluster_gibbs_keys(rng_seed, meta)
+        gibbs_inputs = [
+            (probs, counts, np.asarray(abundances), noise_count, cluster_data[ci][0].total_count)
+            for (probs, counts), (abundances, noise_count), ci in zip(
+                inputs, em_results, meta
+            )
+        ]
+        gibbs_results = run_batched_gibbs(
+            gibbs_inputs, keys, estimator.num_gibbs_samples, estimator.gibbs_thin_its
+        )
+        for ci, (noise_samples, path_samples) in zip(meta, gibbs_results):
+            est = cluster_data[ci][0]
+            _attach_gibbs_samples(
+                est, range(len(est.path_group_sets)), noise_samples, path_samples
+            )
 
 
-def batched_strains(estimator, cluster_data) -> None:
+def supports_batched_strains(estimator, num_gibbs_samples: int) -> bool:
+    return isinstance(estimator, MinimumPathAbundanceEstimator)
+
+
+def batched_strains(estimator, cluster_data, rng_seed: int = 0) -> None:
     """Batched `strains` inference: the greedy cover stays on the host
     (cheap, data-dependent), the per-cover EM runs in one bucketed
-    batched sweep instead of per-cluster dispatches.  Mutates the
-    estimates in cluster_data in place."""
+    batched sweep instead of per-cluster dispatches, followed by one
+    bucketed Gibbs sweep when sampling.  Mutates the estimates in
+    cluster_data in place."""
+    from .readcount_gibbs import run_batched_gibbs
+
     tasks = []
     meta = []
     for ci, (est, cluster_probs) in enumerate(cluster_data):
@@ -162,5 +234,20 @@ def batched_strains(estimator, cluster_data) -> None:
         estimator.max_em_its,
         estimator.max_rel_em_conv,
     )
+
+    if estimator.num_gibbs_samples > 0:
+        keys = cluster_gibbs_keys(rng_seed, meta)
+        gibbs_inputs = [
+            (task["matrix"], task["counts"], np.asarray(abundances), noise_count, task["total"])
+            for task, (abundances, noise_count) in zip(tasks, em_results)
+        ]
+        gibbs_results = run_batched_gibbs(
+            gibbs_inputs, keys, estimator.num_gibbs_samples, estimator.gibbs_thin_its
+        )
+        for ci, task, (noise_samples, path_samples) in zip(meta, tasks, gibbs_results):
+            _attach_gibbs_samples(
+                cluster_data[ci][0], task["min_cover"], noise_samples, path_samples
+            )
+
     for ci, task, (abundances, noise_count) in zip(meta, tasks, em_results):
         estimator.apply_cover_result(cluster_data[ci][0], task, abundances, noise_count)

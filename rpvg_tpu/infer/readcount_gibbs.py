@@ -38,9 +38,10 @@ def _multinomial_rows(key, n, p):
     return draws.T  # (R, C)
 
 
-@partial(jax.jit, static_argnames=("num_samples", "thin_its"))
-def _gibbs_read_counts(key, probs, counts, init_fracs, gamma, num_samples, thin_its):
-    """Returns (num_samples, C) sampled abundance fractions."""
+def _gibbs_read_counts_masked(key, probs, counts, init_fracs, col_mask, gamma, num_samples, thin_its):
+    """Returns (num_samples, C) sampled abundance fractions.  col_mask
+    zeroes the Dirichlet prior on padded columns so zero-padded inputs
+    sample identically to their unpadded shapes' distribution."""
 
     def iteration(fracs, it_key):
         weighted = probs * fracs[None, :]
@@ -50,13 +51,30 @@ def _gibbs_read_counts(key, probs, counts, init_fracs, gamma, num_samples, thin_
         thin_key, gamma_key = jax.random.split(it_key)
         path_counts = _multinomial_rows(thin_key, counts, posteriors).sum(axis=0)
 
-        draws = jax.random.gamma(gamma_key, path_counts + gamma)
+        draws = jax.random.gamma(gamma_key, path_counts + gamma) * col_mask
         new_fracs = draws / draws.sum()
         return new_fracs, new_fracs
 
     keys = jax.random.split(key, num_samples * thin_its)
     _, all_fracs = jax.lax.scan(iteration, init_fracs, keys)
     return all_fracs[thin_its - 1 :: thin_its]
+
+
+@partial(jax.jit, static_argnames=("num_samples", "thin_its"))
+def _gibbs_read_counts(key, probs, counts, init_fracs, gamma, num_samples, thin_its):
+    return _gibbs_read_counts_masked(
+        key, probs, counts, init_fracs,
+        jnp.ones_like(init_fracs), gamma, num_samples, thin_its,
+    )
+
+
+@partial(jax.jit, static_argnames=("num_samples", "thin_its"))
+def _gibbs_read_counts_vmapped(keys, probs, counts, init_fracs, col_masks, gamma, num_samples, thin_its):
+    """Batch axis over clusters: keys (B,2), probs (B,R,C), counts
+    (B,R), init_fracs/col_masks (B,C)."""
+    return jax.vmap(
+        _gibbs_read_counts_masked, in_axes=(0, 0, 0, 0, 0, None, None, None)
+    )(keys, probs, counts, init_fracs, col_masks, gamma, num_samples, thin_its)
 
 
 def gibbs_read_count_samples(
@@ -96,3 +114,91 @@ def gibbs_read_count_samples(
     noise_samples += np.where(low, path_samples, 0.0).sum(axis=1)
     path_samples[low] = 0.0
     return noise_samples, path_samples
+
+
+def run_batched_gibbs(
+    cluster_inputs,
+    rng_keys,
+    num_samples: int,
+    thin_its: int = 25,
+    gamma: float = 1.0,
+    dtype=None,
+    max_bucket_rows: int = 4096,
+):
+    """Sample read-count posteriors over many clusters with the same
+    shape bucketing as run_batched_em, so the whole Gibbs pass compiles
+    O(#buckets) programs instead of one per cluster shape.
+
+    cluster_inputs: per cluster (noise-normalised probs (R, P+1), counts
+    (R,), abundances (P,), noise_count, total_count); rng_keys: one JAX
+    PRNG key per cluster (ClusterRNG parity with the per-cluster path).
+    Returns per cluster (noise_samples (S,), path_samples (S, P)).
+
+    Draws match the per-cluster sampler bitwise at equal dtype: the
+    threefry PRNG is counter-based (bits[i] = hash(key, i)), so the
+    first R/C elements of every padded draw equal the unpadded draw,
+    and padded rows/columns contribute zero through the mask.
+    """
+    import jax as _jax
+
+    from .batching import _ceil_pow2, _ceil_pow4
+
+    on_tpu = _jax.default_backend() == "tpu"
+    if dtype is None:
+        dtype = np.float32 if on_tpu else np.float64
+
+    buckets = {}
+    for idx, item in enumerate(cluster_inputs):
+        R, C = item[0].shape
+        buckets.setdefault((_ceil_pow4(R), _ceil_pow2(C)), []).append(idx)
+
+    results = [None] * len(cluster_inputs)
+    for (R_pad, C_pad), indices in buckets.items():
+        max_batch = max(1, max_bucket_rows // R_pad) * 8
+        for chunk_start in range(0, len(indices), max_batch):
+            chunk = indices[chunk_start : chunk_start + max_batch]
+            B = _ceil_pow2(len(chunk), floor=1)
+
+            probs = np.zeros((B, R_pad, C_pad), dtype=dtype)
+            counts = np.zeros((B, R_pad), dtype=dtype)
+            init_fracs = np.zeros((B, C_pad), dtype=dtype)
+            col_masks = np.zeros((B, C_pad), dtype=dtype)
+            keys = np.zeros((B,) + np.asarray(rng_keys[chunk[0]]).shape, dtype=np.uint32)
+            for bi, idx in enumerate(chunk):
+                p, c, abundances, noise_count, total = cluster_inputs[idx]
+                R, C = p.shape
+                probs[bi, :R, :C] = p
+                counts[bi, :R] = c
+                init_fracs[bi, :C] = np.concatenate(
+                    [np.asarray(abundances) / total, [noise_count / total]]
+                )
+                col_masks[bi, :C] = 1.0
+                keys[bi] = np.asarray(rng_keys[idx])
+
+            fracs = np.asarray(
+                _gibbs_read_counts_vmapped(
+                    jnp.asarray(keys),
+                    jnp.asarray(probs),
+                    jnp.asarray(counts),
+                    jnp.asarray(init_fracs),
+                    jnp.asarray(col_masks),
+                    float(gamma),
+                    int(num_samples),
+                    int(thin_its),
+                ),
+                dtype=np.float64,
+            )
+
+            for bi, idx in enumerate(chunk):
+                C = cluster_inputs[idx][0].shape[1]
+                total = cluster_inputs[idx][4]
+                cluster_fracs = fracs[bi, :, :C]
+                sampled = cluster_fracs * total
+                path_samples = sampled[:, :-1].copy()
+                noise_samples = sampled[:, -1].copy()
+                low = cluster_fracs[:, :-1] < MIN_GIBBS_ABUNDANCE
+                noise_samples += np.where(low, path_samples, 0.0).sum(axis=1)
+                path_samples[low] = 0.0
+                results[idx] = (noise_samples, path_samples)
+
+    return results

@@ -726,19 +726,19 @@ def run_inference_phases(
         batched_haplotype_transcripts,
         batched_haplotypes,
         batched_strains,
+        batched_transcripts,
         supports_batched_haplotypes,
         supports_batched_nested,
         supports_batched_strains,
+        supports_batched_transcripts,
     )
 
     results: List[ClusterResult] = []
-    use_batched = (
-        config.inference_model == "transcripts" and config.num_gibbs_samples == 0
-    )
     if (
         supports_batched_nested(estimator, config.num_gibbs_samples)
         or supports_batched_haplotypes(estimator)
         or supports_batched_strains(estimator, config.num_gibbs_samples)
+        or supports_batched_transcripts(estimator)
     ):
         batch_data = []
         for rank, paths, cluster_probs in cluster_data:
@@ -748,42 +748,12 @@ def run_inference_phases(
         if supports_batched_nested(estimator, config.num_gibbs_samples):
             batched_haplotype_transcripts(estimator, batch_data)
         elif supports_batched_strains(estimator, config.num_gibbs_samples):
-            batched_strains(estimator, batch_data)
+            batched_strains(estimator, batch_data, config.rng_seed)
+        elif supports_batched_transcripts(estimator):
+            batched_transcripts(estimator, batch_data, config.rng_seed)
         else:
             batched_haplotypes(estimator, batch_data)
         for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
-            results.append(ClusterResult(rank + 1, estimates))
-    elif use_batched:
-        from .infer.batching import run_batched_em
-        from .infer.matrices import add_noise_and_normalize, construct_probability_matrix
-
-        cluster_inputs = []
-        for rank, paths, cluster_probs in cluster_data:
-            if cluster_probs:
-                probs, noise, counts = construct_probability_matrix(
-                    cluster_probs, len(paths)
-                )
-                cluster_inputs.append((add_noise_and_normalize(probs, noise), counts))
-            else:
-                cluster_inputs.append(None)
-
-        em_results = run_batched_em(
-            [ci for ci in cluster_inputs if ci is not None],
-            config.max_em_its,
-            config.max_rel_em_conv,
-        )
-        em_it = iter(em_results)
-        for rank, paths, cluster_probs in cluster_data:
-            estimates = PathClusterEstimates()
-            estimates.paths = paths
-            estimates.reset(len(paths), 1)
-            if cluster_probs:
-                path_counts, noise_count = next(em_it)
-                estimates.total_count = float(
-                    cluster_inputs[rank][1].sum()
-                ) if cluster_inputs[rank] is not None else 0.0
-                estimates.abundances = list(map(float, path_counts))
-                estimates.noise_count = noise_count
             results.append(ClusterResult(rank + 1, estimates))
     else:
         for rank, paths, cluster_probs in cluster_data:

@@ -379,7 +379,7 @@ def test_batched_strains_matches_per_cluster():
 
     estimator = MinimumPathAbundanceEstimator()
     assert supports_batched_strains(estimator, 0)
-    assert not supports_batched_strains(estimator, 10)
+    assert supports_batched_strains(estimator, 10)
 
     serial = []
     for paths_spec, rpps in specs:
@@ -397,3 +397,60 @@ def test_batched_strains_matches_per_cluster():
         assert bat.abundances == pytest.approx(ser.abundances, rel=1e-9, abs=1e-12)
         assert bat.noise_count == pytest.approx(ser.noise_count, rel=1e-9, abs=1e-12)
         assert bat.total_count == ser.total_count
+
+
+def test_batched_transcripts_gibbs_distributional():
+    # The batched Gibbs sweep matches the per-cluster dispatch bitwise
+    # at equal dtype (threefry is counter-based, so padded draws share
+    # their prefix with unpadded draws); on CPU/f64 we assert exactly.
+    from rpvg_tpu.infer.batched_models import (
+        batched_transcripts,
+        supports_batched_transcripts,
+    )
+    from rpvg_tpu.infer.estimators import PathAbundanceEstimator
+
+    def make_data():
+        specs = [
+            [
+                ("t1", 0, 1, [0], 100, 80.0),
+                ("t2", 1, 1, [1], 100, 80.0),
+            ],
+            [
+                ("t3", 0, 1, [0], 120, 95.0),
+            ],
+        ]
+        rpp_sets = [
+            [
+                make_rpp(40, 0.01, [(0.99, [0])]),
+                make_rpp(10, 0.01, [(0.495, [0, 1])]),
+                make_rpp(20, 0.01, [(0.99, [1])]),
+            ],
+            [make_rpp(30, 0.02, [(0.98, [0])])],
+        ]
+        return [make_cluster(spec, rpps) for spec, rpps in zip(specs, rpp_sets)]
+
+    estimator = PathAbundanceEstimator(num_gibbs_samples=200, gibbs_thin_its=3)
+    assert supports_batched_transcripts(estimator)
+    assert not supports_batched_transcripts(MinimumPathAbundanceEstimator())
+
+    batch_data = make_data()
+    batched_transcripts(estimator, batch_data, rng_seed=42)
+
+    serial = make_data()
+    for rank, (est, rpps) in enumerate(serial):
+        estimator.estimate(est, rpps, ClusterRNG(42, rank))
+
+    for (bat, _), (ser, _) in zip(batch_data, serial):
+        assert bat.abundances == pytest.approx(ser.abundances, rel=1e-9, abs=1e-12)
+        assert len(bat.gibbs_read_count_samples) == 1
+        b, s = bat.gibbs_read_count_samples[0], ser.gibbs_read_count_samples[0]
+        assert b.path_ids == s.path_ids
+        # Bitwise sample parity (CPU runs both paths in float64).
+        np.testing.assert_array_equal(
+            np.asarray(b.abundance_samples), np.asarray(s.abundance_samples)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(b.noise_samples), np.asarray(s.noise_samples)
+        )
+        b_means = np.asarray(b.abundance_samples).reshape(200, -1).mean(axis=0)
+        np.testing.assert_allclose(b_means, bat.abundances, rtol=0.35, atol=2.0)
