@@ -1867,3 +1867,55 @@ uint8_t* rpvg_indexer_dump(void* indexer, int64_t* out_len) {
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Row collapse for probability matrices (the speed path behind
+// rpvg_tpu/infer/matrices.py:read_collapse; reference semantics
+// src/path_estimator.cpp:197-259): sort rows lexicographically by
+// (values..., count), then merge each row whose every element is within
+// `precision` of the last kept row, summing counts.  Kept rows are
+// compacted into the front of probs/counts; returns the kept count.
+int64_t rpvg_read_collapse(double* probs, double* counts, int64_t R,
+                           int64_t C, double precision) {
+  if (R == 0) return 0;
+  std::vector<int64_t> order(R);
+  for (int64_t i = 0; i < R; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    const double* ra = probs + a * C;
+    const double* rb = probs + b * C;
+    for (int64_t j = 0; j < C; ++j) {
+      if (ra[j] < rb[j]) return true;
+      if (ra[j] > rb[j]) return false;
+    }
+    return counts[a] < counts[b];
+  });
+
+  std::vector<double> out_probs;
+  out_probs.reserve(R * C);
+  std::vector<double> out_counts;
+  out_counts.reserve(R);
+  for (int64_t i : order) {
+    const double* row = probs + i * C;
+    if (!out_counts.empty()) {
+      const double* kept = out_probs.data() + (out_counts.size() - 1) * C;
+      bool same = true;
+      for (int64_t j = 0; j < C; ++j) {
+        if (std::abs(kept[j] - row[j]) >= precision) { same = false; break; }
+      }
+      if (same) {
+        out_counts.back() += counts[i];
+        continue;
+      }
+    }
+    out_probs.insert(out_probs.end(), row, row + C);
+    out_counts.push_back(counts[i]);
+  }
+
+  int64_t kept = static_cast<int64_t>(out_counts.size());
+  std::memcpy(probs, out_probs.data(), kept * C * sizeof(double));
+  std::memcpy(counts, out_counts.data(), kept * sizeof(double));
+  return kept;
+}
+
+}  // extern "C"

@@ -79,6 +79,13 @@ def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
 def batched_haplotype_transcripts(estimator, cluster_data) -> None:
     """Batched collapsed-group nested inference; mutates the estimates
     in cluster_data in place."""
+    import os
+    import sys
+    import time
+
+    timing = bool(os.environ.get("RPVG_TPU_PHASE_TIMING"))
+    t0 = time.perf_counter()
+
     # Phase A (host): grouped probability matrices per cluster.
     inputs = []
     meta: List[Tuple[int, List[List[int]]]] = []
@@ -93,8 +100,16 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
         inputs.append((g_probs, g_noise, g_counts, source_counts))
         meta.append((ci, source_groups))
 
+    if timing:
+        print(f"  [timing]   A grouped matrices: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+
     # Phase B (device): diploid group posteriors for every cluster.
     posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+
+    if timing:
+        print(f"  [timing]   B diploid posteriors: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
 
     # Phase C (host): subset selection + EM task preparation.
     all_tasks: List[Tuple[int, dict]] = []
@@ -119,11 +134,19 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
         cluster_tasks[ci] = tasks
         all_tasks.extend((ci, task) for task in tasks)
 
+    if timing:
+        print(f"  [timing]   C subset selection: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+
     # Phase D (device): one batched EM run over every subset task.
     em_inputs = [(task["matrix"], task["counts"]) for _, task in all_tasks]
     em_results = run_batched_em(
         em_inputs, estimator.max_em_its, estimator.max_rel_em_conv
     )
+
+    if timing:
+        print(f"  [timing]   D batched EM ({len(all_tasks)} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
 
     # Phase E (host): posterior-weighted combination per cluster.
     per_cluster: Dict[int, List] = {}

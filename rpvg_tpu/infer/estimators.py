@@ -410,8 +410,18 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
 
     def prepare_subset_tasks(self, estimates, cluster_probs, subset_probs):
         """Build the EM inputs for every selected path subset.  Returns
-        a list of task dicts consumed by :meth:`combine_subset_task`."""
+        a list of task dicts consumed by :meth:`combine_subset_task`.
+
+        The dense cluster matrix is assembled once; each subset's matrix
+        is a column gather of it — elementwise identical to
+        construct_partial_probability_matrix but O(R * |subset|) per
+        task instead of re-scanning every sparse probability record."""
         tasks = []
+        if not subset_probs:
+            return tasks
+        dense, noise, counts = construct_probability_matrix(
+            cluster_probs, len(estimates.paths)
+        )
         for subset, subset_prob in subset_probs.items():
             if subset_prob < self.min_hap_prob:
                 continue
@@ -426,11 +436,8 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                 else:
                     multiplicity[pid] += 1
 
-            sub_probs, sub_noise, sub_counts = construct_partial_probability_matrix(
-                cluster_probs, collapsed, len(estimates.paths)
-            )
-            sub_full = add_noise_and_normalize(sub_probs, sub_noise)
-            sub_full, sub_counts = read_collapse(sub_full, sub_counts, self.prob_precision)
+            sub_full = add_noise_and_normalize(dense[:, collapsed], noise)
+            sub_full, sub_counts = read_collapse(sub_full, counts, self.prob_precision)
             tasks.append(
                 {
                     "subset": subset,

@@ -88,16 +88,62 @@ def add_noise_and_normalize(probs: np.ndarray, noise: np.ndarray) -> np.ndarray:
     return out
 
 
+_native_collapse = None
+
+
+def _native_read_collapse():
+    """ctypes handle for the C++ collapse kernel (None when the native
+    library is unavailable); resolved once."""
+    global _native_collapse
+    if _native_collapse is None:
+        try:
+            from ..native import load_library
+
+            lib = load_library()
+            _native_collapse = lib.rpvg_read_collapse if lib is not None else False
+        except Exception:
+            _native_collapse = False
+    return _native_collapse or None
+
+
 def read_collapse(
     probs: np.ndarray, counts: np.ndarray, prob_precision: float
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Sort rows then merge consecutive rows identical within precision,
-    summing their counts (reference :197-259)."""
+    summing their counts (reference :197-259).
+
+    Speed path: the C++ kernel (native/rpvg_native.cpp:rpvg_read_collapse)
+    runs the same sort+merge; the numpy fallback merges exact-duplicate
+    rows (the common case) in one vectorised prestage.  Both are bitwise
+    identical to the row-by-row loop: every member of an exactly-equal
+    run receives the same keep/merge decision against the same kept row
+    as the run's first member, and read counts are integral so the
+    regrouped sums are exact."""
     if probs.shape[0] == 0:
         return probs, counts
+
+    native_fn = _native_read_collapse()
+    if native_fn is not None:
+        import ctypes
+
+        p = np.array(probs, dtype=np.float64, order="C", copy=True)
+        c = np.array(counts, dtype=np.float64, copy=True)
+        kept = native_fn(
+            p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            c.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            p.shape[0], p.shape[1], float(prob_precision),
+        )
+        return p[:kept], c[:kept]
+
     order = np.lexsort(np.concatenate([probs, counts[:, None]], axis=1).T[::-1])
     probs = probs[order]
-    counts = counts[order].copy()
+    counts = counts[order]
+
+    same = np.all(probs[1:] == probs[:-1], axis=1)
+    uniq_mask = np.concatenate([[True], ~same])
+    group_ids = np.cumsum(uniq_mask) - 1
+    counts = np.bincount(group_ids, weights=counts)
+    probs = probs[uniq_mask]
 
     keep = [0]
     for i in range(1, probs.shape[0]):

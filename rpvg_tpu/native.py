@@ -81,6 +81,11 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.rpvg_indexer_dump.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_indexer_dump.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.rpvg_read_collapse.restype = ctypes.c_int64
+    lib.rpvg_read_collapse.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int64, ctypes.c_int64, ctypes.c_double,
+    ]
     lib.rpvg_build_cluster_probs.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_build_cluster_probs.argtypes = [
         ctypes.c_void_p,

@@ -19,6 +19,7 @@ multi-host runner can drive them independently.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 from dataclasses import dataclass, field
@@ -719,6 +720,10 @@ def run_inference_phases(
         )
         cluster_data.append((rank, paths, cluster_probs))
 
+    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+        log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
+        t_device = time.perf_counter()
+
     # Device half.  Common configurations execute batched across the
     # whole cluster population (O(buckets) kernel dispatches); the rest
     # dispatch per cluster through the estimator classes.
@@ -762,6 +767,9 @@ def run_inference_phases(
             rng = ClusterRNG(config.rng_seed, rank)
             estimator.estimate(estimates, cluster_probs, rng)
             results.append(ClusterResult(rank + 1, estimates))
+
+    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+        log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
 
     for (rank, paths, cluster_probs), result in zip(cluster_data, results):
         if prob_writer is not None:

@@ -177,3 +177,36 @@ def test_randomized_differential():
     for (a1, a2), cc in zip(pairs, cc_results):
         py = py_finder.find_paired_alignment_paths(a1, a2)
         assert path_set(cc) == path_set(py)
+
+
+def test_native_read_collapse_matches_python():
+    # The C++ collapse kernel and the numpy fallback must agree bitwise
+    # (including near-identical rows that chain-merge within precision).
+    import numpy as np
+
+    from rpvg_tpu.infer import matrices as M
+
+    if M._native_read_collapse() is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+
+    rng = np.random.default_rng(123)
+    for trial in range(100):
+        R = int(rng.integers(1, 50))
+        C = int(rng.integers(1, 9))
+        base = rng.random((max(1, R // 3), C))
+        rows = base[rng.integers(0, base.shape[0], size=R)]
+        rows = rows + rng.choice([0.0, 1e-12, 1e-7], size=(R, 1))
+        counts = rng.integers(1, 10, size=R).astype(float)
+
+        native_probs, native_counts = M.read_collapse(rows, counts, 1e-8)
+        saved = M._native_collapse
+        M._native_collapse = False
+        try:
+            py_probs, py_counts = M.read_collapse(rows, counts, 1e-8)
+        finally:
+            M._native_collapse = saved
+
+        assert np.array_equal(native_probs, py_probs), trial
+        assert np.array_equal(native_counts, py_counts), trial
