@@ -3,7 +3,8 @@
 Paths are connected when one fragment's alignment-path list touches both
 (read-sharing edges); optionally also when they share a graph node
 (node-sharing merge, used by --path-node-cluster and the transcript
-collapse mode).  Re-designed around a union-find instead of the
+collapse mode).  Re-designed around a single vectorised
+connected-components sweep over the collected edge list instead of the
 reference's striped-mutex adjacency sets + BFS
 (/root/reference/src/path_clusters.cpp); the emitted clustering is
 identical: clusters ordered by their smallest member path id, members
@@ -12,34 +13,14 @@ sorted ascending.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import List, Sequence
 
 import numpy as np
+from scipy.sparse import coo_matrix
+from scipy.sparse.csgraph import connected_components
 
 from .constants import encode_node
 from .pathindex import PathIndex
-
-
-class _UnionFind:
-    def __init__(self, n: int):
-        self.parent = np.arange(n, dtype=np.int64)
-
-    def find(self, x: int) -> int:
-        parent = self.parent
-        root = x
-        while parent[root] != root:
-            root = parent[root]
-        while parent[x] != root:
-            parent[x], x = root, parent[x]
-        return root
-
-    def union(self, a: int, b: int) -> None:
-        ra, rb = self.find(a), self.find(b)
-        if ra != rb:
-            if ra < rb:
-                self.parent[rb] = ra
-            else:
-                self.parent[ra] = rb
 
 
 class PathClusters:
@@ -54,8 +35,11 @@ class PathClusters:
     def __init__(self, paths_index: PathIndex, align_path_lists: Sequence) -> None:
         self.index = paths_index
         self.num_paths = paths_index.number_of_paths()
-        self._uf = _UnionFind(self.num_paths)
 
+        # One star of edges per fragment: every located path id connects
+        # to the first alignment path's first id (the anchor).
+        edge_u: List[np.ndarray] = []
+        edge_v: List[np.ndarray] = []
         locate = getattr(paths_index, "locate_cached", paths_index.locate)
         for align_paths in align_path_lists:
             anchor = None
@@ -65,14 +49,18 @@ class PathClusters:
                 ids = locate(ap.search)
                 if anchor is None:
                     anchor = int(ids[0])
-                for pid in ids:
-                    self._uf.union(anchor, int(pid))
+                edge_u.append(np.full(ids.size, anchor, dtype=np.int64))
+                edge_v.append(ids)
 
+        self._edge_u = [np.concatenate(edge_u)] if edge_u else []
+        self._edge_v = [np.concatenate(edge_v)] if edge_v else []
         self._rebuild()
 
     def add_node_clusters(self, paths_index: PathIndex) -> None:
         """Merge clusters whose paths share a graph node (reference
         path_clusters.cpp:85-161)."""
+        edge_u: List[np.ndarray] = []
+        edge_v: List[np.ndarray] = []
         for node_id in range(1, paths_index.number_of_nodes() + 1):
             orientations = [False] if paths_index.is_bidirectional else [False, True]
             for rev in orientations:
@@ -82,26 +70,37 @@ class PathClusters:
                 ids = paths_index.locate(state)
                 if ids.size == 0:
                     continue
-                anchor = int(ids[0])
-                for pid in ids[1:]:
-                    self._uf.union(anchor, int(pid))
+                edge_u.append(np.full(ids.size, int(ids[0]), dtype=np.int64))
+                edge_v.append(ids)
+        if edge_u:
+            self._edge_u.append(np.concatenate(edge_u))
+            self._edge_v.append(np.concatenate(edge_v))
         self._rebuild()
 
     def _rebuild(self) -> None:
-        roots = np.array([self._uf.find(i) for i in range(self.num_paths)], dtype=np.int64)
-        # Cluster ids ordered by smallest member path id == first
-        # appearance order of each root when scanning path ids upward.
-        order: Dict[int, int] = {}
-        for pid in range(self.num_paths):
-            root = int(roots[pid])
-            if root not in order:
-                order[root] = len(order)
+        n = self.num_paths
+        if self._edge_u:
+            u = np.concatenate(self._edge_u)
+            v = np.concatenate(self._edge_v)
+            graph = coo_matrix(
+                (np.ones(u.size, dtype=np.int8), (u, v)), shape=(n, n)
+            )
+            _, labels = connected_components(graph, directed=False)
+        else:
+            labels = np.arange(n, dtype=np.int64)
 
-        self.path_to_cluster = np.array([order[int(r)] for r in roots], dtype=np.int64)
-        members: List[List[int]] = [[] for _ in range(len(order))]
-        for pid in range(self.num_paths):
-            members[self.path_to_cluster[pid]].append(pid)
-        self.cluster_to_paths = [np.array(m, dtype=np.int64) for m in members]
+        # Re-label clusters by smallest member path id (scipy already
+        # scans nodes in ascending order, but we do not rely on it).
+        uniq, first = np.unique(labels, return_index=True)
+        new_ids = np.empty(uniq.size, dtype=np.int64)
+        new_ids[np.argsort(first, kind="stable")] = np.arange(uniq.size)
+        compact = np.searchsorted(uniq, labels)
+        self.path_to_cluster = new_ids[compact]
+
+        # Stable argsort keeps member ids ascending within each cluster.
+        order = np.argsort(self.path_to_cluster, kind="stable")
+        sizes = np.bincount(self.path_to_cluster, minlength=uniq.size)
+        self.cluster_to_paths = np.split(order, np.cumsum(sizes)[:-1])
 
     def num_clusters(self) -> int:
         return len(self.cluster_to_paths)

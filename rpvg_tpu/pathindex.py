@@ -230,6 +230,42 @@ class PathIndex:
             seq_ids = seq_ids // 2
         return seq_ids
 
+    def locate_batch(self, states: Iterable[SearchState]) -> None:
+        """Fill the locate cache for every distinct state in ONE
+        vectorised pass (one searchsorted + one global sort), instead of
+        per-state numpy calls whose fixed overhead dominates on the tiny
+        occurrence arrays typical of fragment search states."""
+        todo: List[Tuple[tuple, SearchState]] = []
+        for st in states:
+            if st.empty():
+                continue
+            key = st.key()
+            if key not in self._locate_cache:
+                self._locate_cache[key] = None  # dedupe placeholder
+                todo.append((key, st))
+        if not todo:
+            return
+
+        lengths = np.fromiter(
+            (st.positions.size for _, st in todo), dtype=np.int64, count=len(todo)
+        )
+        all_pos = np.concatenate([st.positions for _, st in todo])
+        seg = np.repeat(np.arange(len(todo), dtype=np.int64), lengths)
+        seq_ids = np.searchsorted(self.seq_starts, all_pos, side="right") - 1
+
+        # Per-segment sorted unique via one global unique on the packed
+        # (segment, seq) key; then the same single //2 collapse as
+        # :meth:`locate` (no second dedup).
+        num_seqs = len(self._sequences) + 1
+        combined = np.unique(seg * num_seqs + seq_ids)
+        seg_out = combined // num_seqs
+        ids_out = combined % num_seqs
+        if self.is_bidirectional:
+            ids_out = ids_out // 2
+        bounds = np.searchsorted(seg_out, np.arange(len(todo) + 1))
+        for i, (key, _) in enumerate(todo):
+            self._locate_cache[key] = ids_out[bounds[i] : bounds[i + 1]]
+
     def locate_cached(self, state: SearchState) -> np.ndarray:
         """Memoised locate: repeated fragments share search states, so
         the probability pass hits the same states many times (the job

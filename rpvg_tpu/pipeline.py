@@ -653,6 +653,10 @@ def run_inference_phases(
 
     t_phase = time.perf_counter()
     fragment_lists = fragment_index.lists()
+    if hasattr(paths_index, "locate_batch"):
+        paths_index.locate_batch(
+            ap.search for fl in fragment_lists for ap in fl[0]
+        )
     clusters = PathClusters(paths_index, [fl[0] for fl in fragment_lists])
     if config.path_node_cluster or collapse_haps:
         clusters.add_node_clusters(paths_index)
