@@ -1919,3 +1919,66 @@ int64_t rpvg_read_collapse(double* probs, double* counts, int64_t R,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Dump the deduplicated index with pre-located path ids: per entry the
+// anchor path id (first located id of the first alignment path) and
+// the sorted-unique union of located ids across its alignment paths —
+// everything Python-side clustering/partitioning needs — plus the raw
+// serialized entry consumed by rpvg_build_cluster_probs.  Layout:
+//   u64 n_entries
+//   per entry: u64 count, i64 anchor, i32 n_union, i64 ids...,
+//              i64 raw_len, raw (u64 count + path-list block)
+//   u64 unaligned, i64 histogram...
+uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
+                                   int64_t* out_len) {
+  auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
+  const Index& idx = *static_cast<Index*>(index_handle);
+
+  Writer w;
+  w.put<uint64_t>(fidx->entries.size());
+  std::vector<int64_t> located;
+  std::vector<int64_t> ids;
+  for (const auto& [key, count] : fidx->entries) {
+    const uint8_t* p = reinterpret_cast<const uint8_t*>(key.data());
+    int32_t n_paths;
+    std::memcpy(&n_paths, p, 4);
+    const uint8_t* cur = p + 4;
+
+    int64_t anchor = -1;
+    ids.clear();
+    for (int32_t i = 0; i < n_paths; ++i) {
+      int32_t n_pos;
+      std::memcpy(&n_pos, cur + 8, 4);
+      const int64_t* positions = reinterpret_cast<const int64_t*>(cur + 12);
+      if (n_pos > 0) {
+        locate_path_ids(idx, positions, n_pos, &located);
+        if (anchor < 0) anchor = located.front();
+        ids.insert(ids.end(), located.begin(), located.end());
+      }
+      cur += 12 + 8 * static_cast<int64_t>(n_pos) + 17;
+    }
+    std::sort(ids.begin(), ids.end());
+    ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+
+    w.put<uint64_t>(count);
+    w.put<int64_t>(anchor);
+    w.put<int32_t>(static_cast<int32_t>(ids.size()));
+    for (int64_t id : ids) w.put<int64_t>(id);
+    w.put<int64_t>(static_cast<int64_t>(8 + key.size()));
+    w.put<uint64_t>(count);
+    size_t offset = w.buf.size();
+    w.buf.resize(offset + key.size());
+    std::memcpy(w.buf.data() + offset, key.data(), key.size());
+  }
+  w.put<uint64_t>(fidx->unaligned);
+  for (int64_t h : fidx->histogram) w.put<int64_t>(h);
+
+  *out_len = static_cast<int64_t>(w.buf.size());
+  auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
+  std::memcpy(out, w.buf.data(), w.buf.size());
+  return out;
+}
+
+}  // extern "C"

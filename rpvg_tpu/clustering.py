@@ -37,11 +37,21 @@ class PathClusters:
         self.num_paths = paths_index.number_of_paths()
 
         # One star of edges per fragment: every located path id connects
-        # to the first alignment path's first id (the anchor).
+        # to the first alignment path's first id (the anchor).  Native
+        # entries arrive pre-located (anchor + id union) — connecting the
+        # union to the anchor yields the same components as per-path
+        # edges, since every edge has the anchor as one endpoint.
         edge_u: List[np.ndarray] = []
         edge_v: List[np.ndarray] = []
         locate = getattr(paths_index, "locate_cached", paths_index.locate)
         for align_paths in align_path_lists:
+            if hasattr(align_paths, "anchor"):
+                if align_paths.ids.size:
+                    edge_u.append(
+                        np.full(align_paths.ids.size, align_paths.anchor, dtype=np.int64)
+                    )
+                    edge_v.append(align_paths.ids)
+                continue
             anchor = None
             for ap in align_paths:
                 if ap.search.empty():

@@ -81,6 +81,10 @@ def load_library() -> Optional[ctypes.CDLL]:
     ]
     lib.rpvg_indexer_dump.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_indexer_dump.argtypes = [ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64)]
+    lib.rpvg_indexer_dump_located.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rpvg_indexer_dump_located.argtypes = [
+        ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.rpvg_read_collapse.restype = ctypes.c_int64
     lib.rpvg_read_collapse.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -124,6 +128,19 @@ def serialize_fragments(fragments: Sequence) -> bytes:
         else:
             _serialize_alignment(s, first)
     return s.buffer()
+
+
+class LocatedPaths:
+    """Pre-located fragment entry: the anchor path id and the sorted
+    unique union of path ids its alignment paths locate to — all the
+    host pipeline needs for clustering/partitioning when the native
+    probability builder consumes the raw entry bytes."""
+
+    __slots__ = ("anchor", "ids")
+
+    def __init__(self, anchor: int, ids: np.ndarray):
+        self.anchor = anchor
+        self.ids = ids
 
 
 def _parse_path_list(view, offset):
@@ -355,6 +372,39 @@ class NativeFinder:
             offset += 8
             paths, offset = _parse_path_list(view, offset)
             entries.append((paths, int(count), data[start:offset]))
+        (unaligned,) = struct.unpack_from("<Q", view, offset)
+        offset += 8
+        histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()
+        return entries, histogram, int(unaligned)
+
+    def dump_indexer_located(self, indexer, hist_size: int):
+        """Like :meth:`dump_indexer` but entries carry pre-located path
+        ids (LocatedPaths) instead of parsed AlignmentPath objects —
+        no per-path Python parsing on the hot path."""
+        out_len = ctypes.c_int64()
+        out_ptr = self._lib.rpvg_indexer_dump_located(
+            indexer, self._handle, ctypes.byref(out_len)
+        )
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        view = memoryview(data)
+        offset = 0
+        (n_entries,) = struct.unpack_from("<Q", view, offset)
+        offset += 8
+        entries = []
+        for _ in range(n_entries):
+            count, anchor, n_ids = struct.unpack_from("<Qqi", view, offset)
+            offset += 20
+            ids = np.frombuffer(view, dtype=np.int64, count=n_ids, offset=offset).copy()
+            offset += 8 * n_ids
+            (raw_len,) = struct.unpack_from("<q", view, offset)
+            offset += 8
+            raw = data[offset : offset + raw_len]
+            offset += raw_len
+            entries.append((LocatedPaths(int(anchor), ids), int(count), raw))
         (unaligned,) = struct.unpack_from("<Q", view, offset)
         offset += 8
         histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()

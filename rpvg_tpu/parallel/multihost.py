@@ -101,9 +101,12 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     for entries, frag_counts, unaligned in shard_payloads:
         shard_index = FragmentIndex(pre_dist, config.is_single_end())
         shard_index.entries = {
-            tuple(ap.key() for ap in align_paths): entry
+            (
+                entry[2][8:]  # native canonical key (raw minus count)
+                if entry[2] is not None
+                else tuple(ap.key() for ap in entry[0])
+            ): entry
             for entry in entries
-            for align_paths in (entry[0],)
         }
         shard_index.frag_length_counts = frag_counts
         shard_index.unaligned_count = unaligned
@@ -113,4 +116,10 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
         f"Merged {num_workers} worker shards: "
         f"{len(fragment_index.entries)} distinct alignment path lists"
     )
-    return run_inference_phases(config, paths_index, fragment_index, pre_dist, log)
+    # The parent needs its own finder: native-engine shards ship
+    # pre-located entries whose probabilities are built from the raw
+    # bytes by the native builder.
+    finder = build_finder(config, paths_index, pre_dist)
+    return run_inference_phases(
+        config, paths_index, fragment_index, pre_dist, log, finder=finder
+    )

@@ -191,14 +191,16 @@ class _NativeIndexerSession:
         self.finder.project_and_index(payload, self.indexer)
 
     def finish(self) -> FragmentIndex:
-        entries, histogram, unaligned = self.finder.dump_indexer(
+        entries, histogram, unaligned = self.finder.dump_indexer_located(
             self.indexer, self.hist_size
         )
         self.finder.free_indexer(self.indexer)
         index = FragmentIndex(self.pre, self.is_single_end)
+        # The native serialization is the canonical dedup key (stable
+        # across shards); entries carry pre-located ids, so no per-path
+        # Python parsing happens on this path.
         index.entries = {
-            tuple(ap.key() for ap in align_paths): (align_paths, count, raw)
-            for align_paths, count, raw in entries
+            raw[8:]: (located, count, raw) for located, count, raw in entries
         }
         index.frag_length_counts = histogram
         index.unaligned_count = unaligned
@@ -254,7 +256,10 @@ def partition_fragments(
     ]
     for entry in fragment_lists:
         align_paths = entry[0]
-        anchor_path_id = int(paths_index.locate_cached(align_paths[0].search)[0])
+        if hasattr(align_paths, "anchor"):  # pre-located native entry
+            anchor_path_id = align_paths.anchor
+        else:
+            anchor_path_id = int(paths_index.locate_cached(align_paths[0].search)[0])
         per_cluster[clusters.path_to_cluster[anchor_path_id]].append(entry)
     return per_cluster
 
@@ -653,7 +658,8 @@ def run_inference_phases(
 
     t_phase = time.perf_counter()
     fragment_lists = fragment_index.lists()
-    if hasattr(paths_index, "locate_batch"):
+    located_entries = bool(fragment_lists) and hasattr(fragment_lists[0][0], "anchor")
+    if not located_entries and hasattr(paths_index, "locate_batch"):
         paths_index.locate_batch(
             ap.search for fl in fragment_lists for ap in fl[0]
         )
