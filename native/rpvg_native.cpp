@@ -13,6 +13,7 @@
 // positions) are returned as a malloc'd buffer.
 
 #include <algorithm>
+#include <atomic>
 #include <cassert>
 #include <cmath>
 #include <cstdint>
@@ -1687,8 +1688,23 @@ uint8_t* rpvg_build_cluster_probs(
     const double* eff_lengths, const int32_t* group_of, int64_t n_groups,
     const double* log_source_counts, const double* frag_log_probs,
     int64_t frag_table_size, int32_t is_single_end, double min_noise_prob,
-    double prob_precision, int64_t* out_len) {
-  const Index& idx = *static_cast<Index*>(handle);
+    double prob_precision, int64_t* out_len);
+
+}  // extern "C"
+
+namespace {
+
+// Core of the per-cluster probability construction: parse serialized
+// entries, compute ReadPathProbs rows, sort and merge identical rows.
+// Shared by the sparse (rpvg_build_cluster_probs) and dense
+// (rpvg_build_cluster_matrices) entry points.
+std::vector<RppRow> build_cluster_rows(
+    const Index& idx, const uint8_t* entries, int64_t entries_len,
+    int64_t n_entries, const int64_t* cluster_path_ids, int64_t n_paths,
+    const double* eff_lengths, const int32_t* group_of, int64_t n_groups,
+    const double* log_source_counts, const double* frag_log_probs,
+    int64_t frag_table_size, int32_t is_single_end, double min_noise_prob,
+    double prob_precision) {
   constexpr double NEG_MAX = -std::numeric_limits<double>::max();
 
   bool collapse = n_groups > 0;
@@ -1819,6 +1835,25 @@ uint8_t* rpvg_build_cluster_probs(
     }
     merged.push_back(std::move(row));
   }
+  return merged;
+}
+
+}  // namespace
+
+extern "C" {
+
+uint8_t* rpvg_build_cluster_probs(
+    void* handle, const uint8_t* entries, int64_t entries_len, int64_t n_entries,
+    const int64_t* cluster_path_ids, int64_t n_paths,
+    const double* eff_lengths, const int32_t* group_of, int64_t n_groups,
+    const double* log_source_counts, const double* frag_log_probs,
+    int64_t frag_table_size, int32_t is_single_end, double min_noise_prob,
+    double prob_precision, int64_t* out_len) {
+  const Index& idx = *static_cast<Index*>(handle);
+  std::vector<RppRow> merged = build_cluster_rows(
+      idx, entries, entries_len, n_entries, cluster_path_ids, n_paths,
+      eff_lengths, group_of, n_groups, log_source_counts, frag_log_probs,
+      frag_table_size, is_single_end, min_noise_prob, prob_precision);
 
   Writer w;
   w.put<uint64_t>(merged.size());
@@ -1835,6 +1870,85 @@ uint8_t* rpvg_build_cluster_probs(
   *out_len = static_cast<int64_t>(w.buf.size());
   auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
   std::memcpy(out, w.buf.data(), w.buf.size());
+  return out;
+}
+
+// Batched dense twin: builds every cluster's probability matrix in one
+// call, parallelised over clusters with worker threads.  Per-cluster
+// inputs are concatenated with prefix offsets.  Output layout per
+// cluster (concatenated in cluster order):
+//   u64 R, f64 probs[R * n_cols], f64 noise[R], f64 counts[R]
+// where n_cols = n_groups[c] when grouping else n_paths[c].  The dense
+// matrix is elementwise identical to assembling
+// construct_probability_matrix from the sparse rows.
+uint8_t* rpvg_build_cluster_matrices(
+    void* handle, const uint8_t* entries_blob, const int64_t* blob_offsets,
+    const int64_t* entry_counts, int64_t n_clusters,
+    const int64_t* path_ids_concat, const int64_t* path_offsets,
+    const double* eff_lengths_concat, const int32_t* group_of_concat,
+    const int64_t* n_groups, const double* log_source_counts_concat,
+    const double* frag_log_probs, int64_t frag_table_size,
+    int32_t is_single_end, double min_noise_prob, double prob_precision,
+    int32_t n_threads, int64_t* out_len) {
+  const Index& idx = *static_cast<Index*>(handle);
+
+  std::vector<std::vector<uint8_t>> results(n_clusters);
+  std::atomic<int64_t> next{0};
+
+  auto worker = [&]() {
+    for (;;) {
+      int64_t c = next.fetch_add(1);
+      if (c >= n_clusters) return;
+      int64_t n_paths = path_offsets[c + 1] - path_offsets[c];
+      int64_t n_cols = n_groups[c] > 0 ? n_groups[c] : n_paths;
+
+      std::vector<RppRow> merged = build_cluster_rows(
+          idx, entries_blob + blob_offsets[c],
+          blob_offsets[c + 1] - blob_offsets[c], entry_counts[c],
+          path_ids_concat + path_offsets[c], n_paths,
+          eff_lengths_concat + path_offsets[c],
+          group_of_concat + path_offsets[c], n_groups[c],
+          log_source_counts_concat + path_offsets[c], frag_log_probs,
+          frag_table_size, is_single_end, min_noise_prob, prob_precision);
+
+      int64_t R = static_cast<int64_t>(merged.size());
+      std::vector<uint8_t>& out = results[c];
+      out.resize(8 + sizeof(double) * (R * n_cols + 2 * R));
+      std::memcpy(out.data(), &R, 8);
+      double* probs = reinterpret_cast<double*>(out.data() + 8);
+      double* noise = probs + R * n_cols;
+      double* counts = noise + R;
+      std::fill(probs, probs + R * n_cols, 0.0);
+      for (int64_t r = 0; r < R; ++r) {
+        const RppRow& row = merged[r];
+        for (const auto& [prob, ids] : row.path_probs) {
+          for (int32_t id : ids) probs[r * n_cols + id] = prob;
+        }
+        noise[r] = row.noise_prob;
+        counts[r] = static_cast<double>(row.read_count);
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  size_t total = 0;
+  for (const auto& r : results) total += r.size();
+  auto* out = static_cast<uint8_t*>(std::malloc(total));
+  size_t offset = 0;
+  for (const auto& r : results) {
+    std::memcpy(out + offset, r.data(), r.size());
+    offset += r.size();
+  }
+  *out_len = static_cast<int64_t>(total);
   return out;
 }
 

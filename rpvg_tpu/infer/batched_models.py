@@ -34,7 +34,7 @@ from .estimators import (
     PathAbundanceEstimator,
     PathGroupPosteriorEstimator,
 )
-from .matrices import construct_probability_matrix
+from .matrices import construct_probability_matrix, total_read_count
 from .posteriors import diploid_posteriors_batched
 
 
@@ -129,7 +129,7 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
                 total_posterior += float(posterior)
         subset_probs = {k: v / total_posterior for k, v in subset_probs.items()}
 
-        est.total_count = float(sum(rpp.read_count for rpp in cluster_probs))
+        est.total_count = total_read_count(cluster_probs)
         tasks = estimator.prepare_subset_tasks(est, cluster_probs, subset_probs)
         cluster_tasks[ci] = tasks
         all_tasks.extend((ci, task) for task in tasks)

@@ -178,19 +178,32 @@ class MinimumPathAbundanceEstimator(PathAbundanceEstimator):
         """Host half: cover selection + collapsed sub-matrix, no EM.
         Returns None when no path covers any read (empty estimates)."""
         from ..constants import double_compare
+        from .matrices import DenseCluster
 
         probs, noise, counts = construct_probability_matrix(cluster_probs, len(estimates.paths))
 
-        cover_matrix = np.zeros_like(probs, dtype=bool)
         path_weights = np.zeros(probs.shape[1], dtype=np.float64)
         cover_counts = counts.copy()
-        for i, rpp in enumerate(cluster_probs):
-            if double_compare(noise[i], 1.0):
-                cover_counts[i] = 0.0
-            for prob, ids in rpp.path_probs:
-                for pid in ids:
-                    cover_matrix[i, pid] = True
-                    path_weights[pid] += math.log(prob) * cover_counts[i]
+        if isinstance(cluster_probs, DenseCluster):
+            # Same accumulation row by row as the sparse loop (per path
+            # the additions happen in ascending row order — identical
+            # floats), reading the dense matrix directly.
+            cover_matrix = probs > 0
+            for i in range(probs.shape[0]):
+                if double_compare(float(noise[i]), 1.0):
+                    cover_counts[i] = 0.0
+                nz = cover_matrix[i]
+                if cover_counts[i] != 0.0 and nz.any():
+                    path_weights[nz] += np.log(probs[i, nz]) * cover_counts[i]
+        else:
+            cover_matrix = np.zeros_like(probs, dtype=bool)
+            for i, rpp in enumerate(cluster_probs):
+                if double_compare(noise[i], 1.0):
+                    cover_counts[i] = 0.0
+                for prob, ids in rpp.path_probs:
+                    for pid in ids:
+                        cover_matrix[i, pid] = True
+                        path_weights[pid] += math.log(prob) * cover_counts[i]
         path_weights *= -1.0
 
         min_cover = weighted_minimum_path_cover(cover_matrix, cover_counts, path_weights)

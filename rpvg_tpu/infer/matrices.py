@@ -14,10 +14,45 @@ from ..constants import double_compare
 from ..probabilities import ReadPathProbs
 
 
+class DenseCluster:
+    """A cluster's probability matrix already materialised (by the
+    native batch builder, native/rpvg_native.cpp:rpvg_build_cluster_matrices):
+    probs (R, P), noise (R,), counts (R,) — elementwise identical to
+    running construct_probability_matrix over the sparse rows."""
+
+    __slots__ = ("probs", "noise", "counts")
+
+    def __init__(self, probs: np.ndarray, noise: np.ndarray, counts: np.ndarray):
+        self.probs = probs
+        self.noise = noise
+        self.counts = counts
+
+    def __len__(self) -> int:
+        return self.probs.shape[0]
+
+
+def cluster_matrix(data, num_paths: int) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(probs, noise, counts) for either input form: a DenseCluster
+    passes through; a ReadPathProbs list is assembled densely."""
+    if isinstance(data, DenseCluster):
+        return data.probs, data.noise, data.counts
+    return construct_probability_matrix(data, num_paths)
+
+
+def total_read_count(data) -> float:
+    """Sum of fragment read counts (integral, so the float sum is exact
+    in either representation)."""
+    if isinstance(data, DenseCluster):
+        return float(data.counts.sum())
+    return float(sum(rpp.read_count for rpp in data))
+
+
 def construct_probability_matrix(
     cluster_probs: Sequence[ReadPathProbs], num_paths: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Dense (R, P) path probabilities + (R,) noise probs + (R,) counts."""
+    if isinstance(cluster_probs, DenseCluster):
+        return cluster_probs.probs, cluster_probs.noise, cluster_probs.counts
     R = len(cluster_probs)
     probs = np.zeros((R, num_paths), dtype=np.float64)
     noise = np.empty(R, dtype=np.float64)
@@ -31,10 +66,16 @@ def construct_probability_matrix(
 
 
 def construct_partial_probability_matrix(
-    cluster_probs: Sequence[ReadPathProbs], path_ids: Sequence[int], num_paths: int
+    cluster_probs, path_ids: Sequence[int], num_paths: int
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Matrix restricted to a subset of path indices (columns ordered as
     in `path_ids`)."""
+    if isinstance(cluster_probs, DenseCluster):
+        return (
+            cluster_probs.probs[:, list(path_ids)],
+            cluster_probs.noise,
+            cluster_probs.counts,
+        )
     col_of = -np.ones(num_paths, dtype=np.int64)
     for j, pid in enumerate(path_ids):
         col_of[pid] = j
@@ -54,26 +95,18 @@ def construct_partial_probability_matrix(
 
 
 def construct_grouped_probability_matrix(
-    cluster_probs: Sequence[ReadPathProbs],
+    cluster_probs,
     path_groups: Sequence[Sequence[int]],
     num_paths: int,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Columns summed over path groups (a path may feed several groups)."""
-    group_of: List[List[int]] = [[] for _ in range(num_paths)]
+    """Columns summed over path groups (a path may feed several groups).
+
+    Computed as column sums of the dense matrix so sparse (ReadPathProbs
+    list) and DenseCluster inputs produce identical floats."""
+    dense, noise, counts = cluster_matrix(cluster_probs, num_paths)
+    probs = np.empty((dense.shape[0], len(path_groups)), dtype=np.float64)
     for g, group in enumerate(path_groups):
-        for pid in group:
-            group_of[pid].append(g)
-    R = len(cluster_probs)
-    probs = np.zeros((R, len(path_groups)), dtype=np.float64)
-    noise = np.empty(R, dtype=np.float64)
-    counts = np.empty(R, dtype=np.float64)
-    for i, rpp in enumerate(cluster_probs):
-        for prob, ids in rpp.path_probs:
-            for pid in ids:
-                for g in group_of[pid]:
-                    probs[i, g] += prob
-        noise[i] = rpp.noise_prob
-        counts[i] = rpp.read_count
+        probs[:, g] = dense[:, group].sum(axis=1)
     return probs, noise, counts
 
 

@@ -85,6 +85,18 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.rpvg_indexer_dump_located.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
     ]
+    lib.rpvg_build_cluster_matrices.restype = ctypes.POINTER(ctypes.c_uint8)
+    lib.rpvg_build_cluster_matrices.argtypes = [
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+        ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+    ]
     lib.rpvg_read_collapse.restype = ctypes.c_int64
     lib.rpvg_read_collapse.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
@@ -411,6 +423,100 @@ class NativeFinder:
         return entries, histogram, int(unaligned)
 
     # ------------------------------------------------------- cluster probs
+    def build_cluster_matrices(
+        self,
+        cluster_blobs: Sequence[bytes],
+        cluster_entry_counts: Sequence[int],
+        cluster_path_ids: Sequence[np.ndarray],
+        cluster_eff_lengths: Sequence[np.ndarray],
+        cluster_group_of: Sequence[Optional[np.ndarray]],
+        cluster_n_groups: Sequence[int],
+        cluster_log_source_counts: Sequence[Optional[np.ndarray]],
+        frag_log_probs: np.ndarray,
+        is_single_end: bool,
+        min_noise_prob: float,
+        prob_precision: float,
+        n_threads: int = 1,
+    ):
+        """Dense probability matrices for every cluster in ONE native
+        call, built by `n_threads` C++ workers.  Returns per cluster
+        (probs (R, C), noise (R,), counts (R,)) as read-only views into
+        one shared buffer; elementwise identical to assembling
+        construct_probability_matrix from build_cluster_probs rows."""
+        n_clusters = len(cluster_blobs)
+        entries_blob = b"".join(cluster_blobs)
+        blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+        np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
+        entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
+
+        path_sizes = [ids.size for ids in cluster_path_ids]
+        path_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+        np.cumsum(path_sizes, out=path_offsets[1:])
+        path_ids_concat = np.ascontiguousarray(
+            np.concatenate(cluster_path_ids), dtype=np.int64
+        )
+        eff_concat = np.ascontiguousarray(
+            np.concatenate(cluster_eff_lengths), dtype=np.float64
+        )
+        group_of_concat = np.concatenate(
+            [
+                g if g is not None else np.full(n, -1, dtype=np.int32)
+                for g, n in zip(cluster_group_of, path_sizes)
+            ]
+        ).astype(np.int32, copy=False)
+        log_src_concat = np.concatenate(
+            [
+                s if s is not None else np.zeros(n, dtype=np.float64)
+                for s, n in zip(cluster_log_source_counts, path_sizes)
+            ]
+        ).astype(np.float64, copy=False)
+        n_groups_arr = np.asarray(cluster_n_groups, dtype=np.int64)
+        frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
+
+        in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
+        out_len = ctypes.c_int64()
+        out_ptr = self._lib.rpvg_build_cluster_matrices(
+            self._handle,
+            in_buf,
+            blob_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            entry_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_clusters,
+            path_ids_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            path_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            eff_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            group_of_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_groups_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            log_src_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.size,
+            int(is_single_end),
+            float(min_noise_prob),
+            float(prob_precision),
+            int(max(1, n_threads)),
+            ctypes.byref(out_len),
+        )
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        results = []
+        offset = 0
+        for c in range(n_clusters):
+            n_cols = int(n_groups_arr[c]) if n_groups_arr[c] > 0 else path_sizes[c]
+            (R,) = struct.unpack_from("<q", data, offset)
+            offset += 8
+            probs = np.frombuffer(
+                data, dtype=np.float64, count=R * n_cols, offset=offset
+            ).reshape(R, n_cols)
+            offset += 8 * R * n_cols
+            noise = np.frombuffer(data, dtype=np.float64, count=R, offset=offset)
+            offset += 8 * R
+            counts = np.frombuffer(data, dtype=np.float64, count=R, offset=offset)
+            offset += 8 * R
+            results.append((probs, noise, counts))
+        return results
+
     def build_cluster_probs(
         self,
         entry_blobs: bytes,

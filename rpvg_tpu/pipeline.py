@@ -274,24 +274,17 @@ class ClusterResult:
     cluster_probs: List[ReadPathProbs] = field(default_factory=list)
 
 
-def build_cluster_probs(
+def _build_cluster_path_infos(
     config: PipelineConfig,
     paths_index: PathIndex,
     frag_length_dist: FragmentLengthDist,
     cluster_path_ids: np.ndarray,
-    fragment_lists: Sequence[Tuple[List[AlignmentPath], int, Optional[bytes]]],
     haplotype_info: Optional[Dict[str, PathInfo]],
     collapse_haps: bool,
-    finder=None,
-    frag_log_probs: Optional[np.ndarray] = None,
-    all_lengths: Optional[np.ndarray] = None,
-    all_eff_lengths: Optional[np.ndarray] = None,
-) -> Tuple[List[PathInfo], List[ReadPathProbs]]:
-    """Assemble PathInfos and deduplicated ReadPathProbs for one cluster
-    (reference src/main.cpp:846-973).  When the native engine holds the
-    serialized fragment lists, probability construction runs in C++."""
-    clustered_path_index = {int(pid): i for i, pid in enumerate(cluster_path_ids)}
-
+    all_lengths: Optional[np.ndarray],
+    all_eff_lengths: Optional[np.ndarray],
+) -> Tuple[List[PathInfo], Dict[str, int]]:
+    """PathInfo metadata (name, lengths, groups) for one cluster."""
     paths: List[PathInfo] = []
     group_name_index: Dict[str, int] = {}
     for pid in cluster_path_ids:
@@ -316,6 +309,111 @@ def build_cluster_probs(
         if collapse_haps:
             group_name_index.setdefault(info.name, len(group_name_index))
         paths.append(info)
+    return paths, group_name_index
+
+
+def build_cluster_matrices_batched(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    frag_length_dist: FragmentLengthDist,
+    cluster_path_id_lists: Sequence[np.ndarray],
+    cluster_fragment_lists: Sequence[Sequence],
+    haplotype_info: Optional[Dict[str, PathInfo]],
+    collapse_haps: bool,
+    finder,
+    frag_log_probs: np.ndarray,
+    all_lengths: np.ndarray,
+    all_eff_lengths: Optional[np.ndarray],
+):
+    """Dense probability matrices for EVERY cluster in one multithreaded
+    native call.  Returns a list of (paths, DenseCluster) — the matrix
+    is elementwise identical to what build_cluster_probs +
+    construct_probability_matrix produce."""
+    import struct as _struct
+
+    from .infer.matrices import DenseCluster
+
+    blobs = []
+    entry_counts = []
+    pid_arrays = []
+    effs = []
+    groups = []
+    n_groups_list = []
+    log_srcs = []
+    all_paths = []
+    for cluster_path_ids, fragment_lists in zip(
+        cluster_path_id_lists, cluster_fragment_lists
+    ):
+        paths, group_name_index = _build_cluster_path_infos(
+            config, paths_index, frag_length_dist, cluster_path_ids,
+            haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
+        )
+        blobs.append(
+            b"".join(
+                _struct.pack("<Q", count) + raw[8:]
+                for _, count, raw in fragment_lists
+            )
+        )
+        entry_counts.append(len(fragment_lists))
+        pid_arrays.append(np.asarray(cluster_path_ids, dtype=np.int64))
+        effs.append(np.array([info.effective_length for info in paths]))
+        if collapse_haps:
+            groups.append(
+                np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
+            )
+            n_groups_list.append(len(group_name_index))
+            log_srcs.append(
+                np.log(np.array([info.source_count for info in paths], dtype=np.float64))
+            )
+            paths = _collapse_cluster_paths(paths, group_name_index)
+        else:
+            groups.append(None)
+            n_groups_list.append(0)
+            log_srcs.append(None)
+        all_paths.append(paths)
+
+    matrices = finder.build_cluster_matrices(
+        blobs,
+        entry_counts,
+        pid_arrays,
+        effs,
+        groups,
+        n_groups_list,
+        log_srcs,
+        frag_log_probs,
+        config.is_single_end(),
+        config.min_noise_prob,
+        config.prob_precision,
+        n_threads=config.threads,
+    )
+    return [
+        (paths, DenseCluster(probs, noise, counts))
+        for paths, (probs, noise, counts) in zip(all_paths, matrices)
+    ]
+
+
+def build_cluster_probs(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    frag_length_dist: FragmentLengthDist,
+    cluster_path_ids: np.ndarray,
+    fragment_lists: Sequence[Tuple[List[AlignmentPath], int, Optional[bytes]]],
+    haplotype_info: Optional[Dict[str, PathInfo]],
+    collapse_haps: bool,
+    finder=None,
+    frag_log_probs: Optional[np.ndarray] = None,
+    all_lengths: Optional[np.ndarray] = None,
+    all_eff_lengths: Optional[np.ndarray] = None,
+) -> Tuple[List[PathInfo], List[ReadPathProbs]]:
+    """Assemble PathInfos and deduplicated ReadPathProbs for one cluster
+    (reference src/main.cpp:846-973).  When the native engine holds the
+    serialized fragment lists, probability construction runs in C++."""
+    clustered_path_index = {int(pid): i for i, pid in enumerate(cluster_path_ids)}
+
+    paths, group_name_index = _build_cluster_path_infos(
+        config, paths_index, frag_length_dist, cluster_path_ids,
+        haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
+    )
 
     use_native = (
         finder is not None
@@ -712,31 +810,6 @@ def run_inference_phases(
 
     t_phase = time.perf_counter()
 
-    # Host half: per-cluster path metadata + deduplicated probabilities.
-    cluster_data = []
-    for rank, cluster_idx in enumerate(order):
-        paths, cluster_probs = build_cluster_probs(
-            config,
-            paths_index,
-            frag_length_dist,
-            clusters.cluster_to_paths[cluster_idx],
-            per_cluster[cluster_idx],
-            haplotype_info,
-            collapse_haps,
-            finder=finder,
-            frag_log_probs=frag_log_probs,
-            all_lengths=all_lengths,
-            all_eff_lengths=all_eff_lengths,
-        )
-        cluster_data.append((rank, paths, cluster_probs))
-
-    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
-        log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
-        t_device = time.perf_counter()
-
-    # Device half.  Common configurations execute batched across the
-    # whole cluster population (O(buckets) kernel dispatches); the rest
-    # dispatch per cluster through the estimator classes.
     from .infer.batched_models import (
         batched_haplotype_transcripts,
         batched_haplotypes,
@@ -748,13 +821,72 @@ def run_inference_phases(
         supports_batched_transcripts,
     )
 
-    results: List[ClusterResult] = []
-    if (
+    batched_supported = (
         supports_batched_nested(estimator, config.num_gibbs_samples)
         or supports_batched_haplotypes(estimator)
         or supports_batched_strains(estimator, config.num_gibbs_samples)
         or supports_batched_transcripts(estimator)
-    ):
+    )
+
+    # Host half: per-cluster path metadata + deduplicated probabilities.
+    # With the native engine and a batched device driver, every cluster's
+    # dense matrix is built by one multithreaded native call; otherwise
+    # ReadPathProbs objects are built per cluster (also needed when the
+    # probability writer must see the sparse rows).
+    matrix_mode = (
+        batched_supported
+        and not config.write_probs
+        and finder is not None
+        and hasattr(finder, "build_cluster_matrices")
+        and frag_log_probs is not None
+        and all(
+            entry[2] is not None for fl in per_cluster for entry in fl
+        )
+    )
+    cluster_data = []
+    if matrix_mode:
+        matrix_results = build_cluster_matrices_batched(
+            config,
+            paths_index,
+            frag_length_dist,
+            [clusters.cluster_to_paths[ci] for ci in order],
+            [per_cluster[ci] for ci in order],
+            haplotype_info,
+            collapse_haps,
+            finder,
+            frag_log_probs,
+            all_lengths,
+            all_eff_lengths,
+        )
+        cluster_data = [
+            (rank, paths, dense) for rank, (paths, dense) in enumerate(matrix_results)
+        ]
+    else:
+        for rank, cluster_idx in enumerate(order):
+            paths, cluster_probs = build_cluster_probs(
+                config,
+                paths_index,
+                frag_length_dist,
+                clusters.cluster_to_paths[cluster_idx],
+                per_cluster[cluster_idx],
+                haplotype_info,
+                collapse_haps,
+                finder=finder,
+                frag_log_probs=frag_log_probs,
+                all_lengths=all_lengths,
+                all_eff_lengths=all_eff_lengths,
+            )
+            cluster_data.append((rank, paths, cluster_probs))
+
+    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+        log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
+        t_device = time.perf_counter()
+
+    # Device half.  Common configurations execute batched across the
+    # whole cluster population (O(buckets) kernel dispatches); the rest
+    # dispatch per cluster through the estimator classes.
+    results: List[ClusterResult] = []
+    if batched_supported:
         batch_data = []
         for rank, paths, cluster_probs in cluster_data:
             estimates = PathClusterEstimates()
