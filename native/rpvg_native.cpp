@@ -2040,18 +2040,31 @@ extern "C" {
 // anchor path id (first located id of the first alignment path) and
 // the sorted-unique union of located ids across its alignment paths —
 // everything Python-side clustering/partitioning needs — plus the raw
-// serialized entry consumed by rpvg_build_cluster_probs.  Layout:
+// serialized entry consumed by rpvg_build_cluster_probs.  Columnar
+// layout so Python decodes with array slicing:
 //   u64 n_entries
-//   per entry: u64 count, i64 anchor, i32 n_union, i64 ids...,
-//              i64 raw_len, raw (u64 count + path-list block)
+//   u64 counts[n], i64 anchors[n], i32 n_ids[n],
+//   i64 ids_total, i64 ids[ids_total],
+//   i64 raw_lens[n] (each 8 + key size), raw blocks concatenated
+//   (u64 count + path-list block per entry),
 //   u64 unaligned, i64 histogram...
 uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
                                    int64_t* out_len) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
   const Index& idx = *static_cast<Index*>(index_handle);
+  const int64_t n = static_cast<int64_t>(fidx->entries.size());
 
-  Writer w;
-  w.put<uint64_t>(fidx->entries.size());
+  std::vector<uint64_t> counts;
+  std::vector<int64_t> anchors;
+  std::vector<int32_t> n_ids;
+  std::vector<int64_t> all_ids;
+  std::vector<int64_t> raw_lens;
+  counts.reserve(n);
+  anchors.reserve(n);
+  n_ids.reserve(n);
+  raw_lens.reserve(n);
+  size_t raw_total = 0;
+
   std::vector<int64_t> located;
   std::vector<int64_t> ids;
   for (const auto& [key, count] : fidx->entries) {
@@ -2076,15 +2089,36 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
     std::sort(ids.begin(), ids.end());
     ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
 
-    w.put<uint64_t>(count);
-    w.put<int64_t>(anchor);
-    w.put<int32_t>(static_cast<int32_t>(ids.size()));
-    for (int64_t id : ids) w.put<int64_t>(id);
-    w.put<int64_t>(static_cast<int64_t>(8 + key.size()));
-    w.put<uint64_t>(count);
+    counts.push_back(count);
+    anchors.push_back(anchor);
+    n_ids.push_back(static_cast<int32_t>(ids.size()));
+    all_ids.insert(all_ids.end(), ids.begin(), ids.end());
+    raw_lens.push_back(static_cast<int64_t>(8 + key.size()));
+    raw_total += 8 + key.size();
+  }
+
+  Writer w;
+  w.buf.reserve(8 + n * 28 + all_ids.size() * 8 + 8 + raw_total + 16 +
+                fidx->histogram.size() * 8);
+  w.put<uint64_t>(static_cast<uint64_t>(n));
+  auto put_block = [&w](const void* src, size_t bytes) {
     size_t offset = w.buf.size();
-    w.buf.resize(offset + key.size());
-    std::memcpy(w.buf.data() + offset, key.data(), key.size());
+    w.buf.resize(offset + bytes);
+    std::memcpy(w.buf.data() + offset, src, bytes);
+  };
+  put_block(counts.data(), n * 8);
+  put_block(anchors.data(), n * 8);
+  put_block(n_ids.data(), n * 4);
+  w.put<int64_t>(static_cast<int64_t>(all_ids.size()));
+  put_block(all_ids.data(), all_ids.size() * 8);
+  put_block(raw_lens.data(), n * 8);
+  {
+    int64_t e = 0;
+    for (const auto& [key, count] : fidx->entries) {
+      w.put<uint64_t>(counts[e]);
+      put_block(key.data(), key.size());
+      ++e;
+    }
   }
   w.put<uint64_t>(fidx->unaligned);
   for (int64_t h : fidx->histogram) w.put<int64_t>(h);

@@ -402,24 +402,39 @@ class NativeFinder:
         finally:
             self._lib.rpvg_buffer_free(out_ptr)
 
-        view = memoryview(data)
-        offset = 0
-        (n_entries,) = struct.unpack_from("<Q", view, offset)
+        (n,) = struct.unpack_from("<Q", data, 0)
+        offset = 8
+        counts = np.frombuffer(data, dtype=np.uint64, count=n, offset=offset)
+        offset += 8 * n
+        anchors = np.frombuffer(data, dtype=np.int64, count=n, offset=offset)
+        offset += 8 * n
+        n_ids = np.frombuffer(data, dtype=np.int32, count=n, offset=offset)
+        offset += 4 * n
+        (ids_total,) = struct.unpack_from("<q", data, offset)
         offset += 8
-        entries = []
-        for _ in range(n_entries):
-            count, anchor, n_ids = struct.unpack_from("<Qqi", view, offset)
-            offset += 20
-            ids = np.frombuffer(view, dtype=np.int64, count=n_ids, offset=offset).copy()
-            offset += 8 * n_ids
-            (raw_len,) = struct.unpack_from("<q", view, offset)
-            offset += 8
-            raw = data[offset : offset + raw_len]
-            offset += raw_len
-            entries.append((LocatedPaths(int(anchor), ids), int(count), raw))
-        (unaligned,) = struct.unpack_from("<Q", view, offset)
+        all_ids = np.frombuffer(data, dtype=np.int64, count=ids_total, offset=offset)
+        offset += 8 * ids_total
+        raw_lens = np.frombuffer(data, dtype=np.int64, count=n, offset=offset)
+        offset += 8 * n
+
+        id_bounds = np.zeros(n + 1, dtype=np.int64)
+        np.cumsum(n_ids, out=id_bounds[1:])
+        raw_bounds = np.full(n + 1, offset, dtype=np.int64)
+        np.cumsum(raw_lens, out=raw_bounds[1:])
+        raw_bounds[1:] += offset
+        offset = int(raw_bounds[-1])
+
+        entries = [
+            (
+                LocatedPaths(int(anchors[i]), all_ids[id_bounds[i] : id_bounds[i + 1]]),
+                int(counts[i]),
+                data[raw_bounds[i] : raw_bounds[i + 1]],
+            )
+            for i in range(n)
+        ]
+        (unaligned,) = struct.unpack_from("<Q", data, offset)
         offset += 8
-        histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()
+        histogram = np.frombuffer(data, dtype=np.int64, count=hist_size, offset=offset).copy()
         return entries, histogram, int(unaligned)
 
     # ------------------------------------------------------- cluster probs
