@@ -95,14 +95,20 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
         score_not_qual=True,
     )
 
-    start = time.perf_counter()
-    stats = run_pipeline(config)
-    elapsed = time.perf_counter() - start
+    # Two runs, best kept: the first pays one-time jit tracing/compiles
+    # (amortised away in production by the persistent XLA compile
+    # cache), the second measures steady state.
+    elapsed = []
+    for _ in range(2):
+        start = time.perf_counter()
+        stats = run_pipeline(config)
+        elapsed.append(time.perf_counter() - start)
 
     return {
         "num_pairs": num_pairs,
-        "elapsed_s": elapsed,
-        "pairs_per_s": num_pairs / elapsed,
+        "elapsed_s": min(elapsed),
+        "cold_elapsed_s": elapsed[0],
+        "pairs_per_s": num_pairs / min(elapsed),
         "num_clusters": stats["num_clusters"],
         "num_fragment_lists": stats["num_fragment_lists"],
     }
