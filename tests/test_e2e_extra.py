@@ -148,3 +148,39 @@ def test_multiprocess_runner(dataset, tmp_path):
     run_pipeline_multiprocess(base_config(dataset, prefix), 2)
     with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
         assert a.read() == b.read()
+
+
+@pytest.mark.parametrize(
+    "model,extra",
+    [
+        ("transcripts", {}),
+        ("strains", {}),
+        ("haplotypes", {}),
+        ("haplotype-transcripts", {"path_info": True}),
+    ],
+)
+def test_matrix_mode_matches_sparse_mode(dataset, tmp_path, model, extra):
+    # The multithreaded native matrix builder (DenseCluster path) must
+    # produce byte-identical outputs to the sparse ReadPathProbs path
+    # (forced here via write_probs, which needs the sparse rows).
+    from rpvg_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    kwargs = dict(extra)
+    if kwargs.pop("path_info", False):
+        kwargs["path_info"] = dataset["info"]
+
+    dense_prefix = str(tmp_path / f"dense_{model}")
+    run_pipeline(base_config(dataset, dense_prefix, inference_model=model, **kwargs))
+
+    sparse_prefix = str(tmp_path / f"sparse_{model}")
+    run_pipeline(
+        base_config(
+            dataset, sparse_prefix, inference_model=model, write_probs=True, **kwargs
+        )
+    )
+
+    with open(dense_prefix + ".txt") as a, open(sparse_prefix + ".txt") as b:
+        assert a.read() == b.read()
