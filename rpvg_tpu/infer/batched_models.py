@@ -72,11 +72,31 @@ def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
         and estimator.group_size == 2
         and estimator.infer_collapsed
         and not estimator.use_group_post_gibbs
-        and num_gibbs_samples == 0
     )
 
 
-def batched_haplotype_transcripts(estimator, cluster_data) -> None:
+def cluster_gibbs_key_chains(rng_seed: int, ranks: Sequence[int], depth: int) -> np.ndarray:
+    """keys[i, j] = the (j+1)-th `ClusterRNG.next_key()` of cluster
+    ranks[i] (the split-chain replicated with a vmapped scan, bitwise
+    identical to sequential splitting)."""
+    import jax
+    import jax.numpy as jnp
+
+    base = jax.random.PRNGKey(rng_seed)
+    folded = jax.vmap(lambda r: jax.random.fold_in(base, r))(jnp.asarray(list(ranks)))
+
+    def chain(key):
+        def step(carry, _):
+            new_carry, sub = jax.random.split(carry)
+            return new_carry, sub
+
+        _, subs = jax.lax.scan(step, key, None, length=depth)
+        return subs
+
+    return np.asarray(jax.vmap(chain)(folded))
+
+
+def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) -> None:
     """Batched collapsed-group nested inference; mutates the estimates
     in cluster_data in place."""
     import os
@@ -148,10 +168,101 @@ def batched_haplotype_transcripts(estimator, cluster_data) -> None:
         print(f"  [timing]   D batched EM ({len(all_tasks)} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
 
-    # Phase E (host): posterior-weighted combination per cluster.
     per_cluster: Dict[int, List] = {}
     for (ci, _), result in zip(all_tasks, em_results):
         per_cluster.setdefault(ci, []).append(result)
+
+    # Phase D2: read-count Gibbs sampling per selected subset, batched.
+    # Sample allocation (host binomial thinning across subsets) and the
+    # PRNG key chain replicate the per-cluster estimator exactly, so the
+    # drawn samples are bitwise identical at equal dtype.
+    if estimator.num_gibbs_samples > 0:
+        from .readcount_gibbs import run_batched_gibbs
+
+        jobs = []  # (ci, key_idx_in_cluster, task, abundances, noise_count, n_here)
+        key_ranks = []
+        max_depth = 0
+        for ci, tasks in cluster_tasks.items():
+            results_for_ci = per_cluster.get(ci, [])
+            np_rng = np.random.default_rng((rng_seed, ci))
+            remaining_gibbs = estimator.num_gibbs_samples
+            remaining_prob = 1.0
+            key_count = 0
+            for task, (abundances, noise_count) in zip(tasks, results_for_ci):
+                if remaining_gibbs > 0:
+                    n_here = int(
+                        np_rng.binomial(
+                            remaining_gibbs,
+                            min(1.0, task["subset_prob"] / remaining_prob),
+                        )
+                    )
+                    remaining_gibbs -= n_here
+                    remaining_prob -= task["subset_prob"]
+                    if n_here > 0:
+                        jobs.append(
+                            (ci, key_count, task, abundances, noise_count, n_here)
+                        )
+                        key_count += 1
+            if key_count:
+                key_ranks.append(ci)
+                max_depth = max(max_depth, key_count)
+
+        if jobs:
+            chains = cluster_gibbs_key_chains(rng_seed, key_ranks, max_depth)
+            chain_of = {ci: chains[i] for i, ci in enumerate(key_ranks)}
+
+            # Chain length is baked into the sampler's key-split shape;
+            # pad to power-of-two lengths and slice — the threefry
+            # key-split is counter-based, so a longer chain's prefix is
+            # bitwise identical to the exact-length run.
+            def _pow2(n):
+                size = 1
+                while size < n:
+                    size *= 2
+                return size
+
+            by_n: Dict[int, List[int]] = {}
+            for j, job in enumerate(jobs):
+                by_n.setdefault(_pow2(job[5]), []).append(j)
+            sample_results = [None] * len(jobs)
+            for n_pad, idxs in by_n.items():
+                inputs = []
+                keys = []
+                for j in idxs:
+                    ci, key_idx, task, abundances, noise_count, _ = jobs[j]
+                    inputs.append(
+                        (
+                            task["matrix"],
+                            task["counts"],
+                            np.asarray(abundances),
+                            noise_count,
+                            float(task["counts"].sum()),
+                        )
+                    )
+                    keys.append(chain_of[ci][key_idx])
+                for j, (noise_samples, path_samples) in zip(
+                    idxs,
+                    run_batched_gibbs(
+                        inputs, keys, n_pad, estimator.gibbs_thin_its
+                    ),
+                ):
+                    n_here = jobs[j][5]
+                    sample_results[j] = (
+                        noise_samples[:n_here],
+                        path_samples[:n_here],
+                    )
+
+            for job, (noise_samples, path_samples) in zip(jobs, sample_results):
+                ci, _, task, _, _, _ = job
+                _attach_gibbs_samples(
+                    cluster_data[ci][0], task["collapsed"], noise_samples, path_samples
+                )
+
+        if timing:
+            print(f"  [timing]   D2 batched Gibbs ({len(jobs)} jobs): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            t0 = time.perf_counter()
+
+    # Phase E (host): posterior-weighted combination per cluster.
     for ci, tasks in cluster_tasks.items():
         est = cluster_data[ci][0]
         estimator.combine_subset_tasks(est, tasks, per_cluster.get(ci, []))
