@@ -7,17 +7,20 @@ the reference's `omp parallel for` over size-sorted clusters
 (src/main.cpp:829).
 
 Covered here:
+* `transcripts` (incl. read-count Gibbs): one batched EM sweep, then
+  one batched Gibbs sweep.
 * `haplotypes` (diploid, non-Gibbs): one batched dense pair-scoring
   sweep over all clusters.
-* `haplotype-transcripts` (collapsed, diploid, non-Gibbs): batched
-  grouped pair scoring -> host subset selection -> one batched EM run
-  over every (cluster, subset) task.
-* `strains` (non-Gibbs): host greedy cover per cluster -> one batched
-  EM run over every cover sub-matrix.
+* `haplotype-transcripts` (collapsed, diploid, incl. read-count Gibbs):
+  batched grouped pair scoring -> host subset selection -> one batched
+  EM run over every (cluster, subset) task -> batched Gibbs jobs.
+* `strains` (incl. read-count Gibbs): host greedy cover per cluster ->
+  one batched EM run over every cover sub-matrix -> batched Gibbs.
 
-Other configurations (Gibbs posterior sampling, ploidy != 2,
-independent-group inference, read-count sampling) dispatch per cluster
-through the estimator classes.
+Batched read-count Gibbs is bitwise identical to the per-cluster
+dispatch (counter-based threefry: padded draws share their prefix).
+Remaining per-cluster configurations: posterior Gibbs sampling
+(--use-hap-gibbs), ploidy != 2, independent-group inference.
 """
 
 from __future__ import annotations
@@ -212,18 +215,20 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
             chain_of = {ci: chains[i] for i, ci in enumerate(key_ranks)}
 
             # Chain length is baked into the sampler's key-split shape;
-            # pad to power-of-two lengths and slice — the threefry
-            # key-split is counter-based, so a longer chain's prefix is
-            # bitwise identical to the exact-length run.
+            # pad EVERY job to one power-of-two length and slice — the
+            # threefry key-split is counter-based, so a longer chain's
+            # prefix is bitwise identical to the exact-length run, and a
+            # single length keeps the jit program count at the shape
+            # buckets alone (the extra padded draws are cheap next to
+            # recompiles).
             def _pow2(n):
                 size = 1
                 while size < n:
                     size *= 2
                 return size
 
-            by_n: Dict[int, List[int]] = {}
-            for j, job in enumerate(jobs):
-                by_n.setdefault(_pow2(job[5]), []).append(j)
+            shared_pad = _pow2(max(job[5] for job in jobs))
+            by_n: Dict[int, List[int]] = {shared_pad: list(range(len(jobs)))}
             sample_results = [None] * len(jobs)
             for n_pad, idxs in by_n.items():
                 inputs = []
