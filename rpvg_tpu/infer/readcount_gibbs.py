@@ -28,7 +28,9 @@ def _multinomial_rows(key, n, p):
         remaining_n, remaining_p = carry
         col_p, col_key = inputs
         ratio = jnp.clip(jnp.where(remaining_p > 0, col_p / remaining_p, 0.0), 0.0, 1.0)
-        draw = jax.random.binomial(col_key, remaining_n, ratio).astype(remaining_n.dtype)
+        draw = jax.random.binomial(
+            col_key, remaining_n, ratio, dtype=remaining_n.dtype
+        )
         return (remaining_n - draw, remaining_p - col_p), draw
 
     keys = jax.random.split(key, C)
@@ -51,7 +53,12 @@ def _gibbs_read_counts_masked(key, probs, counts, init_fracs, col_mask, gamma, n
         thin_key, gamma_key = jax.random.split(it_key)
         path_counts = _multinomial_rows(thin_key, counts, posteriors).sum(axis=0)
 
-        draws = jax.random.gamma(gamma_key, path_counts + gamma) * col_mask
+        # Explicit dtype: random.gamma otherwise draws at the x64
+        # canonical float, breaking the f32 carry on TPU backends.
+        draws = (
+            jax.random.gamma(gamma_key, path_counts + gamma, dtype=fracs.dtype)
+            * col_mask
+        )
         new_fracs = draws / draws.sum()
         return new_fracs, new_fracs
 
