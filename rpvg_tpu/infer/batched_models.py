@@ -42,16 +42,16 @@ from .posteriors import diploid_posteriors_batched
 
 
 def supports_batched_haplotypes(estimator) -> bool:
-    return (
-        isinstance(estimator, PathGroupPosteriorEstimator)
-        and estimator.ploidy == 2
-        and not estimator.use_hap_gibbs
+    return isinstance(estimator, PathGroupPosteriorEstimator) and (
+        estimator.use_hap_gibbs or estimator.ploidy == 2
     )
 
 
-def batched_haplotypes(estimator, cluster_data) -> None:
+def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0) -> None:
     """cluster_data: list of (PathClusterEstimates with .paths set,
     cluster_probs).  Mutates estimates in place."""
+    from .posteriors import path_group_posteriors_gibbs_batched
+
     inputs = []
     meta = []
     for ci, (est, cluster_probs) in enumerate(cluster_data):
@@ -62,7 +62,11 @@ def batched_haplotypes(estimator, cluster_data) -> None:
         inputs.append((probs, noise, counts, [p.source_count for p in est.paths]))
         meta.append(ci)
 
-    results = diploid_posteriors_batched(inputs, HAPLOTYPES_MIN_REL_LIKELIHOOD)
+    if estimator.use_hap_gibbs:
+        keys = cluster_gibbs_keys(rng_seed, meta)
+        results = path_group_posteriors_gibbs_batched(inputs, estimator.ploidy, keys)
+    else:
+        results = diploid_posteriors_batched(inputs, HAPLOTYPES_MIN_REL_LIKELIHOOD)
     for ci, (groups, posteriors) in zip(meta, results):
         est = cluster_data[ci][0]
         est.path_group_sets = groups

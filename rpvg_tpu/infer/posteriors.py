@@ -295,13 +295,14 @@ def gibbs_iteration_counts(group_size: int, num_paths: int) -> Tuple[int, int, i
     return chains, burn, its
 
 
-@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its", "num_real_paths"))
-def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, num_its,
-                  num_real_paths=None):
+def _gibbs_chains_core(key, probs, noise, counts, log_freqs, group_size, num_chains,
+                       num_its, num_real_paths):
     """Run all chains in parallel; returns (chains, its, group_size)
     sampled path indices per recorded iteration (burn-in included —
-    caller slices)."""
-    P = num_real_paths if num_real_paths is not None else probs.shape[1]
+    caller slices).  num_real_paths may be traced (only the randint
+    init bound depends on it, so traced and static produce identical
+    draws)."""
+    P = num_real_paths
 
     def conditional_logits(occupied_sum, slot_col):
         # occupied_sum: (R,) sum of other slots' cols / g; candidate col
@@ -333,6 +334,91 @@ def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, 
 
     chain_keys = jax.random.split(key, num_chains)
     return jax.vmap(run_chain)(chain_keys)
+
+
+@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its", "num_real_paths"))
+def _gibbs_chains(key, probs, noise, counts, log_freqs, group_size, num_chains, num_its,
+                  num_real_paths=None):
+    P = num_real_paths if num_real_paths is not None else probs.shape[1]
+    return _gibbs_chains_core(
+        key, probs, noise, counts, log_freqs, group_size, num_chains, num_its, P
+    )
+
+
+@partial(jax.jit, static_argnames=("group_size", "num_chains", "num_its"))
+def _gibbs_chains_vmapped(keys, probs, noise, counts, log_freqs, p_real, group_size,
+                          num_chains, num_its):
+    """Batch axis over clusters: keys (B, 2), probs (B, R, P), noise
+    (B, R), counts (B, R), log_freqs (B, P), p_real (B,)."""
+    return jax.vmap(
+        _gibbs_chains_core, in_axes=(0, 0, 0, 0, 0, None, None, None, 0)
+    )(keys, probs, noise, counts, log_freqs, group_size, num_chains, num_its, p_real)
+
+
+def path_group_posteriors_gibbs_batched(cluster_inputs, group_size, rng_keys):
+    """Collapsed-Gibbs posteriors over many clusters with shape
+    bucketing: one jit program per (R, P) bucket, with chain count and
+    iteration count padded to the bucket maximum and sliced per cluster
+    — the threefry key-split is counter-based, so the sliced prefix is
+    bitwise identical to each cluster's exact-size run (and to
+    :func:`path_group_posteriors_gibbs` with the same key).
+
+    cluster_inputs: per cluster (probs (R, P), noise (R,), counts (R,),
+    path_counts).  Returns per cluster (groups, posteriors)."""
+    buckets = {}
+    for idx, item in enumerate(cluster_inputs):
+        R, P = item[0].shape
+        buckets.setdefault((_ceil_pow2(R), _ceil_pow2(P)), []).append(idx)
+
+    results = [None] * len(cluster_inputs)
+    for (R_pad, P_pad), indices in buckets.items():
+        sizing = []
+        for idx in indices:
+            P = cluster_inputs[idx][0].shape[1]
+            chains, burn, its = gibbs_iteration_counts(group_size, P)
+            sizing.append((chains, burn, its))
+        C_max = max(s[0] for s in sizing)
+        T_max = max(s[1] + s[2] for s in sizing)
+
+        B = _ceil_pow2(len(indices), floor=1)
+        probs = np.zeros((B, R_pad, P_pad), dtype=np.float64)
+        noise = np.ones((B, R_pad), dtype=np.float64)
+        counts = np.zeros((B, R_pad), dtype=np.float64)
+        log_freqs = np.full((B, P_pad), -np.inf)
+        log_freqs[:, 0] = 0.0  # dummy clusters sample path 0 harmlessly
+        p_real = np.ones(B, dtype=np.int32)
+        keys = np.zeros((B,) + np.asarray(rng_keys[indices[0]]).shape, dtype=np.uint32)
+        for bi, idx in enumerate(indices):
+            p, n, c, path_counts = cluster_inputs[idx]
+            R, P = p.shape
+            probs[bi, :R, :P] = p
+            noise[bi, :R] = n
+            counts[bi, :R] = c
+            log_freqs[bi, :] = -np.inf
+            log_freqs[bi, :P] = calc_path_log_frequencies(path_counts)
+            p_real[bi] = P
+            keys[bi] = np.asarray(rng_keys[idx])
+
+        samples = np.asarray(
+            _gibbs_chains_vmapped(
+                jnp.asarray(keys),
+                jnp.asarray(probs),
+                jnp.asarray(noise),
+                jnp.asarray(counts),
+                jnp.asarray(log_freqs),
+                jnp.asarray(p_real),
+                group_size,
+                C_max,
+                T_max,
+            )
+        )
+        for bi, (idx, (chains, burn, its)) in enumerate(zip(indices, sizing)):
+            kept = samples[bi, :chains, burn : burn + its, :]
+            kept = np.sort(kept, axis=2).reshape(-1, group_size)
+            unique, sample_counts = np.unique(kept, axis=0, return_counts=True)
+            groups = [list(map(int, row)) for row in unique]
+            results[idx] = (groups, sample_counts / float(chains * its))
+    return results
 
 
 def path_group_posteriors_gibbs(

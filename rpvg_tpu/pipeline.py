@@ -899,7 +899,7 @@ def run_inference_phases(
         elif supports_batched_transcripts(estimator):
             batched_transcripts(estimator, batch_data, config.rng_seed)
         else:
-            batched_haplotypes(estimator, batch_data)
+            batched_haplotypes(estimator, batch_data, config.rng_seed)
         for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
             results.append(ClusterResult(rank + 1, estimates))
     else:

@@ -454,3 +454,32 @@ def test_batched_transcripts_gibbs_distributional():
         )
         b_means = np.asarray(b.abundance_samples).reshape(200, -1).mean(axis=0)
         np.testing.assert_allclose(b_means, bat.abundances, rtol=0.35, atol=2.0)
+
+
+def test_batched_posterior_gibbs_matches_unbatched():
+    # Bucketed chains with padded chain/iteration counts must slice to
+    # the exact draws of the per-cluster sampler (counter-based keys).
+    from rpvg_tpu.infer.posteriors import (
+        path_group_posteriors_gibbs_batched,
+    )
+
+    rng = np.random.default_rng(3)
+    inputs = []
+    keys = []
+    for i, (R, P) in enumerate([(5, 3), (9, 4), (3, 3), (20, 6)]):
+        probs = rng.random((R, P)) * 0.6
+        noise = rng.random(R) * 0.2 + 0.01
+        counts = rng.integers(1, 8, R).astype(float)
+        path_counts = rng.integers(1, 4, P).tolist()
+        inputs.append((probs, noise, counts, path_counts))
+        keys.append(np.asarray(jax.random.PRNGKey(100 + i)))
+
+    batched = path_group_posteriors_gibbs_batched(inputs, 2, keys)
+    for (probs, noise, counts, path_counts), key, (groups_b, post_b) in zip(
+        inputs, keys, batched
+    ):
+        groups_s, post_s = path_group_posteriors_gibbs(
+            probs, noise, counts, path_counts, 2, jax.numpy.asarray(key)
+        )
+        assert groups_b == groups_s
+        np.testing.assert_array_equal(post_b, post_s)
