@@ -17,10 +17,11 @@ Covered here:
 * `strains` (incl. read-count Gibbs): host greedy cover per cluster ->
   one batched EM run over every cover sub-matrix -> batched Gibbs.
 
-Batched read-count Gibbs is bitwise identical to the per-cluster
-dispatch (counter-based threefry: padded draws share their prefix).
-Remaining per-cluster configurations: posterior Gibbs sampling
-(--use-hap-gibbs), ploidy != 2, independent-group inference.
+Batched read-count and posterior Gibbs are bitwise identical to the
+per-cluster dispatch (counter-based threefry: padded draws share their
+prefix; key chains replicated with a vmapped scan).  Remaining
+per-cluster configurations: non-diploid non-Gibbs `haplotypes`
+enumeration, independent-group nested inference.
 """
 
 from __future__ import annotations
@@ -78,7 +79,6 @@ def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
         isinstance(estimator, NestedPathAbundanceEstimator)
         and estimator.group_size == 2
         and estimator.infer_collapsed
-        and not estimator.use_group_post_gibbs
     )
 
 
@@ -131,8 +131,19 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
         print(f"  [timing]   A grouped matrices: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
 
-    # Phase B (device): diploid group posteriors for every cluster.
-    posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+    # Phase B (device): group posteriors for every cluster — dense
+    # diploid scoring, or the batched collapsed-Gibbs sampler when
+    # --use-hap-gibbs (consuming each cluster's FIRST PRNG key, exactly
+    # as the per-cluster estimator does).
+    if estimator.use_group_post_gibbs:
+        from .posteriors import path_group_posteriors_gibbs_batched
+
+        ranks = [ci for ci, _ in meta]
+        posterior_results = path_group_posteriors_gibbs_batched(
+            inputs, estimator.group_size, cluster_gibbs_keys(rng_seed, ranks)
+        )
+    else:
+        posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
 
     if timing:
         print(f"  [timing]   B diploid posteriors: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
@@ -189,6 +200,9 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
         jobs = []  # (ci, key_idx_in_cluster, task, abundances, noise_count, n_here)
         key_ranks = []
         max_depth = 0
+        # When group posteriors were Gibbs-sampled, each cluster's first
+        # key was consumed by that sampler (per-cluster parity).
+        key_base = 1 if estimator.use_group_post_gibbs else 0
         for ci, tasks in cluster_tasks.items():
             results_for_ci = per_cluster.get(ci, [])
             np_rng = np.random.default_rng((rng_seed, ci))
@@ -212,7 +226,7 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
                         key_count += 1
             if key_count:
                 key_ranks.append(ci)
-                max_depth = max(max_depth, key_count)
+                max_depth = max(max_depth, key_base + key_count)
 
         if jobs:
             chains = cluster_gibbs_key_chains(rng_seed, key_ranks, max_depth)
@@ -248,7 +262,7 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
                             float(task["counts"].sum()),
                         )
                     )
-                    keys.append(chain_of[ci][key_idx])
+                    keys.append(chain_of[ci][key_base + key_idx])
                 for j, (noise_samples, path_samples) in zip(
                     idxs,
                     run_batched_gibbs(
