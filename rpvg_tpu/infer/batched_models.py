@@ -19,9 +19,9 @@ Covered here:
 
 Batched read-count and posterior Gibbs are bitwise identical to the
 per-cluster dispatch (counter-based threefry: padded draws share their
-prefix; key chains replicated with a vmapped scan).  Remaining
-per-cluster configurations: non-diploid non-Gibbs `haplotypes`
-enumeration, independent-group nested inference.
+prefix; key chains replicated with a vmapped scan).  The only
+remaining per-cluster configuration is non-diploid non-Gibbs
+`haplotypes` full enumeration.
 """
 
 from __future__ import annotations
@@ -75,10 +75,88 @@ def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0) -> None:
 
 
 def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
-    return (
-        isinstance(estimator, NestedPathAbundanceEstimator)
-        and estimator.group_size == 2
-        and estimator.infer_collapsed
+    return isinstance(estimator, NestedPathAbundanceEstimator) and (
+        estimator.group_size == 2 or estimator.use_group_post_gibbs
+    )
+
+
+def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed: int = 0) -> None:
+    """Batched independent-group nested inference (--ind-hap-inference):
+    every (cluster, transcript-group) posterior job runs through the
+    batched diploid / collapsed-Gibbs engines, subset sampling replays
+    each cluster's host RNG stream, then the shared EM+Gibbs tail runs.
+    Bitwise identical to the per-cluster estimator."""
+    import math
+
+    from .posteriors import path_group_posteriors_gibbs_batched
+
+    jobs = []  # (ci, gi, group)
+    inputs = []
+    cluster_groups: Dict[int, List[List[int]]] = {}
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(0, 0)
+        if not cluster_probs:
+            continue
+        path_groups = estimator.find_path_groups(est.paths)
+        cluster_groups[ci] = path_groups
+        for gi, group in enumerate(path_groups):
+            probs, noise, counts = estimator._subset_matrix(
+                cluster_probs, group, len(est.paths)
+            )
+            group_counts = [est.paths[i].source_count for i in group]
+            inputs.append((probs, noise, counts, group_counts))
+            jobs.append((ci, gi, group))
+
+    if estimator.use_group_post_gibbs:
+        ranks = sorted(cluster_groups)
+        depth = max((len(cluster_groups[ci]) for ci in ranks), default=0)
+        chains = cluster_gibbs_key_chains(rng_seed, ranks, depth) if ranks else []
+        chain_of = {ci: chains[i] for i, ci in enumerate(ranks)}
+        keys = [chain_of[ci][gi] for ci, gi, _ in jobs]
+        results = path_group_posteriors_gibbs_batched(
+            inputs, estimator.group_size, keys
+        )
+    else:
+        results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+
+    per_cluster_jobs: Dict[int, List] = {}
+    for (ci, gi, group), res in zip(jobs, results):
+        per_cluster_jobs.setdefault(ci, []).append((group, res))
+
+    num_samples = math.floor(1.0 / estimator.min_hap_prob)
+    cluster_tasks: Dict[int, List[dict]] = {}
+    all_tasks: List[Tuple[int, dict]] = []
+    key_base_of: Dict[int, int] = {}
+    np_rng_of: Dict[int, np.random.Generator] = {}
+    for ci in cluster_groups:
+        est, cluster_probs = cluster_data[ci]
+        np_rng = np.random.default_rng((rng_seed, ci))
+        subset_samples: List[List[int]] = [[] for _ in range(num_samples)]
+        for group, (groups_g, posteriors) in per_cluster_jobs.get(ci, []):
+            posteriors = np.asarray(posteriors, dtype=np.float64)
+            posteriors = posteriors / posteriors.sum()
+            choices = np_rng.choice(len(groups_g), size=num_samples, p=posteriors)
+            for sample_idx, choice in enumerate(choices):
+                for local_idx in sorted(groups_g[choice]):
+                    subset_samples[sample_idx].append(group[local_idx])
+
+        subset_probs: Dict[tuple, float] = {}
+        for subset in subset_samples:
+            key = tuple(sorted(subset))
+            subset_probs[key] = subset_probs.get(key, 0.0) + 1.0 / num_samples
+
+        est.total_count = total_read_count(cluster_probs)
+        tasks = estimator.prepare_subset_tasks(est, cluster_probs, subset_probs)
+        cluster_tasks[ci] = tasks
+        all_tasks.extend((ci, task) for task in tasks)
+        key_base_of[ci] = (
+            len(per_cluster_jobs.get(ci, [])) if estimator.use_group_post_gibbs else 0
+        )
+        np_rng_of[ci] = np_rng
+
+    _nested_em_and_gibbs(
+        estimator, cluster_data, cluster_tasks, all_tasks, rng_seed,
+        key_base_of, np_rng_of=np_rng_of,
     )
 
 
@@ -176,6 +254,29 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
         print(f"  [timing]   C subset selection: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
 
+    _nested_em_and_gibbs(
+        estimator,
+        cluster_data,
+        cluster_tasks,
+        all_tasks,
+        rng_seed,
+        {ci: (1 if estimator.use_group_post_gibbs else 0) for ci in cluster_tasks},
+        timing,
+        t0,
+    )
+
+
+def _nested_em_and_gibbs(
+    estimator, cluster_data, cluster_tasks, all_tasks, rng_seed, key_base_of,
+    timing=False, t0=0.0, np_rng_of=None,
+) -> None:
+    """Shared tail of the nested drivers: one batched EM run over every
+    (cluster, subset) task, batched read-count Gibbs allocation/sampling
+    (PRNG-chain exact: key_base_of[ci] keys were already consumed by the
+    posterior phase), and posterior-weighted combination."""
+    import sys
+    import time
+
     # Phase D (device): one batched EM run over every subset task.
     em_inputs = [(task["matrix"], task["counts"]) for _, task in all_tasks]
     em_results = run_batched_em(
@@ -200,12 +301,17 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
         jobs = []  # (ci, key_idx_in_cluster, task, abundances, noise_count, n_here)
         key_ranks = []
         max_depth = 0
-        # When group posteriors were Gibbs-sampled, each cluster's first
-        # key was consumed by that sampler (per-cluster parity).
-        key_base = 1 if estimator.use_group_post_gibbs else 0
         for ci, tasks in cluster_tasks.items():
+            # Keys the posterior phase already consumed for this cluster.
+            key_base = key_base_of[ci]
             results_for_ci = per_cluster.get(ci, [])
-            np_rng = np.random.default_rng((rng_seed, ci))
+            # Continue the cluster's host RNG stream where the
+            # posterior phase left it (independent-groups mode draws
+            # subset choices from it first).
+            if np_rng_of is not None and ci in np_rng_of:
+                np_rng = np_rng_of[ci]
+            else:
+                np_rng = np.random.default_rng((rng_seed, ci))
             remaining_gibbs = estimator.num_gibbs_samples
             remaining_prob = 1.0
             key_count = 0
@@ -262,7 +368,7 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
                             float(task["counts"].sum()),
                         )
                     )
-                    keys.append(chain_of[ci][key_base + key_idx])
+                    keys.append(chain_of[ci][key_base_of[ci] + key_idx])
                 for j, (noise_samples, path_samples) in zip(
                     idxs,
                     run_batched_gibbs(

@@ -893,7 +893,16 @@ def run_inference_phases(
             estimates.paths = paths
             batch_data.append((estimates, cluster_probs))
         if supports_batched_nested(estimator, config.num_gibbs_samples):
-            batched_haplotype_transcripts(estimator, batch_data, config.rng_seed)
+            if estimator.infer_collapsed:
+                batched_haplotype_transcripts(estimator, batch_data, config.rng_seed)
+            else:
+                from .infer.batched_models import (
+                    batched_haplotype_transcripts_independent,
+                )
+
+                batched_haplotype_transcripts_independent(
+                    estimator, batch_data, config.rng_seed
+                )
         elif supports_batched_strains(estimator, config.num_gibbs_samples):
             batched_strains(estimator, batch_data, config.rng_seed)
         elif supports_batched_transcripts(estimator):
