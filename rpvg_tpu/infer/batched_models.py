@@ -48,9 +48,13 @@ def supports_batched_haplotypes(estimator) -> bool:
     )
 
 
-def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0) -> None:
+def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """cluster_data: list of (PathClusterEstimates with .paths set,
-    cluster_probs).  Mutates estimates in place."""
+    cluster_probs).  Mutates estimates in place.  `ranks` maps the
+    cluster_data index to its global cluster rank (identity when None) —
+    the rank seeds the per-cluster RNG, so a multi-host strided subset
+    reproduces the single-host draws."""
+    rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
     from .posteriors import path_group_posteriors_gibbs_batched
 
     inputs = []
@@ -64,7 +68,7 @@ def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0) -> None:
         meta.append(ci)
 
     if estimator.use_hap_gibbs:
-        keys = cluster_gibbs_keys(rng_seed, meta)
+        keys = cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci in meta])
         results = path_group_posteriors_gibbs_batched(inputs, estimator.ploidy, keys)
     else:
         results = diploid_posteriors_batched(inputs, HAPLOTYPES_MIN_REL_LIKELIHOOD)
@@ -80,7 +84,7 @@ def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
     )
 
 
-def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed: int = 0) -> None:
+def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """Batched independent-group nested inference (--ind-hap-inference):
     every (cluster, transcript-group) posterior job runs through the
     batched diploid / collapsed-Gibbs engines, subset sampling replays
@@ -90,6 +94,7 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
 
     from .posteriors import path_group_posteriors_gibbs_batched
 
+    rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
     jobs = []  # (ci, gi, group)
     inputs = []
     cluster_groups: Dict[int, List[List[int]]] = {}
@@ -108,10 +113,14 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             jobs.append((ci, gi, group))
 
     if estimator.use_group_post_gibbs:
-        ranks = sorted(cluster_groups)
-        depth = max((len(cluster_groups[ci]) for ci in ranks), default=0)
-        chains = cluster_gibbs_key_chains(rng_seed, ranks, depth) if ranks else []
-        chain_of = {ci: chains[i] for i, ci in enumerate(ranks)}
+        cis = sorted(cluster_groups)
+        depth = max((len(cluster_groups[ci]) for ci in cis), default=0)
+        chains = (
+            cluster_gibbs_key_chains(rng_seed, [rank_of(ci) for ci in cis], depth)
+            if cis
+            else []
+        )
+        chain_of = {ci: chains[i] for i, ci in enumerate(cis)}
         keys = [chain_of[ci][gi] for ci, gi, _ in jobs]
         results = path_group_posteriors_gibbs_batched(
             inputs, estimator.group_size, keys
@@ -130,7 +139,7 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
     np_rng_of: Dict[int, np.random.Generator] = {}
     for ci in cluster_groups:
         est, cluster_probs = cluster_data[ci]
-        np_rng = np.random.default_rng((rng_seed, ci))
+        np_rng = np.random.default_rng((rng_seed, rank_of(ci)))
         subset_samples: List[List[int]] = [[] for _ in range(num_samples)]
         for group, (groups_g, posteriors) in per_cluster_jobs.get(ci, []):
             posteriors = np.asarray(posteriors, dtype=np.float64)
@@ -156,7 +165,7 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
 
     _nested_em_and_gibbs(
         estimator, cluster_data, cluster_tasks, all_tasks, rng_seed,
-        key_base_of, np_rng_of=np_rng_of,
+        key_base_of, np_rng_of=np_rng_of, rank_of=rank_of,
     )
 
 
@@ -181,7 +190,7 @@ def cluster_gibbs_key_chains(rng_seed: int, ranks: Sequence[int], depth: int) ->
     return np.asarray(jax.vmap(chain)(folded))
 
 
-def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) -> None:
+def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """Batched collapsed-group nested inference; mutates the estimates
     in cluster_data in place."""
     import os
@@ -213,12 +222,14 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
     # diploid scoring, or the batched collapsed-Gibbs sampler when
     # --use-hap-gibbs (consuming each cluster's FIRST PRNG key, exactly
     # as the per-cluster estimator does).
+    rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
     if estimator.use_group_post_gibbs:
         from .posteriors import path_group_posteriors_gibbs_batched
 
-        ranks = [ci for ci, _ in meta]
         posterior_results = path_group_posteriors_gibbs_batched(
-            inputs, estimator.group_size, cluster_gibbs_keys(rng_seed, ranks)
+            inputs,
+            estimator.group_size,
+            cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci, _ in meta]),
         )
     else:
         posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
@@ -263,12 +274,13 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0) ->
         {ci: (1 if estimator.use_group_post_gibbs else 0) for ci in cluster_tasks},
         timing,
         t0,
+        rank_of=rank_of,
     )
 
 
 def _nested_em_and_gibbs(
     estimator, cluster_data, cluster_tasks, all_tasks, rng_seed, key_base_of,
-    timing=False, t0=0.0, np_rng_of=None,
+    timing=False, t0=0.0, np_rng_of=None, rank_of=None,
 ) -> None:
     """Shared tail of the nested drivers: one batched EM run over every
     (cluster, subset) task, batched read-count Gibbs allocation/sampling
@@ -276,6 +288,9 @@ def _nested_em_and_gibbs(
     posterior phase), and posterior-weighted combination."""
     import sys
     import time
+
+    if rank_of is None:
+        rank_of = lambda ci: ci  # noqa: E731
 
     # Phase D (device): one batched EM run over every subset task.
     em_inputs = [(task["matrix"], task["counts"]) for _, task in all_tasks]
@@ -311,7 +326,7 @@ def _nested_em_and_gibbs(
             if np_rng_of is not None and ci in np_rng_of:
                 np_rng = np_rng_of[ci]
             else:
-                np_rng = np.random.default_rng((rng_seed, ci))
+                np_rng = np.random.default_rng((rng_seed, rank_of(ci)))
             remaining_gibbs = estimator.num_gibbs_samples
             remaining_prob = 1.0
             key_count = 0
@@ -335,7 +350,9 @@ def _nested_em_and_gibbs(
                 max_depth = max(max_depth, key_base + key_count)
 
         if jobs:
-            chains = cluster_gibbs_key_chains(rng_seed, key_ranks, max_depth)
+            chains = cluster_gibbs_key_chains(
+                rng_seed, [rank_of(ci) for ci in key_ranks], max_depth
+            )
             chain_of = {ci: chains[i] for i, ci in enumerate(key_ranks)}
 
             # Chain length is baked into the sampler's key-split shape;
@@ -423,7 +440,7 @@ def supports_batched_transcripts(estimator) -> bool:
     return type(estimator) is PathAbundanceEstimator
 
 
-def batched_transcripts(estimator, cluster_data, rng_seed: int = 0) -> None:
+def batched_transcripts(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """Batched `transcripts` inference: one bucketed EM sweep over every
     cluster, then (when sampling) one bucketed Gibbs sweep.  Mutates the
     estimates in cluster_data in place."""
@@ -451,7 +468,8 @@ def batched_transcripts(estimator, cluster_data, rng_seed: int = 0) -> None:
         est.noise_count = noise_count
 
     if estimator.num_gibbs_samples > 0:
-        keys = cluster_gibbs_keys(rng_seed, meta)
+        rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
+        keys = cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci in meta])
         gibbs_inputs = [
             (probs, counts, np.asarray(abundances), noise_count, cluster_data[ci][0].total_count)
             for (probs, counts), (abundances, noise_count), ci in zip(
@@ -472,7 +490,7 @@ def supports_batched_strains(estimator, num_gibbs_samples: int) -> bool:
     return isinstance(estimator, MinimumPathAbundanceEstimator)
 
 
-def batched_strains(estimator, cluster_data, rng_seed: int = 0) -> None:
+def batched_strains(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """Batched `strains` inference: the greedy cover stays on the host
     (cheap, data-dependent), the per-cover EM runs in one bucketed
     batched sweep instead of per-cluster dispatches, followed by one
@@ -499,7 +517,8 @@ def batched_strains(estimator, cluster_data, rng_seed: int = 0) -> None:
     )
 
     if estimator.num_gibbs_samples > 0:
-        keys = cluster_gibbs_keys(rng_seed, meta)
+        rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
+        keys = cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci in meta])
         gibbs_inputs = [
             (task["matrix"], task["counts"], np.asarray(abundances), noise_count, task["total"])
             for task, (abundances, noise_count) in zip(tasks, em_results)

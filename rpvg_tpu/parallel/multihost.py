@@ -22,7 +22,9 @@ Two drivers:
 from __future__ import annotations
 
 import sys
-from typing import Dict
+from typing import Dict, Optional
+
+import numpy as np
 
 from ..pipeline import (
     FragmentIndex,
@@ -123,3 +125,122 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     return run_inference_phases(
         config, paths_index, fragment_index, pre_dist, log, finder=finder
     )
+
+
+# ------------------------------------------------------- jax.distributed
+
+
+def _allgather_payload(payload):
+    """All-gather an arbitrary picklable payload across jax processes
+    (lengths exchanged first, then the padded byte blobs)."""
+    import pickle
+
+    import jax.numpy as jnp
+    from jax.experimental import multihost_utils
+
+    blob = np.frombuffer(pickle.dumps(payload), dtype=np.uint8)
+    lens = np.asarray(
+        multihost_utils.process_allgather(jnp.asarray([blob.size], dtype=jnp.int64))
+    ).reshape(-1)
+    padded = np.zeros(int(lens.max()), dtype=np.uint8)
+    padded[: blob.size] = blob
+    blobs = np.asarray(multihost_utils.process_allgather(jnp.asarray(padded)))
+    return [
+        pickle.loads(blobs[i, : int(lens[i])].tobytes()) for i in range(lens.size)
+    ]
+
+
+def run_pipeline_distributed(
+    config: PipelineConfig,
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> Dict:
+    """True multi-process data-parallel pipeline over ``jax.distributed``
+    (ICI/DCN collectives on real pods, Gloo on CPU):
+
+    1. the fragment pass is sharded by process index,
+    2. dedup shards are all-gathered and merged (every process then
+       holds the identical fragment index — the histogram reduction the
+       reference's indexing thread performs, distributed),
+    3. inference runs on a strided subset of cluster ranks per process
+       (rank-seeded RNG keeps draws identical to single-host),
+    4. per-cluster results are all-gathered and process 0 writes the
+       outputs — byte-identical to the single-host run.
+
+    Call with `coordinator_address`/`num_processes`/`process_id` to
+    initialize jax.distributed here, or initialize it before calling.
+    """
+    import jax
+
+    if coordinator_address is not None:
+        jax.distributed.initialize(
+            coordinator_address, num_processes=num_processes, process_id=process_id
+        )
+    pid = jax.process_index()
+    n = jax.process_count()
+
+    assert not config.write_probs, (
+        "probability-writer output is not supported on the distributed runner"
+    )
+
+    log = lambda msg: print(f"[proc {pid}] {msg}", file=sys.stderr)  # noqa: E731
+
+    graph, paths_index = load_inputs(config)
+    pre_dist = resolve_pre_fragment_dist(config)
+    finder = build_finder(config, paths_index, pre_dist)
+
+    local = collect_fragments(config, finder, pre_dist, shard=pid, num_shards=n)
+    payloads = _allgather_payload(
+        (list(local.entries.values()), local.frag_length_counts, local.unaligned_count)
+    )
+
+    fragment_index = FragmentIndex(pre_dist, config.is_single_end())
+    for entries, frag_counts, unaligned in payloads:
+        shard_index = FragmentIndex(pre_dist, config.is_single_end())
+        shard_index.entries = {
+            (
+                entry[2][8:]
+                if entry[2] is not None
+                else tuple(ap.key() for ap in entry[0])
+            ): entry
+            for entry in entries
+        }
+        shard_index.frag_length_counts = frag_counts
+        shard_index.unaligned_count = unaligned
+        fragment_index.merge_from(shard_index)
+    log(
+        f"merged {n} process shards: {len(fragment_index.entries)} distinct "
+        f"alignment path lists"
+    )
+
+    stats = run_inference_phases(
+        config,
+        paths_index,
+        fragment_index,
+        pre_dist,
+        log,
+        finder=finder,
+        cluster_filter=lambda rank: rank % n == pid,
+        skip_outputs=True,
+    )
+
+    gathered = _allgather_payload(stats["results"])
+    merged = [result for results in gathered for result in results]
+    merged.sort(key=lambda result: result.cluster_id)
+    stats["results"] = merged
+
+    if pid == 0:
+        from ..pipeline import write_outputs
+
+        if config.num_gibbs_samples > 0 and config.inference_model != "haplotypes":
+            from ..io import writers
+
+            gibbs_writer = writers.ReadCountGibbsSamplesWriter(
+                config.output_prefix + "_gibbs", config.num_gibbs_samples
+            )
+            for result in merged:
+                gibbs_writer.add_samples(result.cluster_id, result.estimates)
+            gibbs_writer.finish(fragment_index.unaligned_count)
+        write_outputs(config, merged, fragment_index.unaligned_count)
+    return stats

@@ -718,6 +718,8 @@ def run_inference_phases(
     pre_frag_length_dist: FragmentLengthDist,
     log=lambda msg: print(msg, file=sys.stderr),
     finder=None,
+    cluster_filter=None,
+    skip_outputs: bool = False,
 ) -> Dict:
     """Everything downstream of the (possibly merged multi-shard)
     fragment index: distribution re-fit, clustering, per-cluster
@@ -796,14 +798,26 @@ def run_inference_phases(
         key=lambda c: (len(per_cluster[c]), c),
         reverse=True,
     )
+    # Multi-host split: each host owns a strided subset of cluster RANKS
+    # (rank, not index, drives the RNG and the output cluster id, so the
+    # union across hosts reproduces the single-host run exactly).
+    owned_ranks = [
+        rank for rank in range(len(order))
+        if cluster_filter is None or cluster_filter(rank)
+    ]
+    order = [order[rank] for rank in owned_ranks]
 
     prob_writer = None
-    if config.write_probs:
+    if config.write_probs and not skip_outputs:
         prob_writer = writers.ProbabilityClusterWriter(
             config.output_prefix + "_probs", config.prob_precision
         )
     gibbs_writer = None
-    if config.num_gibbs_samples > 0 and config.inference_model != "haplotypes":
+    if (
+        config.num_gibbs_samples > 0
+        and config.inference_model != "haplotypes"
+        and not skip_outputs
+    ):
         gibbs_writer = writers.ReadCountGibbsSamplesWriter(
             config.output_prefix + "_gibbs", config.num_gibbs_samples
         )
@@ -859,10 +873,11 @@ def run_inference_phases(
             all_eff_lengths,
         )
         cluster_data = [
-            (rank, paths, dense) for rank, (paths, dense) in enumerate(matrix_results)
+            (owned_ranks[i], paths, dense)
+            for i, (paths, dense) in enumerate(matrix_results)
         ]
     else:
-        for rank, cluster_idx in enumerate(order):
+        for i, cluster_idx in enumerate(order):
             paths, cluster_probs = build_cluster_probs(
                 config,
                 paths_index,
@@ -876,7 +891,7 @@ def run_inference_phases(
                 all_lengths=all_lengths,
                 all_eff_lengths=all_eff_lengths,
             )
-            cluster_data.append((rank, paths, cluster_probs))
+            cluster_data.append((owned_ranks[i], paths, cluster_probs))
 
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
@@ -888,27 +903,31 @@ def run_inference_phases(
     results: List[ClusterResult] = []
     if batched_supported:
         batch_data = []
+        batch_ranks = []
         for rank, paths, cluster_probs in cluster_data:
             estimates = PathClusterEstimates()
             estimates.paths = paths
             batch_data.append((estimates, cluster_probs))
+            batch_ranks.append(rank)
         if supports_batched_nested(estimator, config.num_gibbs_samples):
             if estimator.infer_collapsed:
-                batched_haplotype_transcripts(estimator, batch_data, config.rng_seed)
+                batched_haplotype_transcripts(
+                    estimator, batch_data, config.rng_seed, batch_ranks
+                )
             else:
                 from .infer.batched_models import (
                     batched_haplotype_transcripts_independent,
                 )
 
                 batched_haplotype_transcripts_independent(
-                    estimator, batch_data, config.rng_seed
+                    estimator, batch_data, config.rng_seed, batch_ranks
                 )
         elif supports_batched_strains(estimator, config.num_gibbs_samples):
-            batched_strains(estimator, batch_data, config.rng_seed)
+            batched_strains(estimator, batch_data, config.rng_seed, batch_ranks)
         elif supports_batched_transcripts(estimator):
-            batched_transcripts(estimator, batch_data, config.rng_seed)
+            batched_transcripts(estimator, batch_data, config.rng_seed, batch_ranks)
         else:
-            batched_haplotypes(estimator, batch_data, config.rng_seed)
+            batched_haplotypes(estimator, batch_data, config.rng_seed, batch_ranks)
         for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
             results.append(ClusterResult(rank + 1, estimates))
     else:
@@ -940,7 +959,8 @@ def run_inference_phases(
     if gibbs_writer is not None:
         gibbs_writer.finish(fragment_index.unaligned_count)
 
-    write_outputs(config, results, fragment_index.unaligned_count)
+    if not skip_outputs:
+        write_outputs(config, results, fragment_index.unaligned_count)
 
     return {
         "num_fragment_lists": len(fragment_index.entries),

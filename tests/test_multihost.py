@@ -110,3 +110,75 @@ def test_native_vs_python_pipeline_identical(dataset, tmp_path):
             str(tmp_path / f"{tag}_python") + ".txt"
         ) as b:
             assert a.read() == b.read(), f"{tag} diverged"
+
+
+def _distributed_worker(pid, n, port, graph_path, panel_path, aln_path, prefix):
+    import os
+    import sys
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from rpvg_tpu.parallel.multihost import run_pipeline_distributed
+    from rpvg_tpu.pipeline import PipelineConfig
+
+    config = PipelineConfig(
+        graph=graph_path,
+        paths=panel_path,
+        alignments=aln_path,
+        output_prefix=prefix,
+        inference_model="transcripts",
+        num_gibbs_samples=4,
+        rng_seed=42,
+        score_not_qual=True,
+    )
+    run_pipeline_distributed(
+        config, f"localhost:{port}", num_processes=n, process_id=pid
+    )
+    os._exit(0)
+
+
+def test_distributed_matches_single_host(dataset, tmp_path):
+    """Two jax.distributed processes (Gloo collectives on CPU) must
+    reproduce the single-host outputs byte-for-byte, including Gibbs
+    samples."""
+    import gzip
+    import multiprocessing as mp
+    import socket
+
+    # File-based inputs so spawn workers can load them.
+    graph_path = str(dataset["tmp"] / "graph.json")
+    panel_path = str(dataset["tmp"] / "panel.json")
+    dataset["panel"].write_graph_json(graph_path)
+    dataset["panel"].write_panel_json(panel_path)
+
+    base_prefix = str(tmp_path / "single")
+    config = make_config(dataset, base_prefix)
+    config.num_gibbs_samples = 4
+    run_pipeline(config)
+
+    with socket.socket() as sock:
+        sock.bind(("localhost", 0))
+        port = sock.getsockname()[1]
+
+    prefix = str(tmp_path / "dist")
+    ctx = mp.get_context("spawn")
+    procs = [
+        ctx.Process(
+            target=_distributed_worker,
+            args=(pid, 2, port, graph_path, panel_path, dataset["alignments"], prefix),
+        )
+        for pid in range(2)
+    ]
+    for p in procs:
+        p.start()
+    for p in procs:
+        p.join(timeout=300)
+    assert [p.exitcode for p in procs] == [0, 0]
+
+    with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+        assert a.read() == b.read()
+    with gzip.open(base_prefix + "_gibbs.txt.gz", "rt") as a, gzip.open(
+        prefix + "_gibbs.txt.gz", "rt"
+    ) as b:
+        assert a.read() == b.read()
