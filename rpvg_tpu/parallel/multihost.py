@@ -10,13 +10,18 @@ all-reduce).  Inference then proceeds on the merged index; clusters are
 independent so per-cluster work needs no further communication beyond
 the TPM normaliser sum.
 
-Two drivers:
+Three drivers:
 
 * :func:`run_pipeline_sharded` — in-process shard loop (deterministic,
   used by CI to prove shard-invariance byte-for-byte);
 * :func:`run_pipeline_multiprocess` — one worker process per shard
   (one-host many-process stand-in for multi-host; workers return pickled
-  shard indexes to rank 0).
+  shard indexes to rank 0);
+* :func:`run_pipeline_distributed` — true multi-process execution over
+  ``jax.distributed`` (Gloo collectives on CPU, ICI/DCN on TPU pods):
+  sharded fragment pass, all-gathered dedup merge, strided per-process
+  cluster inference, results gathered to process 0 — byte-identical to
+  single-host.
 """
 
 from __future__ import annotations
