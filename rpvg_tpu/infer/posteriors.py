@@ -115,6 +115,38 @@ def _diploid_pair_scores_block(probs, noise, counts, log_freqs, half_block, bloc
 _PAIR_TENSOR_ELEMENT_LIMIT = 1 << 27
 
 
+def _pair_scores_sharded(probs, noise, counts, log_freqs):
+    """Model-parallel dense scoring for giant clusters: the pair matrix
+    shards over the mesh's model axis (one column/row stripe per
+    device), so the (R, P, P) tensor only needs 1/n_devices of a chip's
+    memory.  Returns None when the mesh cannot help (single device or
+    still too large)."""
+    import jax as _jax
+
+    n_dev = _jax.device_count()
+    R, P = probs.shape
+    if n_dev <= 1 or R * P * P > _PAIR_TENSOR_ELEMENT_LIMIT * n_dev:
+        return None
+
+    from ..parallel.mesh import make_mesh, sharded_diploid_scores
+
+    P_pad = ((P + n_dev - 1) // n_dev) * n_dev
+    probs_pad = np.zeros((R, P_pad), dtype=probs.dtype)
+    probs_pad[:, :P] = probs
+    freqs_pad = np.full(P_pad, -np.inf)
+    freqs_pad[:P] = log_freqs
+
+    mesh = make_mesh(model=n_dev)
+    scores = np.asarray(
+        sharded_diploid_scores(mesh)(
+            jnp.asarray(probs_pad), jnp.asarray(noise), jnp.asarray(counts),
+            jnp.asarray(freqs_pad),
+        ),
+        dtype=np.float64,
+    )
+    return scores[:P, :P]
+
+
 def _pair_scores_blocked(probs, noise, counts, log_freqs):
     R, P = probs.shape
     if R * P * P <= _PAIR_TENSOR_ELEMENT_LIMIT:
@@ -125,6 +157,9 @@ def _pair_scores_blocked(probs, noise, counts, log_freqs):
             ),
             dtype=np.float64,
         )
+    sharded = _pair_scores_sharded(probs, noise, counts, log_freqs)
+    if sharded is not None:
+        return sharded
     block = max(8, _PAIR_TENSOR_ELEMENT_LIMIT // max(1, R * P))
     block = _ceil_pow2(block) // 2 or 8
     out = np.empty((P, P), dtype=np.float64)

@@ -67,3 +67,37 @@ def test_psum_histogram():
     local = np.arange(8 * 16, dtype=np.float32).reshape(8, 16)
     reduced = np.asarray(psum_histogram(mesh)(jnp.asarray(local)))
     assert np.allclose(reduced, local.sum(axis=0))
+
+
+def test_sharded_giant_cluster_scores_match_dense():
+    # Giant clusters route through the model-axis sharded scorer when
+    # the pair tensor exceeds one device but fits across the mesh.
+    import numpy as np
+
+    from rpvg_tpu.infer import posteriors as post
+
+    rng = np.random.default_rng(11)
+    R, P = 16, 24
+    probs = rng.random((R, P)) * 0.4
+    noise = rng.random(R) * 0.1 + 0.01
+    counts = rng.integers(1, 8, size=R).astype(float)
+    path_counts = [1] * P
+
+    dense_groups, dense_post = post.path_group_posteriors_diploid(
+        probs, noise, counts, path_counts, 1e-300
+    )
+
+    # R*P*P = 9216: above the per-device limit, within limit * 8 devices.
+    saved = post._PAIR_TENSOR_ELEMENT_LIMIT
+    post._PAIR_TENSOR_ELEMENT_LIMIT = 2048
+    try:
+        log_freqs = np.log(np.asarray(path_counts) / float(sum(path_counts)))
+        assert post._pair_scores_sharded(probs, noise, counts, log_freqs) is not None
+        sharded_groups, sharded_post = post.path_group_posteriors_diploid(
+            probs, noise, counts, path_counts, 1e-300
+        )
+    finally:
+        post._PAIR_TENSOR_ELEMENT_LIMIT = saved
+
+    assert sharded_groups == dense_groups
+    assert np.allclose(sharded_post, dense_post, rtol=1e-9, atol=1e-12)
