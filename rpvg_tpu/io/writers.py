@@ -20,7 +20,16 @@ from ..probabilities import PathInfo, ReadPathProbs
 
 
 def fmt(value: float, digits: int = OUT_PRECISION_DIGITS) -> str:
-    """C++ `ostream << setprecision(digits)` formatting."""
+    """C++ `ostream << setprecision(digits)` formatting.
+
+    The float fast path is plain %g: for integral doubles below
+    10**digits, %g prints the same digit string the int branch would
+    (no exponent, no trailing point), so only int-typed inputs need it."""
+    t = type(value)
+    if t is float or t is np.float64:
+        if value != value:
+            return "nan"
+        return "%.*g" % (digits, value)
     if value != value:
         return "nan"
     if isinstance(value, (int, np.integer)) or (
@@ -28,6 +37,12 @@ def fmt(value: float, digits: int = OUT_PRECISION_DIGITS) -> str:
     ):
         return str(int(value))
     return f"{value:.{digits}g}"
+
+
+def fmt_array(values: np.ndarray, digits: int = OUT_PRECISION_DIGITS) -> np.ndarray:
+    """Vectorised :func:`fmt` over a float array (C printf %g — the
+    same algorithm CPython float formatting uses)."""
+    return np.char.mod(f"%.{digits}g", np.asarray(values, dtype=np.float64))
 
 
 def _open(path: str) -> TextIO:
@@ -161,26 +176,27 @@ class AbundanceEstimatesWriter:
         self.handle.write("Name\tClusterID\tLength\tEffectiveLength\tReadCount\tTPM\n")
 
     def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
-        for i, group_set in enumerate(estimates.path_group_sets):
-            path = group_set[0]
-            info = estimates.paths[path]
-            count = estimates.abundances[i]
-            tpm = 0.0
-            if info.effective_length > 0:
-                tpm = count / info.effective_length / self.total_transcript_count * 1e6
-            self.handle.write(
-                "\t".join(
-                    [
-                        info.name,
-                        str(cluster_id),
-                        str(info.length),
-                        fmt(info.effective_length),
-                        fmt(count),
-                        fmt(tpm),
-                    ]
-                )
-                + "\n"
+        if not estimates.path_group_sets:
+            self.noise_count += estimates.noise_count
+            return
+        firsts = [g[0] for g in estimates.path_group_sets]
+        effs = np.array(
+            [estimates.paths[p].effective_length for p in firsts], dtype=np.float64
+        )
+        counts = np.asarray(estimates.abundances, dtype=np.float64)[: len(firsts)]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tpms = np.where(
+                effs > 0, counts / effs / self.total_transcript_count * 1e6, 0.0
             )
+        eff_s, count_s, tpm_s = fmt_array(effs), fmt_array(counts), fmt_array(tpms)
+        cid = str(cluster_id)
+        lines = []
+        for i, path in enumerate(firsts):
+            info = estimates.paths[path]
+            lines.append(
+                f"{info.name}\t{cid}\t{info.length}\t{eff_s[i]}\t{count_s[i]}\t{tpm_s[i]}\n"
+            )
+        self.handle.write("".join(lines))
         self.noise_count += estimates.noise_count
 
     def finish(self, unaligned_read_count: int) -> None:
@@ -217,24 +233,23 @@ class HaplotypeAbundanceEstimatesWriter:
                     hap_probs[group_set[j]] += posterior
                 read_counts[group_set[j]] += next(abundance_it)
 
-        for i, info in enumerate(estimates.paths):
-            tpm = 0.0
-            if info.effective_length > 0:
-                tpm = read_counts[i] / info.effective_length / self.total_transcript_count * 1e6
-            self.handle.write(
-                "\t".join(
-                    [
-                        info.name,
-                        str(cluster_id),
-                        str(info.length),
-                        fmt(info.effective_length),
-                        fmt(hap_probs[i]),
-                        fmt(read_counts[i]),
-                        fmt(tpm),
-                    ]
-                )
-                + "\n"
+        effs = np.array([p.effective_length for p in estimates.paths], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tpms = np.where(
+                effs > 0, read_counts / effs / self.total_transcript_count * 1e6, 0.0
             )
+        eff_s = fmt_array(effs)
+        hap_s = fmt_array(hap_probs)
+        count_s = fmt_array(read_counts)
+        tpm_s = fmt_array(tpms)
+        cid = str(cluster_id)
+        lines = []
+        for i, info in enumerate(estimates.paths):
+            lines.append(
+                f"{info.name}\t{cid}\t{info.length}\t{eff_s[i]}\t{hap_s[i]}\t"
+                f"{count_s[i]}\t{tpm_s[i]}\n"
+            )
+        self.handle.write("".join(lines))
         self.noise_count += estimates.noise_count
 
     def finish(self, unaligned_read_count: int) -> None:
