@@ -2130,3 +2130,82 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Ragged batched EM (CPU speed path behind rpvg_tpu/infer/batching.py;
+// reference convergence contract src/path_abundance_estimator.cpp:47-114):
+// per cluster, iterate responsibilities/abundance updates until every
+// abundance >= 1e-8 changes by < `conv` relative for 10 consecutive
+// iterations (or max_its).  Clusters run independently on worker
+// threads, so a batch is bitwise identical to per-cluster calls.
+//
+// probs_concat: per cluster a row-major (R_b, C_b) block (noise column
+// last); out_concat: per cluster C_b abundance fractions.
+void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
+                    const int64_t* mat_offsets, const int64_t* row_offsets,
+                    const int64_t* col_offsets, const int64_t* n_rows,
+                    const int64_t* n_cols, int64_t n_clusters,
+                    int64_t max_its, double conv, int32_t n_threads,
+                    double* out_concat) {
+  constexpr double MIN_ABUNDANCE = 1e-8;
+  constexpr int32_t MIN_CONV_ITS = 10;
+
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> abund, fresh;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_clusters) return;
+      const int64_t R = n_rows[b];
+      const int64_t C = n_cols[b];
+      const double* P = probs_concat + mat_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+      double* out = out_concat + col_offsets[b];
+
+      double total = 0.0;
+      for (int64_t r = 0; r < R; ++r) total += counts[r];
+      const double denom = std::max(total, 1.0);
+
+      abund.assign(C, 1.0 / static_cast<double>(C));
+      fresh.assign(C, 0.0);
+
+      int32_t conv_its = 0;
+      for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
+        std::fill(fresh.begin(), fresh.end(), 0.0);
+        for (int64_t r = 0; r < R; ++r) {
+          const double* row = P + r * C;
+          double row_sum = 0.0;
+          for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
+          if (row_sum > 0.0) {
+            const double w = counts[r] / row_sum;
+            for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
+          }
+        }
+        bool has_conv = true;
+        for (int64_t c = 0; c < C; ++c) {
+          fresh[c] /= denom;
+          if (fresh[c] >= MIN_ABUNDANCE &&
+              std::abs(fresh[c] - abund[c]) / fresh[c] > conv) {
+            has_conv = false;
+          }
+        }
+        conv_its = has_conv ? conv_its + 1 : 0;
+        std::swap(abund, fresh);
+      }
+      std::copy(abund.begin(), abund.end(), out);
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+}  // extern "C"

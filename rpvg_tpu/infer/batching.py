@@ -33,6 +33,84 @@ def _ceil_pow4(n: int, floor: int = 8) -> int:
     return size
 
 
+def run_native_em(
+    cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    max_em_its: int,
+    max_rel_em_conv: float,
+    n_threads: int = 0,
+) -> List[Tuple[np.ndarray, float]]:
+    """Ragged batched EM through the C++ kernel (CPU speed path): no
+    padding, no shape buckets, per-cluster loops on worker threads —
+    bitwise identical to calling the kernel per cluster.  Returns the
+    same (path read counts, noise count) contract as run_batched_em."""
+    import ctypes
+    import os
+
+    from ..native import load_library
+
+    lib = load_library()
+    n = len(cluster_inputs)
+    n_rows = np.array([p.shape[0] for p, _ in cluster_inputs], dtype=np.int64)
+    n_cols = np.array([p.shape[1] for p, _ in cluster_inputs], dtype=np.int64)
+    mat_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows * n_cols, out=mat_offsets[1:])
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows, out=row_offsets[1:])
+    col_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols, out=col_offsets[1:])
+
+    probs_concat = (
+        np.concatenate(
+            [np.ascontiguousarray(p, dtype=np.float64).ravel() for p, _ in cluster_inputs]
+        )
+        if n
+        else np.empty(0, dtype=np.float64)
+    )
+    counts_concat = (
+        np.concatenate([np.asarray(c, dtype=np.float64) for _, c in cluster_inputs])
+        if n
+        else np.empty(0, dtype=np.float64)
+    )
+    out = np.empty(int(col_offsets[-1]), dtype=np.float64)
+
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_em_ragged(
+        as_f64(probs_concat), as_f64(counts_concat),
+        as_i64(mat_offsets), as_i64(row_offsets), as_i64(col_offsets),
+        as_i64(n_rows), as_i64(n_cols), n,
+        int(max_em_its), float(max_rel_em_conv), int(n_threads),
+        as_f64(out),
+    )
+
+    results: List[Tuple[np.ndarray, float]] = []
+    for i, (_, counts) in enumerate(cluster_inputs):
+        fracs = out[col_offsets[i] : col_offsets[i + 1]]
+        total = float(np.asarray(counts, dtype=np.float64).sum())
+        path_counts = fracs[:-1] * total
+        low = fracs[:-1] < MIN_EM_ABUNDANCE
+        noise_count = float(path_counts[low].sum()) + float(fracs[-1] * total)
+        path_counts = path_counts.copy()
+        path_counts[low] = 0.0
+        results.append((path_counts, noise_count))
+    return results
+
+
+def native_em_available() -> bool:
+    import os
+
+    if os.environ.get("RPVG_TPU_NATIVE_EM", "1") == "0":
+        return False
+    try:
+        from ..native import load_library
+
+        return load_library() is not None
+    except Exception:
+        return False
+
+
 def run_batched_em(
     cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
     max_em_its: int = 10000,
@@ -56,6 +134,10 @@ def run_batched_em(
     on_tpu = jax.default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
+    # CPU speed path: the C++ ragged kernel (threads, no padding) —
+    # identical convergence contract; RPVG_TPU_NATIVE_EM=0 disables.
+    if not on_tpu and dtype == np.float64 and native_em_available():
+        return run_native_em(cluster_inputs, max_em_its, max_rel_em_conv)
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
     # reference to ~2e-7 and beats the XLA while-loop by >100x steady
     # state.  RPVG_TPU_PALLAS=0 force-disables.

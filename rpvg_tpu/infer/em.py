@@ -79,7 +79,21 @@ def em_abundances(
 
     The matrix is zero-padded to power-of-two shapes with a column mask
     so the compiled kernel is shared across clusters (a per-shape
-    compile per cluster would dominate the run)."""
+    compile per cluster would dominate the run).  On CPU backends the
+    C++ ragged kernel runs instead (the same per-cluster loop the
+    batched sweep uses, so per-cluster and batched calls are bitwise
+    identical)."""
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        from .batching import native_em_available, run_native_em
+
+        if native_em_available():
+            [(path_counts, noise_count)] = run_native_em(
+                [(probs, counts)], max_em_its, max_rel_em_conv
+            )
+            return path_counts, noise_count
+
     R, C = probs.shape
     R_pad, C_pad = _ceil_pow2(R), _ceil_pow2(C)
     probs_pad = np.zeros((1, R_pad, C_pad), dtype=np.float64)
