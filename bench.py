@@ -95,11 +95,12 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
         score_not_qual=True,
     )
 
-    # Two runs, best kept: the first pays one-time jit tracing/compiles
-    # (amortised away in production by the persistent XLA compile
-    # cache), the second measures steady state.
+    # Three runs, best kept: the first pays one-time jit
+    # tracing/compiles (amortised away in production by the persistent
+    # XLA compile cache), the rest measure steady state — best-of damps
+    # the +-30% noise observed on small shared hosts.
     elapsed = []
-    for _ in range(2):
+    for _ in range(3):
         start = time.perf_counter()
         stats = run_pipeline(config)
         elapsed.append(time.perf_counter() - start)
