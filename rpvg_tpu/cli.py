@@ -116,7 +116,9 @@ def main(argv=None) -> int:
     import time
 
     rng_seed = args.rng_seed if args.rng_seed is not None else int(time.time())
-    print(f"Running rpvg_tpu", file=sys.stderr)
+    from . import __version__
+
+    print(f"Running rpvg_tpu ({__version__})", file=sys.stderr)
     print(f"Random number generator seed: {rng_seed}", file=sys.stderr)
 
     config = PipelineConfig(

@@ -91,6 +91,14 @@ class PipelineConfig:
 # ----------------------------------------------------------- fragment pass
 
 
+def _mem_gb() -> float:
+    """Peak RSS in gigabytes (the reference logs
+    gbwt::inGigabytes(memoryUsage()) at each phase, src/main.cpp:640-649)."""
+    import resource
+
+    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / (1024.0 * 1024.0)
+
+
 def condense_alignment_paths(align_paths: List[AlignmentPath]) -> List[AlignmentPath]:
     """Collapse consecutive sorted entries with identical (search state,
     fragment length), keeping the first (reference
@@ -692,7 +700,7 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
     graph, paths_index = load_inputs(config)
     pre_frag_length_dist = resolve_pre_fragment_dist(config)
-    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s)")
+    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s, {_mem_gb():.2f}GB)")
 
     finder = build_finder(config, paths_index, pre_frag_length_dist)
 
@@ -701,7 +709,7 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     log(
         f"Found {len(fragment_index.entries)} distinct alignment path lists and "
         f"{fragment_index.unaligned_count} unaligned reads "
-        f"({time.perf_counter() - t_phase:.2f}s)"
+        f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
     )
 
     stats = run_inference_phases(
@@ -767,7 +775,7 @@ def run_inference_phases(
     if config.path_node_cluster or collapse_haps:
         clusters.add_node_clusters(paths_index)
     per_cluster = partition_fragments(paths_index, clusters, fragment_lists)
-    log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s)")
+    log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)")
 
     haplotype_info = None
     if config.path_info is not None:
@@ -951,7 +959,7 @@ def run_inference_phases(
     log(
         f"Inferred path posterior probabilities"
         f"{' and abundances' if config.inference_model != 'haplotypes' else ''} "
-        f"({time.perf_counter() - t_phase:.2f}s)"
+        f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
     )
 
     if prob_writer is not None:
