@@ -2209,3 +2209,63 @@ void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Ragged batched diplotype pair scoring (CPU speed path behind
+// rpvg_tpu/infer/posteriors.py:diploid_posteriors_batched; reference
+// branch-and-bound src/path_estimator.cpp:379-473 re-expressed dense):
+// per cluster a full symmetric (P, P) matrix of
+//   sum_r counts[r] * log(noise[r] + (probs[r,i] + probs[r,j]) / 2)
+//   + log_freqs[i] + log_freqs[j]
+// Clusters run independently on worker threads.
+void rpvg_diploid_scores_ragged(
+    const double* probs_concat, const double* noise_concat,
+    const double* counts_concat, const double* lf_concat,
+    const int64_t* mat_offsets, const int64_t* row_offsets,
+    const int64_t* col_offsets, const int64_t* out_offsets,
+    const int64_t* n_rows, const int64_t* n_cols, int64_t n_clusters,
+    int32_t n_threads, double* out_concat) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_clusters) return;
+      const int64_t R = n_rows[b];
+      const int64_t P = n_cols[b];
+      const double* probs = probs_concat + mat_offsets[b];
+      const double* noise = noise_concat + row_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+      const double* lf = lf_concat + col_offsets[b];
+      double* out = out_concat + out_offsets[b];
+
+      for (int64_t i = 0; i < P; ++i) {
+        for (int64_t j = i; j < P; ++j) {
+          double s = 0.0;
+          for (int64_t r = 0; r < R; ++r) {
+            const double g =
+                noise[r] + 0.5 * probs[r * P + i] + 0.5 * probs[r * P + j];
+            s += counts[r] * (g > 0.0
+                                  ? std::log(g)
+                                  : -std::numeric_limits<double>::infinity());
+          }
+          s += lf[i] + lf[j];
+          out[i * P + j] = s;
+          out[j * P + i] = s;
+        }
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+}  // extern "C"

@@ -236,6 +236,79 @@ def _diploid_pair_scores_batched(probs, noise, counts, log_freqs):
     return pair_ll + log_freqs[:, :, None] + log_freqs[:, None, :]
 
 
+def _diploid_select(pair_ll: np.ndarray, min_rel_likelihood: float):
+    """Upper-triangle extraction + permutation prior + relative cutoff
+    (shared by the device and native scoring paths)."""
+    P = pair_ll.shape[0]
+    iu = np.triu_indices(P)
+    log_liks = pair_ll[iu].copy()
+    log_liks[iu[0] != iu[1]] += math.log(2.0)
+    max_ll = log_liks.max()
+    keep = log_liks - max_ll >= math.log(min_rel_likelihood)
+    groups = [[int(i), int(j)] for i, j, k in zip(iu[0], iu[1], keep) if k]
+    return groups, _normalize_log_posteriors(log_liks[keep])
+
+
+def _diploid_posteriors_native(cluster_inputs, min_rel_likelihood: float):
+    """CPU speed path: ragged native pair scoring on worker threads (no
+    padding, no shape buckets).  Returns None when the C++ library is
+    unavailable or disabled (RPVG_TPU_NATIVE_EM=0 governs both CPU
+    native kernels)."""
+    import ctypes
+    import os
+
+    from .batching import native_em_available
+
+    if not native_em_available():
+        return None
+    from ..native import load_library
+
+    lib = load_library()
+    n = len(cluster_inputs)
+    if n == 0:
+        return []
+    n_rows = np.array([p.shape[0] for p, _, _, _ in cluster_inputs], dtype=np.int64)
+    n_cols = np.array([p.shape[1] for p, _, _, _ in cluster_inputs], dtype=np.int64)
+    mat_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows * n_cols, out=mat_offsets[1:])
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows, out=row_offsets[1:])
+    col_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols, out=col_offsets[1:])
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols * n_cols, out=out_offsets[1:])
+
+    probs_concat = np.concatenate(
+        [np.ascontiguousarray(p, dtype=np.float64).ravel() for p, _, _, _ in cluster_inputs]
+    )
+    noise_concat = np.concatenate(
+        [np.asarray(x, dtype=np.float64) for _, x, _, _ in cluster_inputs]
+    )
+    counts_concat = np.concatenate(
+        [np.asarray(x, dtype=np.float64) for _, _, x, _ in cluster_inputs]
+    )
+    lf_concat = np.concatenate(
+        [calc_path_log_frequencies(pc) for _, _, _, pc in cluster_inputs]
+    )
+    out = np.empty(int(out_offsets[-1]), dtype=np.float64)
+
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_diploid_scores_ragged(
+        as_f64(probs_concat), as_f64(noise_concat), as_f64(counts_concat),
+        as_f64(lf_concat), as_i64(mat_offsets), as_i64(row_offsets),
+        as_i64(col_offsets), as_i64(out_offsets), as_i64(n_rows), as_i64(n_cols),
+        n, int(min(16, os.cpu_count() or 1)), as_f64(out),
+    )
+
+    results = []
+    for i in range(n):
+        P = int(n_cols[i])
+        pair_ll = out[out_offsets[i] : out_offsets[i + 1]].reshape(P, P)
+        results.append(_diploid_select(pair_ll, min_rel_likelihood))
+    return results
+
+
 def diploid_posteriors_batched(
     cluster_inputs,
     min_rel_likelihood: float,
@@ -249,6 +322,13 @@ def diploid_posteriors_batched(
 
     Returns per cluster (group_sets, posteriors)."""
     from typing import Dict, List, Tuple
+
+    import jax as _jax
+
+    if _jax.default_backend() != "tpu":
+        native_results = _diploid_posteriors_native(cluster_inputs, min_rel_likelihood)
+        if native_results is not None:
+            return native_results
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, _, _, _) in enumerate(cluster_inputs):
