@@ -2269,3 +2269,56 @@ void rpvg_diploid_scores_ragged(
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Derived-matrix construction for one cluster (CPU speed path behind
+// construct_grouped/partial + add_noise_and_normalize + read_collapse,
+// rpvg_tpu/infer/matrices.py; reference src/path_estimator.cpp:55-259):
+// per job, output columns are sums of source columns of the dense
+// matrix (a gather is a singleton sum), the noise column is appended
+// with (1 - noise)/rowsum scaling, and rows are collapsed within
+// `precision` via the shared sort+merge kernel.
+//
+// spec_stream per output column: n_src, src ids...; jobs' columns are
+// consecutive, delimited by spec_offsets (into spec_stream) and
+// job_ncols.  Outputs are written at out_offsets/out_count_offsets
+// (sized for R rows); out_rkeep reports the kept row count per job.
+void rpvg_subset_collapse(const double* dense, const double* noise,
+                          const double* counts, int64_t R, int64_t C,
+                          const int64_t* spec_stream,
+                          const int64_t* spec_offsets,
+                          const int64_t* job_ncols, int64_t n_jobs,
+                          double precision, int64_t* out_rkeep,
+                          double* out_mats, const int64_t* out_offsets,
+                          double* out_counts,
+                          const int64_t* out_count_offsets) {
+  for (int64_t j = 0; j < n_jobs; ++j) {
+    const int64_t C_out = job_ncols[j];
+    const int64_t width = C_out + 1;
+    double* mat = out_mats + out_offsets[j];
+    double* cnt = out_counts + out_count_offsets[j];
+
+    const int64_t* spec = spec_stream + spec_offsets[j];
+    for (int64_t r = 0; r < R; ++r) {
+      const double* row = dense + r * C;
+      double* out_row = mat + r * width;
+      const int64_t* cur = spec;
+      double row_sum = 0.0;
+      for (int64_t oc = 0; oc < C_out; ++oc) {
+        const int64_t n_src = *cur++;
+        double v = 0.0;
+        for (int64_t k = 0; k < n_src; ++k) v += row[*cur++];
+        out_row[oc] = v;
+        row_sum += v;
+      }
+      const double scale = row_sum > 0.0 ? (1.0 - noise[r]) / row_sum : 0.0;
+      for (int64_t oc = 0; oc < C_out; ++oc) out_row[oc] *= scale;
+      out_row[C_out] = noise[r];
+      cnt[r] = counts[r];
+    }
+    out_rkeep[j] = rpvg_read_collapse(mat, cnt, R, width, precision);
+  }
+}
+
+}  // extern "C"

@@ -330,11 +330,20 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
             self._infer_independent_groups(estimates, cluster_probs, rng)
 
     def _group_posterior_matrix(self, cluster_probs, groups, num_paths):
-        probs, noise, counts = construct_grouped_probability_matrix(
-            cluster_probs, groups, num_paths
+        from .matrices import cluster_matrix, native_subset_collapse
+
+        dense, d_noise, d_counts = cluster_matrix(cluster_probs, num_paths)
+        native = native_subset_collapse(
+            dense, d_noise, d_counts, [list(map(list, groups))], self.prob_precision
         )
-        full = add_noise_and_normalize(probs, noise)
-        full, counts = read_collapse(full, counts, self.prob_precision)
+        if native is not None:
+            full, counts = native[0]
+        else:
+            probs, noise, counts = construct_grouped_probability_matrix(
+                cluster_probs, groups, num_paths
+            )
+            full = add_noise_and_normalize(probs, noise)
+            full, counts = read_collapse(full, counts, self.prob_precision)
         noise = full[:, -1].copy()
         return full[:, :-1], noise, counts
 
@@ -429,6 +438,8 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
         is a column gather of it — elementwise identical to
         construct_partial_probability_matrix but O(R * |subset|) per
         task instead of re-scanning every sparse probability record."""
+        from .matrices import native_subset_collapse
+
         tasks = []
         if not subset_probs:
             return tasks
@@ -448,19 +459,32 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                     multiplicity[pid] = 1
                 else:
                     multiplicity[pid] += 1
-
-            sub_full = add_noise_and_normalize(dense[:, collapsed], noise)
-            sub_full, sub_counts = read_collapse(sub_full, counts, self.prob_precision)
             tasks.append(
                 {
                     "subset": subset,
                     "subset_prob": subset_prob,
                     "collapsed": collapsed,
                     "multiplicity": multiplicity,
-                    "matrix": sub_full,
-                    "counts": sub_counts,
                 }
             )
+
+        native = native_subset_collapse(
+            dense, noise, counts,
+            [[[pid] for pid in task["collapsed"]] for task in tasks],
+            self.prob_precision,
+        )
+        if native is not None:
+            for task, (sub_full, sub_counts) in zip(tasks, native):
+                task["matrix"] = sub_full
+                task["counts"] = sub_counts
+        else:
+            for task in tasks:
+                sub_full = add_noise_and_normalize(dense[:, task["collapsed"]], noise)
+                sub_full, sub_counts = read_collapse(
+                    sub_full, counts, self.prob_precision
+                )
+                task["matrix"] = sub_full
+                task["counts"] = sub_counts
         return tasks
 
     def combine_subset_tasks(self, estimates, tasks, em_results):

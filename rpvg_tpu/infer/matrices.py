@@ -187,6 +187,70 @@ def read_collapse(
     return probs[keep], counts[keep]
 
 
+def native_subset_collapse(dense, noise, counts, col_specs, prob_precision):
+    """Derived matrices for several jobs over one cluster through the
+    C++ kernel: per job, columns are sums of dense source columns (a
+    gather is a singleton sum), noise-normalised and row-collapsed.
+
+    col_specs: per job a list of output columns, each a list of source
+    column indices.  Returns per job (full matrix (R', C_out+1) with the
+    noise column last, counts (R',)) — bitwise identical to
+    read_collapse(add_noise_and_normalize(derived, noise), counts, p)
+    (numpy's row sums are sequential below its 128-element pairwise
+    blocking, matching the C loop).  Returns None when the native
+    library is unavailable."""
+    if _native_read_collapse() is None:
+        return None
+    import ctypes
+
+    from ..native import load_library
+
+    lib = load_library()
+    R, C = dense.shape
+    n_jobs = len(col_specs)
+    job_ncols = np.array([len(spec) for spec in col_specs], dtype=np.int64)
+    spec_stream = []
+    spec_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    for j, spec in enumerate(col_specs):
+        for col in spec:
+            spec_stream.append(len(col))
+            spec_stream.extend(col)
+        spec_offsets[j + 1] = len(spec_stream)
+    spec_stream = np.asarray(spec_stream, dtype=np.int64)
+
+    out_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum(R * (job_ncols + 1), out=out_offsets[1:])
+    out_count_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum(np.full(n_jobs, R, dtype=np.int64), out=out_count_offsets[1:])
+
+    dense = np.ascontiguousarray(dense, dtype=np.float64)
+    noise = np.ascontiguousarray(noise, dtype=np.float64)
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    out_rkeep = np.zeros(n_jobs, dtype=np.int64)
+    out_mats = np.empty(int(out_offsets[-1]), dtype=np.float64)
+    out_counts = np.empty(int(out_count_offsets[-1]), dtype=np.float64)
+
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_subset_collapse(
+        as_f64(dense), as_f64(noise), as_f64(counts), R, C,
+        as_i64(spec_stream), as_i64(spec_offsets), as_i64(job_ncols), n_jobs,
+        float(prob_precision), as_i64(out_rkeep), as_f64(out_mats),
+        as_i64(out_offsets), as_f64(out_counts), as_i64(out_count_offsets),
+    )
+
+    results = []
+    for j in range(n_jobs):
+        keep = int(out_rkeep[j])
+        width = int(job_ncols[j]) + 1
+        mat = out_mats[out_offsets[j] : out_offsets[j] + keep * width].reshape(
+            keep, width
+        )
+        cnt = out_counts[out_count_offsets[j] : out_count_offsets[j] + keep]
+        results.append((mat, cnt))
+    return results
+
+
 def path_collapse(probs: np.ndarray, prob_precision: float) -> np.ndarray:
     """Sort columns then merge consecutive near-identical columns
     (reference :261-313)."""
