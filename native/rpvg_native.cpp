@@ -19,6 +19,7 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
+#include <random>
 #include <limits>
 #include <string>
 #include <thread>
@@ -2318,6 +2319,101 @@ void rpvg_subset_collapse(const double* dense, const double* noise,
       cnt[r] = counts[r];
     }
     out_rkeep[j] = rpvg_read_collapse(mat, cnt, R, width, precision);
+  }
+}
+
+}  // extern "C"
+
+extern "C" {
+
+// Ragged batched read-count Gibbs sampling (CPU speed path behind
+// rpvg_tpu/infer/readcount_gibbs.py; reference gibbsReadCountSampler,
+// src/path_abundance_estimator.cpp:116-212): binomial-thinning
+// multinomial allocation per row + Dirichlet(gamma=1) resampling,
+// thinned every `thin_its` iterations.  Each job runs an independent
+// mt19937_64 chain seeded from its JAX key, so batching (and sampling
+// a longer chain and slicing a prefix) is bitwise stable.
+//
+// probs_concat: per job row-major (R, C) noise-normalised matrices
+// (noise column last); fracs_concat: per job C initial fractions;
+// out_concat: per job n_samples[j] * C sampled fractions.
+void rpvg_gibbs_ragged(const double* probs_concat, const double* counts_concat,
+                       const double* fracs_concat, const uint64_t* seeds,
+                       const int64_t* mat_offsets, const int64_t* row_offsets,
+                       const int64_t* col_offsets, const int64_t* out_offsets,
+                       const int64_t* n_rows, const int64_t* n_cols,
+                       const int64_t* n_samples, int64_t n_jobs,
+                       int64_t thin_its, double gamma_shape, int32_t n_threads,
+                       double* out_concat) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> fracs, post, path_counts;
+    for (;;) {
+      int64_t j = next.fetch_add(1);
+      if (j >= n_jobs) return;
+      const int64_t R = n_rows[j];
+      const int64_t C = n_cols[j];
+      const double* P = probs_concat + mat_offsets[j];
+      const double* counts = counts_concat + row_offsets[j];
+      double* out = out_concat + out_offsets[j];
+
+      std::mt19937_64 rng(seeds[j]);
+      fracs.assign(fracs_concat + col_offsets[j],
+                   fracs_concat + col_offsets[j] + C);
+      post.resize(C);
+      path_counts.resize(C);
+
+      for (int64_t s = 0; s < n_samples[j]; ++s) {
+        for (int64_t t = 0; t < thin_its; ++t) {
+          std::fill(path_counts.begin(), path_counts.end(), 0.0);
+          for (int64_t r = 0; r < R; ++r) {
+            const double* row = P + r * C;
+            double row_sum = 0.0;
+            for (int64_t c = 0; c < C; ++c) {
+              post[c] = row[c] * fracs[c];
+              row_sum += post[c];
+            }
+            if (row_sum <= 0.0) continue;
+            // Multinomial via sequential binomial splitting.
+            int64_t remaining = static_cast<int64_t>(counts[r]);
+            double remaining_p = row_sum;
+            for (int64_t c = 0; c < C && remaining > 0; ++c) {
+              double ratio = remaining_p > 0.0 ? post[c] / remaining_p : 0.0;
+              ratio = std::min(1.0, std::max(0.0, ratio));
+              int64_t draw;
+              if (c == C - 1 || ratio >= 1.0) {
+                draw = remaining;
+              } else {
+                std::binomial_distribution<int64_t> binom(remaining, ratio);
+                draw = binom(rng);
+              }
+              path_counts[c] += static_cast<double>(draw);
+              remaining -= draw;
+              remaining_p -= post[c];
+            }
+          }
+          double total = 0.0;
+          for (int64_t c = 0; c < C; ++c) {
+            std::gamma_distribution<double> gamma(path_counts[c] + gamma_shape,
+                                                  1.0);
+            path_counts[c] = gamma(rng);
+            total += path_counts[c];
+          }
+          for (int64_t c = 0; c < C; ++c) fracs[c] = path_counts[c] / total;
+        }
+        std::copy(fracs.begin(), fracs.end(), out + s * C);
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_jobs <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
   }
 }
 

@@ -98,7 +98,20 @@ def gibbs_read_count_samples(
     """Sample posterior read counts given EM point estimates.
 
     Returns (noise_samples (S,), abundance_samples (S, P)); sub-threshold
-    abundances fold into the noise sample (reference :192-210)."""
+    abundances fold into the noise sample (reference :192-210).
+
+    On CPU backends the C++ sampler runs (the same per-job stream the
+    batched sweep uses, so per-cluster and batched calls agree)."""
+    if _native_gibbs_enabled():
+        [(noise_samples, path_samples)] = run_native_gibbs(
+            [(probs, counts, abundances, noise_count, total_count)],
+            [np.asarray(rng_key)],
+            int(num_samples),
+            int(thin_its),
+            gamma,
+        )
+        return noise_samples, path_samples
+
     init_fracs = np.concatenate([abundances / total_count, [noise_count / total_count]])
 
     fracs = np.asarray(
@@ -121,6 +134,106 @@ def gibbs_read_count_samples(
     noise_samples += np.where(low, path_samples, 0.0).sum(axis=1)
     path_samples[low] = 0.0
     return noise_samples, path_samples
+
+
+def _fold_low_abundance(fracs, total):
+    """Shared tail: scale sampled fractions to counts and fold
+    sub-threshold paths into the noise sample (reference :192-210)."""
+    sampled = fracs * total
+    path_samples = sampled[:, :-1].copy()
+    noise_samples = sampled[:, -1].copy()
+    low = fracs[:, :-1] < MIN_GIBBS_ABUNDANCE
+    noise_samples += np.where(low, path_samples, 0.0).sum(axis=1)
+    path_samples[low] = 0.0
+    return noise_samples, path_samples
+
+
+def run_native_gibbs(cluster_inputs, rng_keys, num_samples, thin_its, gamma=1.0):
+    """CPU speed path: the C++ sampler runs each job's chain with an
+    mt19937_64 stream seeded from its JAX key (distribution-preserving
+    — the JAX and reference samplers draw different bits too; batching
+    and prefix-slicing padded chains are bitwise stable because jobs
+    are independent sequential streams).  Same input/output contract as
+    the jitted sweep."""
+    import ctypes
+    import os
+
+    from ..native import load_library
+
+    lib = load_library()
+    n = len(cluster_inputs)
+    if n == 0:
+        return []
+    n_rows = np.array([item[0].shape[0] for item in cluster_inputs], dtype=np.int64)
+    n_cols = np.array([item[0].shape[1] for item in cluster_inputs], dtype=np.int64)
+    samples_arr = np.full(n, int(num_samples), dtype=np.int64)
+    mat_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows * n_cols, out=mat_offsets[1:])
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows, out=row_offsets[1:])
+    col_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols, out=col_offsets[1:])
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(samples_arr * n_cols, out=out_offsets[1:])
+
+    probs_concat = np.concatenate(
+        [np.ascontiguousarray(item[0], dtype=np.float64).ravel() for item in cluster_inputs]
+    )
+    counts_concat = np.concatenate(
+        [np.asarray(item[1], dtype=np.float64) for item in cluster_inputs]
+    )
+    fracs_concat = np.concatenate(
+        [
+            np.concatenate(
+                [np.asarray(item[2], dtype=np.float64) / item[4], [item[3] / item[4]]]
+            )
+            for item in cluster_inputs
+        ]
+    )
+    seeds = np.array(
+        [
+            (np.uint64(np.asarray(key).astype(np.uint64)[0]) << np.uint64(32))
+            | np.uint64(np.asarray(key).astype(np.uint64)[1])
+            for key in rng_keys
+        ],
+        dtype=np.uint64,
+    )
+    out = np.empty(int(out_offsets[-1]), dtype=np.float64)
+
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_gibbs_ragged(
+        as_f64(probs_concat), as_f64(counts_concat), as_f64(fracs_concat),
+        seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        as_i64(mat_offsets), as_i64(row_offsets), as_i64(col_offsets),
+        as_i64(out_offsets), as_i64(n_rows), as_i64(n_cols), as_i64(samples_arr),
+        n, int(thin_its), float(gamma), int(min(16, os.cpu_count() or 1)),
+        as_f64(out),
+    )
+
+    results = []
+    for i, item in enumerate(cluster_inputs):
+        C = int(n_cols[i])
+        fracs = out[out_offsets[i] : out_offsets[i + 1]].reshape(num_samples, C)
+        results.append(_fold_low_abundance(fracs, item[4]))
+    return results
+
+
+def _native_gibbs_enabled() -> bool:
+    import os
+
+    import jax as _jax
+
+    if _jax.default_backend() == "tpu":
+        return False
+    if os.environ.get("RPVG_TPU_NATIVE_EM", "1") == "0":
+        return False
+    try:
+        from ..native import load_library
+
+        return load_library() is not None
+    except Exception:
+        return False
 
 
 def run_batched_gibbs(
@@ -146,6 +259,9 @@ def run_batched_gibbs(
     first R/C elements of every padded draw equal the unpadded draw,
     and padded rows/columns contribute zero through the mask.
     """
+    if _native_gibbs_enabled():
+        return run_native_gibbs(cluster_inputs, rng_keys, num_samples, thin_its, gamma)
+
     import jax as _jax
 
     from .batching import _ceil_pow2, _ceil_pow4
