@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import gzip
 import json
-from typing import Dict, Iterable, Mapping, Tuple, Union
+from typing import Iterable, Mapping, Tuple
 
 import numpy as np
 

@@ -7,7 +7,6 @@ from dataclasses import dataclass, field
 from itertools import combinations_with_replacement
 from typing import List
 
-import numpy as np
 
 from ..probabilities import PathInfo
 

@@ -14,7 +14,7 @@ import os
 import struct
 import subprocess
 import sys
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence
 
 import numpy as np
 
