@@ -40,6 +40,17 @@ def build_parser() -> argparse.ArgumentParser:
     general.add_argument("-t", "--threads", type=int, default=1)
     general.add_argument("-r", "--rng-seed", type=int, default=None)
     general.add_argument(
+        "--multiprocess",
+        type=int,
+        default=0,
+        metavar="N",
+        help=(
+            "run the fragment pass across N worker processes "
+            "(single-host stand-in for the multi-host runner; outputs are "
+            "byte-identical to a plain run)"
+        ),
+    )
+    general.add_argument(
         "--backend",
         default=None,
         metavar="PLATFORM",
@@ -155,7 +166,12 @@ def main(argv=None) -> int:
         max_rel_em_conv=args.max_rel_em_conv,
         gibbs_thin_its=args.gibbs_thin_its,
     )
-    run_pipeline(config)
+    if args.multiprocess > 1:
+        from .parallel.multihost import run_pipeline_multiprocess
+
+        run_pipeline_multiprocess(config, args.multiprocess)
+    else:
+        run_pipeline(config)
     return 0
 
 
