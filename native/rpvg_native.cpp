@@ -2418,3 +2418,79 @@ void rpvg_gibbs_ragged(const double* probs_concat, const double* counts_concat,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Collapsed diploid posterior Gibbs (CPU speed path behind
+// rpvg_tpu/infer/posteriors.py:path_group_posteriors_gibbs_batched for
+// group_size == 2; reference sampler with cached conditionals,
+// src/path_estimator.cpp:475-589): for ploidy 2 the slot conditional
+// given the other slot's path o is categorical over row o of the pair
+// log-likelihood matrix (the +lf[o] constant cancels), so chains just
+// sample cached rows.  scores_concat: per job a (P, P) matrix from
+// rpvg_diploid_scores_ragged; out: per job chains*its sampled pairs
+// (2 x int32 each, iterations AFTER burn-in).
+void rpvg_posterior_gibbs_ragged(
+    const double* scores_concat, const int64_t* score_offsets,
+    const int64_t* n_cols, const int64_t* n_chains, const int64_t* n_burn,
+    const int64_t* n_its, const uint64_t* seeds, const int64_t* out_offsets,
+    int64_t n_jobs, int32_t n_threads, int32_t* out_concat) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> weights;
+    for (;;) {
+      int64_t j = next.fetch_add(1);
+      if (j >= n_jobs) return;
+      const int64_t P = n_cols[j];
+      const double* S = scores_concat + score_offsets[j];
+      int32_t* out = out_concat + out_offsets[j];
+      std::mt19937_64 rng(seeds[j]);
+      weights.resize(P);
+
+      auto sample_row = [&](int64_t other) -> int64_t {
+        const double* row = S + other * P;
+        double max_ll = row[0];
+        for (int64_t p = 1; p < P; ++p) max_ll = std::max(max_ll, row[p]);
+        double total = 0.0;
+        for (int64_t p = 0; p < P; ++p) {
+          weights[p] = std::exp(row[p] - max_ll);
+          total += weights[p];
+        }
+        std::uniform_real_distribution<double> uni(0.0, total);
+        double u = uni(rng);
+        for (int64_t p = 0; p < P; ++p) {
+          u -= weights[p];
+          if (u <= 0.0) return p;
+        }
+        return P - 1;
+      };
+
+      for (int64_t c = 0; c < n_chains[j]; ++c) {
+        std::uniform_int_distribution<int64_t> init(0, P - 1);
+        int64_t g0 = init(rng);
+        int64_t g1 = init(rng);
+        for (int64_t it = 0; it < n_burn[j] + n_its[j]; ++it) {
+          g0 = sample_row(g1);
+          g1 = sample_row(g0);
+          if (it >= n_burn[j]) {
+            int64_t rec = c * n_its[j] + (it - n_burn[j]);
+            out[rec * 2] = static_cast<int32_t>(g0);
+            out[rec * 2 + 1] = static_cast<int32_t>(g1);
+          }
+        }
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_jobs <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+}  // extern "C"

@@ -249,11 +249,9 @@ def _diploid_select(pair_ll: np.ndarray, min_rel_likelihood: float):
     return groups, _normalize_log_posteriors(log_liks[keep])
 
 
-def _diploid_posteriors_native(cluster_inputs, min_rel_likelihood: float):
-    """CPU speed path: ragged native pair scoring on worker threads (no
-    padding, no shape buckets).  Returns None when the C++ library is
-    unavailable or disabled (RPVG_TPU_NATIVE_EM=0 governs both CPU
-    native kernels)."""
+def _native_pair_scores(cluster_inputs):
+    """Raw (P, P) pair log-likelihood matrices per cluster through the
+    native ragged scorer; None when the library is unavailable."""
     import ctypes
     import os
 
@@ -301,12 +299,21 @@ def _diploid_posteriors_native(cluster_inputs, min_rel_likelihood: float):
         n, int(min(16, os.cpu_count() or 1)), as_f64(out),
     )
 
-    results = []
-    for i in range(n):
-        P = int(n_cols[i])
-        pair_ll = out[out_offsets[i] : out_offsets[i + 1]].reshape(P, P)
-        results.append(_diploid_select(pair_ll, min_rel_likelihood))
-    return results
+    return [
+        out[out_offsets[i] : out_offsets[i + 1]].reshape(int(n_cols[i]), int(n_cols[i]))
+        for i in range(n)
+    ]
+
+
+def _diploid_posteriors_native(cluster_inputs, min_rel_likelihood: float):
+    """CPU speed path: ragged native pair scoring on worker threads (no
+    padding, no shape buckets).  Returns None when the C++ library is
+    unavailable or disabled (RPVG_TPU_NATIVE_EM=0 governs the CPU
+    native kernels)."""
+    matrices = _native_pair_scores(cluster_inputs)
+    if matrices is None:
+        return None
+    return [_diploid_select(pair_ll, min_rel_likelihood) for pair_ll in matrices]
 
 
 def diploid_posteriors_batched(
@@ -470,6 +477,62 @@ def _gibbs_chains_vmapped(keys, probs, noise, counts, log_freqs, p_real, group_s
     )(keys, probs, noise, counts, log_freqs, group_size, num_chains, num_its, p_real)
 
 
+def _posterior_gibbs_native(cluster_inputs, rng_keys):
+    """CPU speed path for diploid posterior Gibbs: pair-score matrices
+    are the cached conditionals (the +lf[other] row constant cancels in
+    the categorical), so chains sample cached rows in C++.  Returns None
+    when the native library is unavailable."""
+    import ctypes
+    import os
+
+    matrices = _native_pair_scores(cluster_inputs)
+    if matrices is None:
+        return None
+    from ..native import load_library
+
+    lib = load_library()
+    n = len(cluster_inputs)
+    sizing = [
+        gibbs_iteration_counts(2, item[0].shape[1]) for item in cluster_inputs
+    ]
+    n_cols = np.array([item[0].shape[1] for item in cluster_inputs], dtype=np.int64)
+    chains = np.array([s[0] for s in sizing], dtype=np.int64)
+    burn = np.array([s[1] for s in sizing], dtype=np.int64)
+    its = np.array([s[2] for s in sizing], dtype=np.int64)
+    score_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols * n_cols, out=score_offsets[1:])
+    out_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(chains * its * 2, out=out_offsets[1:])
+    seeds = np.array(
+        [
+            (np.uint64(np.asarray(key).astype(np.uint64)[0]) << np.uint64(32))
+            | np.uint64(np.asarray(key).astype(np.uint64)[1])
+            for key in rng_keys
+        ],
+        dtype=np.uint64,
+    )
+    scores_concat = np.concatenate([m.ravel() for m in matrices])
+    out = np.empty(int(out_offsets[-1]), dtype=np.int32)
+
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_posterior_gibbs_ragged(
+        scores_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        as_i64(score_offsets), as_i64(n_cols), as_i64(chains), as_i64(burn),
+        as_i64(its), seeds.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64)),
+        as_i64(out_offsets), n, int(min(16, os.cpu_count() or 1)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+
+    results = []
+    for i in range(n):
+        samples = out[out_offsets[i] : out_offsets[i + 1]].reshape(-1, 2)
+        samples = np.sort(samples, axis=1)
+        unique, sample_counts = np.unique(samples, axis=0, return_counts=True)
+        groups = [list(map(int, row)) for row in unique]
+        results.append((groups, sample_counts / float(chains[i] * its[i])))
+    return results
+
+
 def path_group_posteriors_gibbs_batched(cluster_inputs, group_size, rng_keys):
     """Collapsed-Gibbs posteriors over many clusters with shape
     bucketing: one jit program per (R, P) bucket, with chain count and
@@ -480,6 +543,13 @@ def path_group_posteriors_gibbs_batched(cluster_inputs, group_size, rng_keys):
 
     cluster_inputs: per cluster (probs (R, P), noise (R,), counts (R,),
     path_counts).  Returns per cluster (groups, posteriors)."""
+    import jax as _jax
+
+    if group_size == 2 and _jax.default_backend() != "tpu":
+        native = _posterior_gibbs_native(cluster_inputs, rng_keys)
+        if native is not None:
+            return native
+
     buckets = {}
     for idx, item in enumerate(cluster_inputs):
         R, P = item[0].shape
@@ -545,7 +615,20 @@ def path_group_posteriors_gibbs(
     rng_key,
 ) -> Tuple[List[List[int]], np.ndarray]:
     """Collapsed Gibbs over group slots; posterior = sample frequency of
-    each sorted group multiset."""
+    each sorted group multiset.
+
+    Diploid clusters on CPU route through the native sampler (the same
+    per-job stream the batched sweep uses, so per-cluster and batched
+    calls agree)."""
+    import jax as _jax
+
+    if group_size == 2 and _jax.default_backend() != "tpu":
+        native = _posterior_gibbs_native(
+            [(probs, noise, counts, path_counts)], [np.asarray(rng_key)]
+        )
+        if native is not None:
+            return native[0]
+
     R, P = probs.shape
     log_freqs = calc_path_log_frequencies(path_counts)
     num_chains, num_burn, num_its = gibbs_iteration_counts(group_size, P)

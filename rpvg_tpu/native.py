@@ -106,6 +106,14 @@ def load_library() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
         ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_double),
     ]
+    lib.rpvg_posterior_gibbs_ragged.restype = None
+    lib.rpvg_posterior_gibbs_ragged.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.POINTER(ctypes.c_uint64), ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int32),
+    ]
     lib.rpvg_gibbs_ragged.restype = None
     lib.rpvg_gibbs_ragged.argtypes = [
         ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
