@@ -2285,6 +2285,31 @@ extern "C" {
 // consecutive, delimited by spec_offsets (into spec_stream) and
 // job_ncols.  Outputs are written at out_offsets/out_count_offsets
 // (sized for R rows); out_rkeep reports the kept row count per job.
+static int64_t subset_collapse_job(const double* dense, const double* noise,
+                                   const double* counts, int64_t R, int64_t C,
+                                   const int64_t* spec, int64_t C_out,
+                                   double precision, double* mat, double* cnt) {
+  const int64_t width = C_out + 1;
+  for (int64_t r = 0; r < R; ++r) {
+    const double* row = dense + r * C;
+    double* out_row = mat + r * width;
+    const int64_t* cur = spec;
+    double row_sum = 0.0;
+    for (int64_t oc = 0; oc < C_out; ++oc) {
+      const int64_t n_src = *cur++;
+      double v = 0.0;
+      for (int64_t k = 0; k < n_src; ++k) v += row[*cur++];
+      out_row[oc] = v;
+      row_sum += v;
+    }
+    const double scale = row_sum > 0.0 ? (1.0 - noise[r]) / row_sum : 0.0;
+    for (int64_t oc = 0; oc < C_out; ++oc) out_row[oc] *= scale;
+    out_row[C_out] = noise[r];
+    cnt[r] = counts[r];
+  }
+  return rpvg_read_collapse(mat, cnt, R, width, precision);
+}
+
 void rpvg_subset_collapse(const double* dense, const double* noise,
                           const double* counts, int64_t R, int64_t C,
                           const int64_t* spec_stream,
@@ -2295,30 +2320,50 @@ void rpvg_subset_collapse(const double* dense, const double* noise,
                           double* out_counts,
                           const int64_t* out_count_offsets) {
   for (int64_t j = 0; j < n_jobs; ++j) {
-    const int64_t C_out = job_ncols[j];
-    const int64_t width = C_out + 1;
-    double* mat = out_mats + out_offsets[j];
-    double* cnt = out_counts + out_count_offsets[j];
+    out_rkeep[j] = subset_collapse_job(
+        dense, noise, counts, R, C, spec_stream + spec_offsets[j],
+        job_ncols[j], precision, out_mats + out_offsets[j],
+        out_counts + out_count_offsets[j]);
+  }
+}
 
-    const int64_t* spec = spec_stream + spec_offsets[j];
-    for (int64_t r = 0; r < R; ++r) {
-      const double* row = dense + r * C;
-      double* out_row = mat + r * width;
-      const int64_t* cur = spec;
-      double row_sum = 0.0;
-      for (int64_t oc = 0; oc < C_out; ++oc) {
-        const int64_t n_src = *cur++;
-        double v = 0.0;
-        for (int64_t k = 0; k < n_src; ++k) v += row[*cur++];
-        out_row[oc] = v;
-        row_sum += v;
-      }
-      const double scale = row_sum > 0.0 ? (1.0 - noise[r]) / row_sum : 0.0;
-      for (int64_t oc = 0; oc < C_out; ++oc) out_row[oc] *= scale;
-      out_row[C_out] = noise[r];
-      cnt[r] = counts[r];
+// Multi-cluster variant: every job names its cluster (job_cluster) and
+// all clusters' dense matrices ship concatenated, so the entire
+// nested-model preparation (grouped posterior matrices, phase A, and
+// per-subset EM matrices, phase C — reference constructGroupedProbabilityMatrix
+// src/path_estimator.cpp:115-154 and inferPathSubsetAbundance :608-750)
+// runs in ONE native call on worker threads instead of a Python loop of
+// per-cluster calls.  Per-job results are bitwise identical to
+// rpvg_subset_collapse on the job's cluster.
+void rpvg_subset_collapse_multi(
+    const double* dense_concat, const double* noise_concat,
+    const double* counts_concat, const int64_t* dense_offsets,
+    const int64_t* row_offsets, const int64_t* n_rows, const int64_t* n_cols,
+    const int64_t* job_cluster, const int64_t* spec_stream,
+    const int64_t* spec_offsets, const int64_t* job_ncols, int64_t n_jobs,
+    double precision, int32_t n_threads, int64_t* out_rkeep, double* out_mats,
+    const int64_t* out_offsets, double* out_counts,
+    const int64_t* out_count_offsets) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      int64_t j = next.fetch_add(1);
+      if (j >= n_jobs) return;
+      const int64_t c = job_cluster[j];
+      out_rkeep[j] = subset_collapse_job(
+          dense_concat + dense_offsets[c], noise_concat + row_offsets[c],
+          counts_concat + row_offsets[c], n_rows[c], n_cols[c],
+          spec_stream + spec_offsets[j], job_ncols[j], precision,
+          out_mats + out_offsets[j], out_counts + out_count_offsets[j]);
     }
-    out_rkeep[j] = rpvg_read_collapse(mat, cnt, R, width, precision);
+  };
+  if (n_threads <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
   }
 }
 

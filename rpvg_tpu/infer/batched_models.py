@@ -200,19 +200,38 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
     timing = bool(os.environ.get("RPVG_TPU_PHASE_TIMING"))
     t0 = time.perf_counter()
 
-    # Phase A (host): grouped probability matrices per cluster.
-    inputs = []
+    # Phase A (host): grouped probability matrices — one threaded native
+    # call across every cluster (per-cluster Python fallback without the
+    # library).
+    from .matrices import cluster_matrix, native_subset_collapse_multi
+
     meta: List[Tuple[int, List[List[int]]]] = []
+    dense_clusters = []
+    group_jobs = []
+    source_counts_of = []
     for ci, (est, cluster_probs) in enumerate(cluster_data):
         est.reset(0, 0)
         if not cluster_probs:
             continue
         source_groups, source_counts = estimator.find_path_source_groups(est.paths)
-        g_probs, g_noise, g_counts = estimator._group_posterior_matrix(
-            cluster_probs, source_groups, len(est.paths)
-        )
-        inputs.append((g_probs, g_noise, g_counts, source_counts))
+        dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
+        group_jobs.append((len(dense_clusters) - 1, source_groups))
+        source_counts_of.append(source_counts)
         meta.append((ci, source_groups))
+
+    multi = native_subset_collapse_multi(
+        dense_clusters, group_jobs, estimator.prob_precision
+    )
+    inputs = []
+    if multi is not None:
+        for (full, counts), source_counts in zip(multi, source_counts_of):
+            inputs.append((full[:, :-1], full[:, -1], counts, source_counts))
+    else:
+        for (ci, source_groups), source_counts in zip(meta, source_counts_of):
+            g_probs, g_noise, g_counts = estimator._group_posterior_matrix(
+                cluster_data[ci][1], source_groups, len(cluster_data[ci][0].paths)
+            )
+            inputs.append((g_probs, g_noise, g_counts, source_counts))
 
     if timing:
         print(f"  [timing]   A grouped matrices: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
@@ -238,28 +257,66 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
         print(f"  [timing]   B diploid posteriors: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
 
-    # Phase C (host): subset selection + EM task preparation.
+    # Phase C (host): subset selection, then EM task matrices for every
+    # (cluster, subset) in one threaded native call.
     all_tasks: List[Tuple[int, dict]] = []
     cluster_tasks: Dict[int, List[dict]] = {}
-    for (ci, source_groups), (groups, posteriors) in zip(meta, posterior_results):
+    subset_jobs = []
+    min_hap_prob = estimator.min_hap_prob
+    for slot, ((ci, source_groups), (groups, posteriors)) in enumerate(
+        zip(meta, posterior_results)
+    ):
         est, cluster_probs = cluster_data[ci]
 
         subset_probs: Dict[tuple, float] = {}
         total_posterior = 0.0
         for group_set, posterior in zip(groups, posteriors):
-            if posterior >= estimator.min_hap_prob:
+            if posterior >= min_hap_prob:
                 path_subset: List[int] = []
                 for g in group_set:
                     path_subset.extend(source_groups[g])
                 key = tuple(sorted(path_subset))
                 subset_probs[key] = subset_probs.get(key, 0.0) + float(posterior)
                 total_posterior += float(posterior)
-        subset_probs = {k: v / total_posterior for k, v in subset_probs.items()}
 
         est.total_count = total_read_count(cluster_probs)
-        tasks = estimator.prepare_subset_tasks(est, cluster_probs, subset_probs)
+        tasks = []
+        for key, posterior in subset_probs.items():
+            subset_prob = posterior / total_posterior
+            if subset_prob < min_hap_prob:
+                continue
+            collapsed: List[int] = []
+            multiplicity: Dict[int, int] = {}
+            for pid in key:
+                if not collapsed or pid != collapsed[-1]:
+                    collapsed.append(pid)
+                    multiplicity[pid] = 1
+                else:
+                    multiplicity[pid] += 1
+            task = {
+                "subset": key,
+                "subset_prob": subset_prob,
+                "collapsed": collapsed,
+                "multiplicity": multiplicity,
+            }
+            tasks.append(task)
+            subset_jobs.append((slot, [[pid] for pid in collapsed]))
         cluster_tasks[ci] = tasks
         all_tasks.extend((ci, task) for task in tasks)
+
+    multi = native_subset_collapse_multi(
+        dense_clusters, subset_jobs, estimator.prob_precision
+    )
+    if multi is not None:
+        for (_, task), (sub_full, sub_counts) in zip(all_tasks, multi):
+            task["matrix"] = sub_full
+            task["counts"] = sub_counts
+    else:
+        for ci, tasks in cluster_tasks.items():
+            if tasks:
+                estimator.fill_subset_matrices(
+                    cluster_data[ci][1], len(cluster_data[ci][0].paths), tasks
+                )
 
     if timing:
         print(f"  [timing]   C subset selection: {time.perf_counter() - t0:.2f}s", file=sys.stderr)

@@ -306,20 +306,20 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
             for sid in path.source_ids:
                 source_id_paths.setdefault(sid, []).append(i)
 
+        # First-seen order over source ids; sources sharing a path set
+        # collapse into one group with a multiplicity count.
         groups: List[List[int]] = []
         counts: List[int] = []
-        items = list(source_id_paths.items())
-        consumed = [False] * len(items)
-        for a in range(len(items)):
-            if consumed[a]:
-                continue
-            count = 1
-            for b in range(a + 1, len(items)):
-                if not consumed[b] and items[a][1] == items[b][1]:
-                    count += 1
-                    consumed[b] = True
-            groups.append(items[a][1])
-            counts.append(count)
+        index: Dict[tuple, int] = {}
+        for plist in source_id_paths.values():
+            key = tuple(plist)
+            g = index.get(key)
+            if g is None:
+                index[key] = len(groups)
+                groups.append(plist)
+                counts.append(1)
+            else:
+                counts[g] += 1
         return groups, counts
 
     # ------------------------------------------------------------ drivers
@@ -430,27 +430,14 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
         noise = full[:, -1].copy()
         return full[:, :-1], noise, counts
 
-    def prepare_subset_tasks(self, estimates, cluster_probs, subset_probs):
-        """Build the EM inputs for every selected path subset.  Returns
-        a list of task dicts consumed by :meth:`combine_subset_task`.
-
-        The dense cluster matrix is assembled once; each subset's matrix
-        is a column gather of it — elementwise identical to
-        construct_partial_probability_matrix but O(R * |subset|) per
-        task instead of re-scanning every sparse probability record."""
-        from .matrices import native_subset_collapse
-
+    def prepare_subset_specs(self, subset_probs):
+        """Task bookkeeping for every selected path subset (no matrices
+        yet): collapse repeated path ids (a homozygous diplotype lists a
+        path twice); multiplicity splits its abundance later."""
         tasks = []
-        if not subset_probs:
-            return tasks
-        dense, noise, counts = construct_probability_matrix(
-            cluster_probs, len(estimates.paths)
-        )
         for subset, subset_prob in subset_probs.items():
             if subset_prob < self.min_hap_prob:
                 continue
-            # Collapse repeated path ids (a homozygous diplotype lists a
-            # path twice); multiplicity splits its abundance later.
             collapsed: List[int] = []
             multiplicity: Dict[int, int] = {}
             for pid in subset:
@@ -467,7 +454,19 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                     "multiplicity": multiplicity,
                 }
             )
+        return tasks
 
+    def fill_subset_matrices(self, cluster_probs, num_paths, tasks):
+        """Fill task["matrix"]/task["counts"]: each subset's matrix is a
+        column gather of the dense cluster matrix, noise-normalised and
+        row-collapsed — elementwise identical to
+        construct_partial_probability_matrix but O(R * |subset|) per
+        task instead of re-scanning every sparse probability record."""
+        from .matrices import native_subset_collapse
+
+        dense, noise, counts = construct_probability_matrix(
+            cluster_probs, num_paths
+        )
         native = native_subset_collapse(
             dense, noise, counts,
             [[[pid] for pid in task["collapsed"]] for task in tasks],
@@ -485,6 +484,13 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                 )
                 task["matrix"] = sub_full
                 task["counts"] = sub_counts
+
+    def prepare_subset_tasks(self, estimates, cluster_probs, subset_probs):
+        """Build the EM inputs for every selected path subset.  Returns
+        a list of task dicts consumed by :meth:`combine_subset_tasks`."""
+        tasks = self.prepare_subset_specs(subset_probs)
+        if tasks:
+            self.fill_subset_matrices(cluster_probs, len(estimates.paths), tasks)
         return tasks
 
     def combine_subset_tasks(self, estimates, tasks, em_results):

@@ -251,6 +251,93 @@ def native_subset_collapse(dense, noise, counts, col_specs, prob_precision):
     return results
 
 
+def native_subset_collapse_multi(clusters, jobs, prob_precision):
+    """Derived matrices for jobs spanning MANY clusters in one threaded
+    native call (native/rpvg_native.cpp:rpvg_subset_collapse_multi).
+
+    clusters: per cluster (dense (R, C), noise (R,), counts (R,)).
+    jobs: per job (cluster_index, col_spec) with col_spec a list of
+    output columns, each a list of source column indices.
+
+    Returns per job (full matrix (R', C_out+1), counts (R',)) — bitwise
+    identical to native_subset_collapse on the job's cluster.  None when
+    the native library is unavailable."""
+    if _native_read_collapse() is None:
+        return None
+    import ctypes
+    import os
+
+    from ..native import load_library
+
+    lib = load_library()
+    n_clusters = len(clusters)
+    n_jobs = len(jobs)
+
+    n_rows = np.fromiter((c[0].shape[0] for c in clusters), np.int64, n_clusters)
+    n_cols = np.fromiter((c[0].shape[1] for c in clusters), np.int64, n_clusters)
+    dense_offsets = np.zeros(n_clusters, dtype=np.int64)
+    np.cumsum(n_rows[:-1] * n_cols[:-1], out=dense_offsets[1:])
+    row_offsets = np.zeros(n_clusters, dtype=np.int64)
+    np.cumsum(n_rows[:-1], out=row_offsets[1:])
+
+    dense_concat = (
+        np.concatenate([np.ascontiguousarray(c[0], dtype=np.float64).ravel() for c in clusters])
+        if n_clusters else np.empty(0, dtype=np.float64)
+    )
+    noise_concat = (
+        np.concatenate([np.asarray(c[1], dtype=np.float64) for c in clusters])
+        if n_clusters else np.empty(0, dtype=np.float64)
+    )
+    counts_concat = (
+        np.concatenate([np.asarray(c[2], dtype=np.float64) for c in clusters])
+        if n_clusters else np.empty(0, dtype=np.float64)
+    )
+
+    job_cluster = np.fromiter((j[0] for j in jobs), np.int64, n_jobs)
+    job_ncols = np.fromiter((len(j[1]) for j in jobs), np.int64, n_jobs)
+    spec_stream: List[int] = []
+    spec_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    for j, (_, spec) in enumerate(jobs):
+        for col in spec:
+            spec_stream.append(len(col))
+            spec_stream.extend(col)
+        spec_offsets[j + 1] = len(spec_stream)
+    spec_arr = np.asarray(spec_stream, dtype=np.int64)
+
+    job_rows = n_rows[job_cluster]
+    out_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum(job_rows * (job_ncols + 1), out=out_offsets[1:])
+    out_count_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum(job_rows, out=out_count_offsets[1:])
+
+    out_rkeep = np.zeros(n_jobs, dtype=np.int64)
+    out_mats = np.empty(int(out_offsets[-1]), dtype=np.float64)
+    out_counts = np.empty(int(out_count_offsets[-1]), dtype=np.float64)
+
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_subset_collapse_multi(
+        as_f64(dense_concat), as_f64(noise_concat), as_f64(counts_concat),
+        as_i64(dense_offsets), as_i64(row_offsets), as_i64(n_rows), as_i64(n_cols),
+        as_i64(job_cluster), as_i64(spec_arr), as_i64(spec_offsets),
+        as_i64(job_ncols), n_jobs,
+        float(prob_precision), int(min(16, os.cpu_count() or 1)),
+        as_i64(out_rkeep), as_f64(out_mats), as_i64(out_offsets),
+        as_f64(out_counts), as_i64(out_count_offsets),
+    )
+
+    results = []
+    for j in range(n_jobs):
+        keep = int(out_rkeep[j])
+        width = int(job_ncols[j]) + 1
+        mat = out_mats[out_offsets[j] : out_offsets[j] + keep * width].reshape(
+            keep, width
+        )
+        cnt = out_counts[out_count_offsets[j] : out_count_offsets[j] + keep]
+        results.append((mat, cnt))
+    return results
+
+
 def path_collapse(probs: np.ndarray, prob_precision: float) -> np.ndarray:
     """Sort columns then merge consecutive near-identical columns
     (reference :261-313)."""
