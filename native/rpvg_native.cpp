@@ -2269,6 +2269,100 @@ void rpvg_diploid_scores_ragged(
   }
 }
 
+// Fused diplotype scoring + selection (CPU speed path behind
+// rpvg_tpu/infer/posteriors.py:_diploid_posteriors_native; reference
+// calculatePathGroupPosteriorsBounded src/path_estimator.cpp:379-473
+// incl. the final relative-likelihood filter): per cluster, score every
+// unordered pair (i <= j) with the multinomial permutation factor
+// (log 2 for heterozygous pairs), drop pairs below
+// max * min_rel_likelihood, and emit normalised posteriors over the
+// kept set — identical to scoring then _diploid_select in Python.
+//
+// Outputs are written at per-cluster triangle offsets tri_offsets
+// (tri = P*(P+1)/2 entries worst case): out_pairs holds (i, j) per kept
+// entry at [2*(tri_offsets[b]+k)], out_post the posterior, out_nkeep
+// the kept count.  Pairs iterate in row-major upper-triangle order,
+// matching np.triu_indices.
+void rpvg_diploid_posteriors_ragged(
+    const double* probs_concat, const double* noise_concat,
+    const double* counts_concat, const double* lf_concat,
+    const int64_t* mat_offsets, const int64_t* row_offsets,
+    const int64_t* col_offsets, const int64_t* tri_offsets,
+    const int64_t* n_rows, const int64_t* n_cols, int64_t n_clusters,
+    double min_rel_likelihood, int32_t n_threads, int64_t* out_nkeep,
+    int32_t* out_pairs, double* out_post) {
+  const double log_cutoff = std::log(min_rel_likelihood);
+  const double log2 = std::log(2.0);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> scores;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_clusters) return;
+      const int64_t R = n_rows[b];
+      const int64_t P = n_cols[b];
+      const double* probs = probs_concat + mat_offsets[b];
+      const double* noise = noise_concat + row_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+      const double* lf = lf_concat + col_offsets[b];
+
+      const int64_t tri = P * (P + 1) / 2;
+      scores.assign(tri, 0.0);
+      double max_ll = -std::numeric_limits<double>::infinity();
+      int64_t t = 0;
+      for (int64_t i = 0; i < P; ++i) {
+        for (int64_t j = i; j < P; ++j, ++t) {
+          double s = 0.0;
+          for (int64_t r = 0; r < R; ++r) {
+            const double g =
+                noise[r] + 0.5 * probs[r * P + i] + 0.5 * probs[r * P + j];
+            s += counts[r] * (g > 0.0
+                                  ? std::log(g)
+                                  : -std::numeric_limits<double>::infinity());
+          }
+          s += lf[i] + lf[j];
+          if (i != j) s += log2;
+          scores[t] = s;
+          if (s > max_ll) max_ll = s;
+        }
+      }
+
+      int64_t kept = 0;
+      int32_t* pairs = out_pairs + 2 * tri_offsets[b];
+      double* post = out_post + tri_offsets[b];
+      double total = 0.0;
+      const bool finite_max = std::isfinite(max_ll);
+      t = 0;
+      for (int64_t i = 0; i < P; ++i) {
+        for (int64_t j = i; j < P; ++j, ++t) {
+          if (scores[t] - max_ll >= log_cutoff) {
+            pairs[2 * kept] = static_cast<int32_t>(i);
+            pairs[2 * kept + 1] = static_cast<int32_t>(j);
+            const double e = finite_max
+                                 ? std::exp(scores[t] - max_ll)
+                                 : std::numeric_limits<double>::quiet_NaN();
+            post[kept] = e;
+            total += e;
+            ++kept;
+          }
+        }
+      }
+      for (int64_t k = 0; k < kept; ++k) post[k] /= total;
+      out_nkeep[b] = kept;
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t2 = 0; t2 < threads; ++t2) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
 }  // extern "C"
 
 extern "C" {

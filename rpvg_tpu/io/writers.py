@@ -184,22 +184,36 @@ class AbundanceEstimatesWriter:
             [estimates.paths[p].effective_length for p in firsts], dtype=np.float64
         )
         counts = np.asarray(estimates.abundances, dtype=np.float64)[: len(firsts)]
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tpms = np.where(
-                effs > 0, counts / effs / self.total_transcript_count * 1e6, 0.0
-            )
-        eff_s, count_s, tpm_s = fmt_array(effs), fmt_array(counts), fmt_array(tpms)
         cid = str(cluster_id)
-        lines = []
-        for i, path in enumerate(firsts):
+        if not hasattr(self, "_rows"):
+            self._rows = []
+            self._effs = []
+            self._counts = []
+        for path in firsts:
             info = estimates.paths[path]
-            lines.append(
-                f"{info.name}\t{cid}\t{info.length}\t{eff_s[i]}\t{count_s[i]}\t{tpm_s[i]}\n"
-            )
-        self.handle.write("".join(lines))
+            self._rows.append(f"{info.name}\t{cid}\t{info.length}")
+        self._effs.append(effs)
+        self._counts.append(counts)
         self.noise_count += estimates.noise_count
 
     def finish(self, unaligned_read_count: int) -> None:
+        # Numeric columns are buffered per cluster and formatted in one
+        # vectorised pass — per-cluster np.char.mod dispatch dominated
+        # the output phase at benchmark scale.
+        if getattr(self, "_rows", None):
+            effs = np.concatenate(self._effs)
+            counts = np.concatenate(self._counts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tpms = np.where(
+                    effs > 0, counts / effs / self.total_transcript_count * 1e6, 0.0
+                )
+            eff_s, count_s, tpm_s = fmt_array(effs), fmt_array(counts), fmt_array(tpms)
+            self.handle.write(
+                "".join(
+                    f"{head}\t{e}\t{c}\t{t}\n"
+                    for head, e, c, t in zip(self._rows, eff_s, count_s, tpm_s)
+                )
+            )
         self.handle.write(
             f"Unknown\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
         )
@@ -234,25 +248,44 @@ class HaplotypeAbundanceEstimatesWriter:
                 read_counts[group_set[j]] += next(abundance_it)
 
         effs = np.array([p.effective_length for p in estimates.paths], dtype=np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tpms = np.where(
-                effs > 0, read_counts / effs / self.total_transcript_count * 1e6, 0.0
-            )
-        eff_s = fmt_array(effs)
-        hap_s = fmt_array(hap_probs)
-        count_s = fmt_array(read_counts)
-        tpm_s = fmt_array(tpms)
         cid = str(cluster_id)
-        lines = []
-        for i, info in enumerate(estimates.paths):
-            lines.append(
-                f"{info.name}\t{cid}\t{info.length}\t{eff_s[i]}\t{hap_s[i]}\t"
-                f"{count_s[i]}\t{tpm_s[i]}\n"
-            )
-        self.handle.write("".join(lines))
+        if not hasattr(self, "_rows"):
+            self._rows = []
+            self._effs = []
+            self._haps = []
+            self._counts = []
+        for info in estimates.paths:
+            self._rows.append(f"{info.name}\t{cid}\t{info.length}")
+        self._effs.append(effs)
+        self._haps.append(hap_probs)
+        self._counts.append(read_counts)
         self.noise_count += estimates.noise_count
 
     def finish(self, unaligned_read_count: int) -> None:
+        # Buffered columns formatted in one vectorised pass (see
+        # AbundanceEstimatesWriter.finish).
+        if getattr(self, "_rows", None):
+            effs = np.concatenate(self._effs)
+            hap_probs = np.concatenate(self._haps)
+            read_counts = np.concatenate(self._counts)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tpms = np.where(
+                    effs > 0,
+                    read_counts / effs / self.total_transcript_count * 1e6,
+                    0.0,
+                )
+            eff_s = fmt_array(effs)
+            hap_s = fmt_array(hap_probs)
+            count_s = fmt_array(read_counts)
+            tpm_s = fmt_array(tpms)
+            self.handle.write(
+                "".join(
+                    f"{head}\t{e}\t{h}\t{c}\t{t}\n"
+                    for head, e, h, c, t in zip(
+                        self._rows, eff_s, hap_s, count_s, tpm_s
+                    )
+                )
+            )
         self.handle.write(
             f"Unknown\t0\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
         )

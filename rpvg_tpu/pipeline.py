@@ -757,12 +757,15 @@ def run_inference_phases(
     # builder (fragment lengths are bounded by the pre-distribution's
     # max, which also caps paired completion), plus the global
     # length/effective-length tables (vectorised over distinct lengths).
+    t_tab = time.perf_counter()
     frag_log_probs = frag_length_dist.log_prob_array(pre_frag_length_dist.max_length)
     all_lengths = paths_index.all_path_lengths()
     all_eff_lengths = (
         None if config.long_reads
         else paths_index.all_effective_path_lengths(frag_length_dist)
     )
+    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+        log(f"  [timing] length/effective-length tables: {time.perf_counter() - t_tab:.2f}s")
 
     t_phase = time.perf_counter()
     fragment_lists = fragment_index.lists()
@@ -968,7 +971,10 @@ def run_inference_phases(
         gibbs_writer.finish(fragment_index.unaligned_count)
 
     if not skip_outputs:
+        t_out = time.perf_counter()
         write_outputs(config, results, fragment_index.unaligned_count)
+        if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+            log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
 
     return {
         "num_fragment_lists": len(fragment_index.entries),
