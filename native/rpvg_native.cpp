@@ -2363,6 +2363,74 @@ void rpvg_diploid_posteriors_ragged(
   }
 }
 
+// Selection-only half of rpvg_diploid_posteriors_ragged, for pair
+// scores computed elsewhere (the TPU backend computes the (P, P)
+// log-likelihood tensors on device and ships them back): apply the
+// heterozygous permutation factor, the relative-likelihood cutoff, and
+// posterior normalisation over the kept upper-triangle pairs.
+// scores_concat: per cluster a row-major (P, P) matrix WITHOUT the
+// log 2 heterozygous factor (the raw pair log-likelihood + priors).
+void rpvg_diploid_select_ragged(
+    const double* scores_concat, const int64_t* score_offsets,
+    const int64_t* tri_offsets, const int64_t* n_cols, int64_t n_clusters,
+    double min_rel_likelihood, int32_t n_threads, int64_t* out_nkeep,
+    int32_t* out_pairs, double* out_post) {
+  const double log_cutoff = std::log(min_rel_likelihood);
+  const double log2 = std::log(2.0);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> scores;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_clusters) return;
+      const int64_t P = n_cols[b];
+      const double* in = scores_concat + score_offsets[b];
+
+      scores.assign(P * (P + 1) / 2, 0.0);
+      double max_ll = -std::numeric_limits<double>::infinity();
+      int64_t t = 0;
+      for (int64_t i = 0; i < P; ++i) {
+        for (int64_t j = i; j < P; ++j, ++t) {
+          double s = in[i * P + j];
+          if (i != j) s += log2;
+          scores[t] = s;
+          if (s > max_ll) max_ll = s;
+        }
+      }
+
+      int64_t kept = 0;
+      int32_t* pairs = out_pairs + 2 * tri_offsets[b];
+      double* post = out_post + tri_offsets[b];
+      double total = 0.0;
+      t = 0;
+      for (int64_t i = 0; i < P; ++i) {
+        for (int64_t j = i; j < P; ++j, ++t) {
+          if (scores[t] - max_ll >= log_cutoff) {
+            pairs[2 * kept] = static_cast<int32_t>(i);
+            pairs[2 * kept + 1] = static_cast<int32_t>(j);
+            const double e = std::exp(scores[t] - max_ll);
+            post[kept] = e;
+            total += e;
+            ++kept;
+          }
+        }
+      }
+      for (int64_t k = 0; k < kept; ++k) post[k] /= total;
+      out_nkeep[b] = kept;
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t2 = 0; t2 < threads; ++t2) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -153,6 +153,11 @@ def run_batched_em(
 
     results: List[Tuple[np.ndarray, float]] = [None] * len(cluster_inputs)
 
+    # Two passes: dispatch every chunk asynchronously (device transfers
+    # and kernels overlap; the accelerator link here has ~40ms blocking
+    # round-trip latency, so per-chunk sync would serialise it), then
+    # gather and post-process.
+    pending = []  # (chunk indices, device array or ready ndarray)
     for (R_pad, C_pad), indices in buckets.items():
         # Split huge buckets to bound device memory.
         max_batch = max(1, max_bucket_rows // R_pad) * 8
@@ -178,11 +183,8 @@ def run_batched_em(
                 try:
                     from ..ops.em_pallas import em_pallas_batched
 
-                    fracs = np.asarray(
-                        em_pallas_batched(
-                            probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
-                        ),
-                        dtype=np.float64,
+                    fracs = em_pallas_batched(
+                        probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
                     )
                 except Exception as exc:  # pragma: no cover - hardware-specific
                     import sys
@@ -196,17 +198,20 @@ def run_batched_em(
                 fracs, _ = em_abundances_batched(
                     probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
                 )
+            pending.append((chunk, fracs))
 
-            for b, idx in enumerate(chunk):
-                probs, counts = cluster_inputs[idx]
-                R, C = probs.shape
-                total = float(counts.sum())
-                abundances = fracs[b, :C]
-                path_counts = abundances[:-1] * total
-                low = abundances[:-1] < MIN_EM_ABUNDANCE
-                noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total)
-                path_counts = path_counts.copy()
-                path_counts[low] = 0.0
-                results[idx] = (path_counts, noise_count)
+    for chunk, fracs in pending:
+        fracs = np.asarray(fracs, dtype=np.float64)
+        for b, idx in enumerate(chunk):
+            probs, counts = cluster_inputs[idx]
+            R, C = probs.shape
+            total = float(counts.sum())
+            abundances = fracs[b, :C]
+            path_counts = abundances[:-1] * total
+            low = abundances[:-1] < MIN_EM_ABUNDANCE
+            noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total)
+            path_counts = path_counts.copy()
+            path_counts[low] = 0.0
+            results[idx] = (path_counts, noise_count)
 
     return results

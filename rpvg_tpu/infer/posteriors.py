@@ -405,15 +405,21 @@ def diploid_posteriors_batched(
         buckets.setdefault((_ceil_pow4(R), _ceil_pow2(P)), []).append(idx)
 
     results = [None] * len(cluster_inputs)
+    # TPU has no native f64: pad in f32 (and halve the wire bytes);
+    # the CPU JAX fallback keeps f64 to match the per-cluster engine.
+    dtype = np.float32 if _jax.default_backend() == "tpu" else np.float64
+    # Dispatch every chunk asynchronously (transfers and kernels
+    # overlap over the high-latency accelerator link), then gather.
+    pending = []
     for (R_pad, P_pad), indices in buckets.items():
         max_batch = max(1, (1 << 24) // max(1, R_pad * P_pad * P_pad))
         for chunk_start in range(0, len(indices), max_batch):
             chunk = indices[chunk_start : chunk_start + max_batch]
             B = _ceil_pow2(len(chunk), floor=1)
-            probs_pad = np.zeros((B, R_pad, P_pad))
-            noise_pad = np.ones((B, R_pad))
-            counts_pad = np.zeros((B, R_pad))
-            log_freqs_pad = np.full((B, P_pad), -np.inf)
+            probs_pad = np.zeros((B, R_pad, P_pad), dtype=dtype)
+            noise_pad = np.ones((B, R_pad), dtype=dtype)
+            counts_pad = np.zeros((B, R_pad), dtype=dtype)
+            log_freqs_pad = np.full((B, P_pad), -np.inf, dtype=dtype)
             for b, idx in enumerate(chunk):
                 probs, noise, counts, path_counts = cluster_inputs[idx]
                 R, P = probs.shape
@@ -422,30 +428,81 @@ def diploid_posteriors_batched(
                 counts_pad[b, :R] = counts
                 log_freqs_pad[b, :P] = calc_path_log_frequencies(path_counts)
 
-            pair_ll = np.asarray(
-                _diploid_pair_scores_batched(
-                    jnp.asarray(probs_pad),
-                    jnp.asarray(noise_pad),
-                    jnp.asarray(counts_pad),
-                    jnp.asarray(log_freqs_pad),
-                ),
-                dtype=np.float64,
+            pending.append(
+                (
+                    chunk,
+                    _diploid_pair_scores_batched(
+                        jnp.asarray(probs_pad),
+                        jnp.asarray(noise_pad),
+                        jnp.asarray(counts_pad),
+                        jnp.asarray(log_freqs_pad),
+                    ),
+                )
             )
 
-            for b, idx in enumerate(chunk):
-                probs = cluster_inputs[idx][0]
-                P = probs.shape[1]
-                iu = np.triu_indices(P)
-                log_liks = pair_ll[b, :P, :P][iu].copy()
-                log_liks[iu[0] != iu[1]] += math.log(2.0)
-                max_ll = log_liks.max()
-                keep = log_liks - max_ll >= math.log(min_rel_likelihood)
-                groups = [
-                    [int(i), int(j)]
-                    for i, j, k in zip(iu[0], iu[1], keep)
-                    if k
-                ]
-                results[idx] = (groups, _normalize_log_posteriors(log_liks[keep]))
+    select_jobs = []  # (idx, (P, P) score matrix)
+    for chunk, pair_ll_dev in pending:
+        pair_ll = np.asarray(pair_ll_dev, dtype=np.float64)
+        for b, idx in enumerate(chunk):
+            P = cluster_inputs[idx][0].shape[1]
+            select_jobs.append((idx, pair_ll[b, :P, :P]))
+
+    native = _native_diploid_select(
+        [m for _, m in select_jobs], min_rel_likelihood
+    )
+    if native is not None:
+        for (idx, _), res in zip(select_jobs, native):
+            results[idx] = res
+    else:
+        for idx, scores in select_jobs:
+            results[idx] = _diploid_select(scores, min_rel_likelihood)
+    return results
+
+
+def _native_diploid_select(score_matrices, min_rel_likelihood: float):
+    """Batched selection + normalisation over precomputed (P, P) pair
+    score matrices through the native kernel; None without the
+    library.  Identical to _diploid_select per matrix."""
+    import ctypes
+    import os
+
+    from .batching import native_em_available
+
+    if not native_em_available():
+        return None
+    from ..native import load_library
+
+    lib = load_library()
+    n = len(score_matrices)
+    if n == 0:
+        return []
+    n_cols = np.fromiter((m.shape[0] for m in score_matrices), np.int64, n)
+    score_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols * n_cols, out=score_offsets[1:])
+    tri_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols * (n_cols + 1) // 2, out=tri_offsets[1:])
+    scores_concat = np.concatenate(
+        [np.ascontiguousarray(m, dtype=np.float64).ravel() for m in score_matrices]
+    )
+    out_nkeep = np.zeros(n, dtype=np.int64)
+    out_pairs = np.empty(2 * int(tri_offsets[-1]), dtype=np.int32)
+    out_post = np.empty(int(tri_offsets[-1]), dtype=np.float64)
+
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    lib.rpvg_diploid_select_ragged(
+        as_f64(scores_concat), as_i64(score_offsets), as_i64(tri_offsets),
+        as_i64(n_cols), n, float(min_rel_likelihood),
+        int(min(16, os.cpu_count() or 1)), as_i64(out_nkeep),
+        out_pairs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), as_f64(out_post),
+    )
+
+    results = []
+    for b in range(n):
+        kept = int(out_nkeep[b])
+        base = int(tri_offsets[b])
+        pairs = out_pairs[2 * base : 2 * (base + kept)].reshape(kept, 2)
+        results.append((pairs.tolist(), out_post[base : base + kept]))
     return results
 
 

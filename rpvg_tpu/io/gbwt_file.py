@@ -499,7 +499,7 @@ def build_gbwt(
     visits: Dict[int, List[Tuple[Tuple[int, ...], int, int]]] = {}
     for si, seq in enumerate(sequences):
         for t, node in enumerate(seq):
-            key = tuple(seq[t - 1 :: -1]) + (0, si)
+            key = tuple(reversed(seq[:t])) + (0, si)
             visits.setdefault(node, []).append((key, si, t))
 
     # Record per node: sorted visit list and successor of each visit.
@@ -523,11 +523,8 @@ def build_gbwt(
             positions = order[node]
         counts: Dict[int, int] = {}
         for si, t in positions:
-            succ = sequences[si][t + 1] if t + 1 < len(sequences[si]) else (
-                sequences[si][0] if t == -1 and sequences[si] else ENDMARKER
-            )
-            if t == -1:
-                succ = sequences[si][0] if sequences[si] else ENDMARKER
+            seq = sequences[si]
+            succ = seq[t + 1] if t + 1 < len(seq) else ENDMARKER
             counts[succ] = counts.get(succ, 0) + 1
         succ_counts[node] = counts
 
@@ -544,12 +541,7 @@ def build_gbwt(
             positions = [(si, -1) for si in range(len(sequences))]
         else:
             positions = order[node]
-        succs = []
-        for si, t in positions:
-            if t == -1:
-                succs.append(sequences[si][0] if sequences[si] else ENDMARKER)
-            else:
-                succs.append(successor(si, t))
+        succs = [successor(si, t) for si, t in positions]
         edge_nodes = sorted(set(succs))
         edge_rank = {w: i for i, w in enumerate(edge_nodes)}
         record = GBWTRecord(

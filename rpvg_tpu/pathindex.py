@@ -168,6 +168,46 @@ class PathIndex:
         return cls(encoded, graph, names, bidirectional)
 
     @classmethod
+    def from_gbwt_file(cls, path: str, graph: Graph) -> "PathIndex":
+        """Load a serialized gbwt::GBWT (sdsl stream layout, the
+        reference's `-p` input, /root/reference/src/main.cpp:616-629):
+        sequences are extracted by LF-walking the records, bidirectional
+        indexes keep the forward orientation of each path pair, and path
+        names come from the metadata with the reference's formatting
+        (/root/reference/src/paths_index.cpp:146-170)."""
+        from .io.gbwt_file import GBWTFile
+
+        gbwt = GBWTFile.read(path)
+        sequences = gbwt.extract_all()
+        paths = sequences[0::2] if gbwt.bidirectional else sequences
+        names = None
+        if gbwt.metadata is not None and gbwt.metadata.path_names:
+            names = [
+                gbwt.metadata.path_name_string(i) for i in range(len(paths))
+            ]
+        return cls(paths, graph, names, gbwt.bidirectional)
+
+    def to_gbwt_file(self, path: str) -> None:
+        """Serialize this panel as a gbwt::GBWT container (fixture
+        writer; inverse of :meth:`from_gbwt_file`).  Path names are
+        stored as metadata sample names (one sample per path, no contig
+        names), which the reference formats back as the bare name."""
+        from .io.gbwt_file import GBWTMetadata, build_gbwt
+
+        meta = None
+        if self.names is not None:
+            meta = GBWTMetadata(
+                sample_names=list(self.names),
+                path_names=[(i, 0, 0, 0) for i in range(len(self.names))],
+                haplotype_count=len(self.names),
+            )
+        build_gbwt(
+            [seq.tolist() for seq in self._sequences],
+            bidirectional=self.is_bidirectional,
+            metadata=meta,
+        ).write(path)
+
+    @classmethod
     def from_json_file(cls, path: str, graph: Graph) -> "PathIndex":
         """Load from our native JSON panel format:
         {"bidirectional": bool, "paths": [{"name": str, "nodes": [[id, is_reverse], ...]}]}
