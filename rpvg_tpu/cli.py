@@ -1,8 +1,9 @@
 """Command-line interface mirroring the reference tool's option surface
 (/root/reference/src/main.cpp:364-419).
 
-Inputs: graph as vg-Graph JSON (.json[.gz]), paths as the native panel
-JSON (.json[.gz]), alignments as protobuf-JSON lines (.json[.gz],
+Inputs: graph as vg-Graph JSON (.json[.gz]), paths as a serialized
+gbwt::GBWT container (.gbwt, the reference's panel input) or the native
+panel JSON (.json[.gz]), alignments as protobuf-JSON lines (.json[.gz],
 `vg view -a` style) — single-path (gam-equivalent) with --single-path,
 multipath (gamp-equivalent) by default.
 """
@@ -26,7 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     required = parser.add_argument_group("required")
     required.add_argument("-g", "--graph", required=True, help="graph JSON filename")
-    required.add_argument("-p", "--paths", required=True, help="path panel index filename")
+    required.add_argument(
+        "-p", "--paths", required=True,
+        help="path panel index filename (.gbwt container or panel JSON)",
+    )
     required.add_argument("-a", "--alignments", required=True, help="alignment filename (JSON lines)")
     required.add_argument("-o", "--output-prefix", required=True, help="output filename prefix")
     required.add_argument(

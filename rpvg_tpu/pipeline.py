@@ -527,10 +527,27 @@ def _collapse_cluster_paths(
 # ------------------------------------------------------------ entry point
 
 
+def _is_gbwt_container(path: str) -> bool:
+    """True when `path` starts with the gbwt::GBWT header tag (the
+    reference's serialized panel input, src/main.cpp:616-629)."""
+    import struct
+
+    try:
+        with open(path, "rb") as handle:
+            head = handle.read(4)
+    except OSError:
+        return False
+    from .io.gbwt_file import GBWT_TAG
+
+    return len(head) == 4 and struct.unpack("<I", head)[0] == GBWT_TAG
+
+
 def load_inputs(config: PipelineConfig) -> Tuple[Graph, PathIndex]:
     graph = config.graph if isinstance(config.graph, Graph) else load_graph(config.graph)
     if isinstance(config.paths, PathIndex):
         paths_index = config.paths
+    elif config.paths.endswith(".gbwt") or _is_gbwt_container(config.paths):
+        paths_index = PathIndex.from_gbwt_file(config.paths, graph)
     else:
         paths_index = PathIndex.from_json_file(config.paths, graph)
     assert paths_index.number_of_paths() > 0, "path index contains no paths"

@@ -213,6 +213,44 @@ def test_pathindex_gbwt_roundtrip(tmp_path):
     assert loaded.locate(state).tolist() == [0]
 
 
+def test_pipeline_from_gbwt_panel_matches_json_panel(tmp_path):
+    """Full pipeline driven by `-p panel.gbwt` is byte-identical to the
+    JSON-panel run (the reference's native input path,
+    /root/reference/src/main.cpp:616-629)."""
+    from rpvg_tpu import sim
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=60, variant_sites=1, seed=7,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 200, read_length=50, frag_mean=140, frag_sd=12, seed=13
+    )
+    graph_path = str(tmp_path / "graph.json")
+    json_panel = str(tmp_path / "panel.json")
+    gbwt_panel = str(tmp_path / "panel.gbwt")
+    aln_path = str(tmp_path / "aln.json")
+    panel.write_graph_json(graph_path)
+    panel.write_panel_json(json_panel)
+    panel.paths_index.to_gbwt_file(gbwt_panel)
+    sim.write_alignment_json(records, aln_path)
+
+    outputs = {}
+    for label, paths in (("json", json_panel), ("gbwt", gbwt_panel)):
+        prefix = str(tmp_path / f"out_{label}")
+        run_pipeline(
+            PipelineConfig(
+                graph=graph_path, paths=paths, alignments=aln_path,
+                output_prefix=prefix, inference_model="transcripts",
+                threads=2, rng_seed=42, score_not_qual=True,
+            )
+        )
+        with open(prefix + ".txt", "rb") as handle:
+            outputs[label] = handle.read()
+    assert outputs["gbwt"] == outputs["json"]
+
+
 def test_pathindex_gbwt_roundtrip_unidirectional(tmp_path):
     graph = _tiny_graph()
     paths = [[(1, False), (2, False)], [(2, False), (4, False)]]
