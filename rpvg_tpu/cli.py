@@ -3,9 +3,10 @@
 
 Inputs: graph as vg-Graph JSON (.json[.gz]), paths as a serialized
 gbwt::GBWT container (.gbwt, the reference's panel input) or the native
-panel JSON (.json[.gz]), alignments as protobuf-JSON lines (.json[.gz],
-`vg view -a` style) — single-path (gam-equivalent) with --single-path,
-multipath (gamp-equivalent) by default.
+panel JSON (.json[.gz]), alignments as binary vg streams (.gam/.gamp,
+decoded by the vendored wire codec) or protobuf-JSON lines (.json[.gz],
+`vg view -a` style) — single-path (gam) with --single-path, multipath
+(gamp) by default.
 """
 
 from __future__ import annotations
@@ -31,7 +32,10 @@ def build_parser() -> argparse.ArgumentParser:
         "-p", "--paths", required=True,
         help="path panel index filename (.gbwt container or panel JSON)",
     )
-    required.add_argument("-a", "--alignments", required=True, help="alignment filename (JSON lines)")
+    required.add_argument(
+        "-a", "--alignments", required=True,
+        help="alignment filename (.gam/.gamp binary, JSON lines, or .rpa)",
+    )
     required.add_argument("-o", "--output-prefix", required=True, help="output filename prefix")
     required.add_argument(
         "-i",

@@ -11,14 +11,14 @@ ASCII tag string ("GAM" for vg::Alignment, "MPA" for
 vg::MultipathAlignment) instead of a message.  BGZF is gzip-compatible,
 so the standard gzip module decompresses it.
 
-The snapshot ships no vg.proto, so messages cannot be decoded without a
-schema; this module therefore takes a user-supplied vg.proto, compiles
-it with protoc on the fly, and decodes through the generated classes:
+Message decoding goes through the vendored wire codec
+(rpvg_tpu.io.vgproto) by default, so binary .gam/.gamp streams load
+with no conversion step and no external schema:
 
-    python -m rpvg_tpu.tools gamp-to-rpa --vg-proto vg.proto aln.gamp out.rpa
+    rpvg-tpu -g graph.json -p panel.gbwt -a aln.gamp ...
 
-The framing layer itself (reader + writer) is self-contained and fully
-tested; only message decoding needs the schema.
+A user-supplied vg.proto can still be compiled with protoc on the fly
+(`--vg-proto`), which pins decoding to that exact schema instead.
 """
 
 from __future__ import annotations
@@ -160,9 +160,25 @@ def compile_vg_proto(vg_proto_path: str):
             sys.path.remove(tmp)
 
 
-def stream_gam_dicts(path: str, vg_proto_path: str, is_multipath: bool) -> Iterator[dict]:
-    """Decode a binary .gam/.gamp into protobuf-JSON-style dicts using a
-    user-supplied vg.proto schema."""
+def stream_gam_dicts(
+    path: str, vg_proto_path: Optional[str], is_multipath: bool
+) -> Iterator[dict]:
+    """Decode a binary .gam/.gamp into protobuf-JSON-style snake_case
+    dicts.  With `vg_proto_path` the schema is compiled with protoc and
+    decoding runs through google.protobuf; otherwise the vendored wire
+    codec (rpvg_tpu.io.vgproto) decodes directly."""
+    if vg_proto_path is None:
+        from . import vgproto
+
+        decode = (
+            vgproto.decode_multipath_alignment
+            if is_multipath
+            else vgproto.decode_alignment
+        )
+        for tag, payload in read_framed_messages(path):
+            yield decode(payload)
+        return
+
     from google.protobuf.json_format import MessageToDict
 
     vg_pb2 = compile_vg_proto(vg_proto_path)
@@ -173,3 +189,50 @@ def stream_gam_dicts(path: str, vg_proto_path: str, is_multipath: bool) -> Itera
         message = message_class()
         message.ParseFromString(payload)
         yield MessageToDict(message, preserving_proto_field_name=True)
+
+
+def stream_gam_alignments(path: str, is_multipath: bool) -> Iterator:
+    """Parsed Alignment/MultipathAlignment objects from a binary
+    .gam/.gamp stream (vendored schema), mirroring
+    json_stream.stream_alignments."""
+    from ..alignments import parse_alignment, parse_multipath_alignment
+
+    parse = parse_multipath_alignment if is_multipath else parse_alignment
+    for obj in stream_gam_dicts(path, None, is_multipath):
+        yield parse(obj)
+
+
+def write_gam_dicts(
+    path: str, dicts, is_multipath: bool, compress: bool = True
+) -> None:
+    """Encode snake_case alignment dicts through the vendored schema
+    into a type-tagged framed stream (fixtures and interchange).
+    Base64-string quality values are accepted (the protobuf-JSON
+    convention sim produces) alongside raw bytes."""
+    import base64
+
+    from . import vgproto
+
+    encode = (
+        vgproto.encode_multipath_alignment
+        if is_multipath
+        else vgproto.encode_alignment
+    )
+
+    def prepare(obj: dict) -> bytes:
+        if isinstance(obj.get("quality"), str):
+            obj = dict(obj)
+            obj["quality"] = base64.b64decode(obj["quality"])
+        return encode(obj)
+
+    write_framed_messages(
+        path,
+        (prepare(obj) for obj in dicts),
+        tag=b"MPA" if is_multipath else b"GAM",
+        compress=compress,
+    )
+
+
+def is_gam_path(path: str) -> bool:
+    base = path[:-3] if path.endswith(".gz") else path
+    return base.endswith(".gam") or base.endswith(".gamp")

@@ -583,7 +583,15 @@ def resolve_pre_fragment_dist(config: PipelineConfig) -> FragmentLengthDist:
             )
         finally:
             reader.close()
-    for obj in json_stream.stream_alignment_dicts(config.alignments):
+    from .io.gam import is_gam_path, stream_gam_dicts
+
+    if is_gam_path(config.alignments):
+        dict_stream = stream_gam_dicts(
+            config.alignments, None, not config.single_path
+        )
+    else:
+        dict_stream = json_stream.stream_alignment_dicts(config.alignments)
+    for obj in dict_stream:
         from .alignments import _parse_annotation
 
         record = dict(obj)
@@ -606,6 +614,19 @@ def resolve_pre_fragment_dist(config: PipelineConfig) -> FragmentLengthDist:
 def iter_fragments(config: PipelineConfig):
     if not isinstance(config.alignments, str):
         yield from config.alignments
+        return
+    from .io.gam import is_gam_path, stream_gam_alignments
+
+    if is_gam_path(config.alignments):
+        it = stream_gam_alignments(config.alignments, not config.single_path)
+        if config.is_single_end():
+            yield from it
+        else:
+            while True:
+                first = next(it, None)
+                if first is None:
+                    return
+                yield first, next(it)  # interleaved mates
         return
     if config.is_single_end():
         yield from json_stream.stream_alignments(config.alignments, not config.single_path)

@@ -25,25 +25,39 @@ def main(argv=None) -> int:
 
     gam = sub.add_parser(
         "gamp-to-json",
-        help="decode a binary vg .gam/.gamp (requires a vg.proto schema file)",
+        help="decode a binary vg .gam/.gamp into protobuf-JSON lines",
     )
     gam.add_argument("input", help="binary .gam/.gamp file")
     gam.add_argument("output", help="output JSON-lines path")
-    gam.add_argument("--vg-proto", required=True, help="path to vg.proto")
+    gam.add_argument(
+        "--vg-proto",
+        default=None,
+        help="optional vg.proto schema; default is the vendored vg schema",
+    )
     gam.add_argument("--single-path", action="store_true")
 
     args = parser.parse_args(argv)
 
     if args.command == "gamp-to-json":
+        import base64
         import json
 
         from .io.gam import stream_gam_dicts
+
+        def jsonable(value):
+            if isinstance(value, bytes):
+                return base64.b64encode(value).decode()
+            if isinstance(value, dict):
+                return {k: jsonable(v) for k, v in value.items()}
+            if isinstance(value, list):
+                return [jsonable(v) for v in value]
+            return value
 
         with open(args.output, "w") as handle:
             for record in stream_gam_dicts(
                 args.input, args.vg_proto, is_multipath=not args.single_path
             ):
-                handle.write(json.dumps(record) + "\n")
+                handle.write(json.dumps(jsonable(record)) + "\n")
         print(f"wrote {args.output}", file=sys.stderr)
         return 0
 
