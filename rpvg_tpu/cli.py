@@ -27,7 +27,10 @@ def build_parser() -> argparse.ArgumentParser:
     )
 
     required = parser.add_argument_group("required")
-    required.add_argument("-g", "--graph", required=True, help="graph JSON filename")
+    required.add_argument(
+        "-g", "--graph", required=True,
+        help="graph filename (.xg container or vg-Graph JSON)",
+    )
     required.add_argument(
         "-p", "--paths", required=True,
         help="path panel index filename (.gbwt container or panel JSON)",

@@ -48,6 +48,27 @@ class Graph:
     def from_edges(cls, nodes: Iterable[Tuple[int, int]]) -> "Graph":
         return cls(dict(nodes))
 
+    @classmethod
+    def from_xg_file(cls, path: str) -> "Graph":
+        """Load node lengths from a serialized xg::XG container (bare or
+        VPKG-wrapped), the reference's -g input
+        (/root/reference/src/main.cpp:616-623)."""
+        from .io.xg_file import read_xg_node_lengths
+
+        return cls(read_xg_node_lengths(path))
+
+    def to_xg_file(self, path: str) -> None:
+        """Serialize as an xg::XG container (fixture writer; inverse of
+        :meth:`from_xg_file`)."""
+        from .io.xg_file import write_xg
+
+        lengths = {
+            int(nid): int(self.node_lengths[nid])
+            for nid in range(self.node_lengths.size)
+            if self.node_lengths[nid] != -1
+        }
+        write_xg(path, lengths)
+
     # ------------------------------------------------------------- queries
     def num_nodes(self) -> int:
         return int(self.node_lengths.size)
@@ -61,5 +82,8 @@ class Graph:
 
 
 def load_graph(path: str) -> Graph:
-    """Load a graph from JSON (optionally gzipped)."""
+    """Load a graph from an xg::XG container (.xg) or vg-Graph JSON
+    (optionally gzipped)."""
+    if path.endswith(".xg"):
+        return Graph.from_xg_file(path)
     return Graph.from_json_file(path)
