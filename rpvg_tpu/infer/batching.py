@@ -138,6 +138,23 @@ def run_batched_em(
     # identical convergence contract; RPVG_TPU_NATIVE_EM=0 disables.
     if not on_tpu and dtype == np.float64 and native_em_available():
         return run_native_em(cluster_inputs, max_em_its, max_rel_em_conv)
+    # TPU hybrid routing: the cluster population is power-law sized, so
+    # most matrices are tiny and their EM is latency-bound on the
+    # device link while the few big buckets carry the FLOPs.  Route
+    # small clusters to the native host kernel and let them run WHILE
+    # the big buckets' transfers/kernels are in flight (device chunks
+    # are dispatched asynchronously below, gathered at the end).
+    # RPVG_TPU_HYBRID_EM_AREA=0 sends everything to the device.
+    host_idx: List[int] = []
+    if on_tpu and native_em_available():
+        area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 16384))
+        if area_cutoff > 0:
+            host_idx = [
+                idx
+                for idx, (probs, _) in enumerate(cluster_inputs)
+                if probs.shape[0] * probs.shape[1] < area_cutoff
+            ]
+    host_set = set(host_idx)
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
     # reference to ~2e-7 and beats the XLA while-loop by >100x steady
     # state.  RPVG_TPU_PALLAS=0 force-disables.
@@ -147,6 +164,8 @@ def run_batched_em(
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, counts) in enumerate(cluster_inputs):
+        if idx in host_set:
+            continue
         R, C = probs.shape
         key = (_ceil_pow4(R), _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
@@ -199,6 +218,15 @@ def run_batched_em(
                     probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
                 )
             pending.append((chunk, fracs))
+
+    # Device chunks are now in flight; the host kernel fills in the
+    # latency-bound small clusters meanwhile.
+    if host_idx:
+        host_results = run_native_em(
+            [cluster_inputs[idx] for idx in host_idx], max_em_its, max_rel_em_conv
+        )
+        for idx, result in zip(host_idx, host_results):
+            results[idx] = result
 
     for chunk, fracs in pending:
         fracs = np.asarray(fracs, dtype=np.float64)

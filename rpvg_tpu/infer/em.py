@@ -183,9 +183,12 @@ def em_abundances_batched(
     cluster's iteration count.  Caps escalate in stages — clusters that
     converged at a lower cap keep their (frozen, identical) result,
     unconverged ones re-run alone at the next cap."""
+    from ..parallel.autoshard import shard_batched
+
     probs = jnp.asarray(probs)
     counts = jnp.asarray(counts, dtype=probs.dtype)
     col_masks = jnp.asarray(col_masks, dtype=probs.dtype)
+    probs, counts, col_masks = shard_batched(probs, counts, col_masks)
     conv = probs.dtype.type(max_rel_em_conv)
 
     stages = [cap for cap in (128, 1024) if cap < max_em_its] + [int(max_em_its)]

@@ -399,8 +399,32 @@ def diploid_posteriors_batched(
         if native_results is not None:
             return native_results
 
+    # TPU hybrid routing: tiny clusters' (R, P, P) scoring is
+    # latency-bound on the device link; run them through the native
+    # host kernel WHILE the big buckets' async device chunks are in
+    # flight.  RPVG_TPU_HYBRID_DIPLOID_WORK=0 sends everything to the
+    # device.
+    import os as _os
+
+    host_idx: List[int] = []
+    from .batching import native_em_available
+
+    if native_em_available():
+        work_cutoff = int(
+            _os.environ.get("RPVG_TPU_HYBRID_DIPLOID_WORK", 1 << 17)
+        )
+        if work_cutoff > 0:
+            host_idx = [
+                idx
+                for idx, (probs, _, _, _) in enumerate(cluster_inputs)
+                if probs.shape[0] * probs.shape[1] * probs.shape[1] < work_cutoff
+            ]
+    host_set = set(host_idx)
+
     buckets: Dict[Tuple[int, int], List[int]] = {}
     for idx, (probs, _, _, _) in enumerate(cluster_inputs):
+        if idx in host_set:
+            continue
         R, P = probs.shape
         buckets.setdefault((_ceil_pow4(R), _ceil_pow2(P)), []).append(idx)
 
@@ -428,17 +452,30 @@ def diploid_posteriors_batched(
                 counts_pad[b, :R] = counts
                 log_freqs_pad[b, :P] = calc_path_log_frequencies(path_counts)
 
+            from ..parallel.autoshard import shard_batched
+
             pending.append(
                 (
                     chunk,
                     _diploid_pair_scores_batched(
-                        jnp.asarray(probs_pad),
-                        jnp.asarray(noise_pad),
-                        jnp.asarray(counts_pad),
-                        jnp.asarray(log_freqs_pad),
+                        *shard_batched(
+                            jnp.asarray(probs_pad),
+                            jnp.asarray(noise_pad),
+                            jnp.asarray(counts_pad),
+                            jnp.asarray(log_freqs_pad),
+                        )
                     ),
                 )
             )
+
+    # Device chunks are in flight; the host kernel fills in the
+    # latency-bound small clusters meanwhile.
+    if host_idx:
+        host_results = _diploid_posteriors_native(
+            [cluster_inputs[idx] for idx in host_idx], min_rel_likelihood
+        )
+        for idx, result in zip(host_idx, host_results):
+            results[idx] = result
 
     select_jobs = []  # (idx, (P, P) score matrix)
     for chunk, pair_ll_dev in pending:
@@ -703,14 +740,18 @@ def path_group_posteriors_gibbs_batched(cluster_inputs, group_size, rng_keys):
             p_real[bi] = P
             keys[bi] = np.asarray(rng_keys[idx])
 
+        from ..parallel.autoshard import shard_batched
+
         samples = np.asarray(
             _gibbs_chains_vmapped(
-                jnp.asarray(keys),
-                jnp.asarray(probs),
-                jnp.asarray(noise),
-                jnp.asarray(counts),
-                jnp.asarray(log_freqs),
-                jnp.asarray(p_real),
+                *shard_batched(
+                    jnp.asarray(keys),
+                    jnp.asarray(probs),
+                    jnp.asarray(noise),
+                    jnp.asarray(counts),
+                    jnp.asarray(log_freqs),
+                    jnp.asarray(p_real),
+                ),
                 group_size,
                 C_max,
                 T_max,

@@ -298,13 +298,17 @@ def run_batched_gibbs(
                 col_masks[bi, :C] = 1.0
                 keys[bi] = np.asarray(rng_keys[idx])
 
+            from ..parallel.autoshard import shard_batched
+
             fracs = np.asarray(
                 _gibbs_read_counts_vmapped(
-                    jnp.asarray(keys),
-                    jnp.asarray(probs),
-                    jnp.asarray(counts),
-                    jnp.asarray(init_fracs),
-                    jnp.asarray(col_masks),
+                    *shard_batched(
+                        jnp.asarray(keys),
+                        jnp.asarray(probs),
+                        jnp.asarray(counts),
+                        jnp.asarray(init_fracs),
+                        jnp.asarray(col_masks),
+                    ),
                     float(gamma),
                     int(num_samples),
                     int(thin_its),

@@ -101,3 +101,49 @@ def test_sharded_giant_cluster_scores_match_dense():
 
     assert sharded_groups == dense_groups
     assert np.allclose(sharded_post, dense_post, rtol=1e-9, atol=1e-12)
+
+
+def test_autoshard_batched_em_byte_identical():
+    # The production batched-EM dispatch shards its (B, ...) stacks over
+    # the data mesh via shard_batched; per-cluster math never crosses
+    # the batch axis, so sharded and unsharded runs must be bitwise
+    # identical.
+    import os
+
+    from rpvg_tpu.infer.em import em_abundances_batched
+    from rpvg_tpu.parallel import autoshard
+
+    rng = np.random.default_rng(17)
+    B, R, C = 16, 32, 8
+    probs = rng.random((B, R, C))
+    probs /= probs.sum(axis=2, keepdims=True)
+    counts = rng.integers(1, 10, size=(B, R)).astype(np.float64)
+    col_masks = np.ones((B, C))
+
+    assert autoshard.data_mesh() is not None  # 8-device CPU mesh active
+    assert autoshard.num_data_shards() == 8
+    sharded_abund, sharded_its = em_abundances_batched(
+        probs, counts, col_masks, 300, 0.001
+    )
+
+    os.environ["RPVG_TPU_AUTOSHARD"] = "0"
+    autoshard.data_mesh.cache_clear()
+    try:
+        assert autoshard.data_mesh() is None
+        plain_abund, plain_its = em_abundances_batched(
+            probs, counts, col_masks, 300, 0.001
+        )
+    finally:
+        del os.environ["RPVG_TPU_AUTOSHARD"]
+        autoshard.data_mesh.cache_clear()
+
+    assert np.array_equal(np.asarray(sharded_abund), np.asarray(plain_abund))
+    assert np.array_equal(np.asarray(sharded_its), np.asarray(plain_its))
+
+
+def test_shard_batched_indivisible_passthrough():
+    from rpvg_tpu.parallel import autoshard
+
+    a = np.ones((6, 4))  # 6 % 8 != 0 -> stays unsharded
+    out = autoshard.shard_batched(a)
+    assert out is a
