@@ -62,23 +62,39 @@ class ProbabilityClusterWriter:
     def add_cluster(
         self, cluster_probs: Sequence[ReadPathProbs], cluster_paths: Sequence[PathInfo]
     ) -> None:
-        if not cluster_probs:
-            return
-        out = ["#"]
-        out.append(
-            " ".join(
-                f"{p.name},{p.length},{fmt(p.effective_length)}" for p in cluster_paths
-            )
+        block = format_probability_cluster_block(
+            cluster_probs, cluster_paths, self.digits
         )
-        for rpp in cluster_probs:
-            row = [str(rpp.read_count), fmt(rpp.noise_prob, self.digits)]
-            for prob, ids in rpp.path_probs:
-                row.append(f"{fmt(prob, self.digits)}:" + ",".join(map(str, ids)))
-            out.append(" ".join(row))
-        self.handle.write("\n".join(out) + "\n")
+        if block:
+            self.handle.write(block)
 
     def close(self):
         self.handle.close()
+
+
+def format_probability_cluster_block(
+    cluster_probs: Sequence[ReadPathProbs],
+    cluster_paths: Sequence[PathInfo],
+    digits: int,
+) -> str:
+    """One cluster's '#'-delimited probability block as text — shared by
+    the in-process writer and the distributed runner (which formats on
+    the owning process and ships blocks to process 0, reference
+    src/threaded_output_writer.cpp:40-95)."""
+    if not cluster_probs:
+        return ""
+    out = ["#"]
+    out.append(
+        " ".join(
+            f"{p.name},{p.length},{fmt(p.effective_length)}" for p in cluster_paths
+        )
+    )
+    for rpp in cluster_probs:
+        row = [str(rpp.read_count), fmt(rpp.noise_prob, digits)]
+        for prob, ids in rpp.path_probs:
+            row.append(f"{fmt(prob, digits)}:" + ",".join(map(str, ids)))
+        out.append(" ".join(row))
+    return "\n".join(out) + "\n"
 
 
 class ReadCountGibbsSamplesWriter:

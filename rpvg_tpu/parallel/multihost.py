@@ -76,16 +76,21 @@ def run_pipeline_sharded(config: PipelineConfig, num_shards: int) -> Dict:
 
 
 def _shard_worker(args):
+    import time as _time
+
     config, shard, num_shards = args
     graph, paths_index = load_inputs(config)
     pre_dist = resolve_pre_fragment_dist(config)
     finder = build_finder(config, paths_index, pre_dist)
+    scan_start = _time.perf_counter()
     index = collect_fragments(config, finder, pre_dist, shard=shard, num_shards=num_shards)
+    scan_s = _time.perf_counter() - scan_start
     # Ship only picklable state.
     return (
         list(index.entries.values()),
         index.frag_length_counts,
         index.unaligned_count,
+        scan_s,
     )
 
 
@@ -98,14 +103,22 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     graph, paths_index = load_inputs(config)
     pre_dist = resolve_pre_fragment_dist(config)
 
+    import time as _time
+
+    frag_start = _time.perf_counter()
     ctx = mp.get_context("spawn")
     with ctx.Pool(num_workers) as pool:
         shard_payloads = pool.map(
             _shard_worker, [(config, s, num_workers) for s in range(num_workers)]
         )
+    fragment_pass_s = _time.perf_counter() - frag_start
+    # Critical path of the distributed scan itself (per-worker startup —
+    # interpreter spawn + index build — is a fixed cost amortised over
+    # real workloads and overlapped on real pods).
+    fragment_scan_s = max(payload[3] for payload in shard_payloads)
 
     fragment_index = FragmentIndex(pre_dist, config.is_single_end())
-    for entries, frag_counts, unaligned in shard_payloads:
+    for entries, frag_counts, unaligned, _ in shard_payloads:
         shard_index = FragmentIndex(pre_dist, config.is_single_end())
         shard_index.entries = {
             (
@@ -127,9 +140,12 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # pre-located entries whose probabilities are built from the raw
     # bytes by the native builder.
     finder = build_finder(config, paths_index, pre_dist)
-    return run_inference_phases(
+    stats = run_inference_phases(
         config, paths_index, fragment_index, pre_dist, log, finder=finder
     )
+    stats["fragment_pass_s"] = fragment_pass_s
+    stats["fragment_scan_s"] = fragment_scan_s
+    return stats
 
 
 # ------------------------------------------------------- jax.distributed
@@ -185,10 +201,6 @@ def run_pipeline_distributed(
     pid = jax.process_index()
     n = jax.process_count()
 
-    assert not config.write_probs, (
-        "probability-writer output is not supported on the distributed runner"
-    )
-
     log = lambda msg: print(f"[proc {pid}] {msg}", file=sys.stderr)  # noqa: E731
 
     graph, paths_index = load_inputs(config)
@@ -219,6 +231,7 @@ def run_pipeline_distributed(
         f"alignment path lists"
     )
 
+    prob_collector = [] if config.write_probs else None
     stats = run_inference_phases(
         config,
         paths_index,
@@ -228,12 +241,30 @@ def run_pipeline_distributed(
         finder=finder,
         cluster_filter=lambda rank: rank % n == pid,
         skip_outputs=True,
+        prob_collector=prob_collector,
     )
 
     gathered = _allgather_payload(stats["results"])
     merged = [result for results in gathered for result in results]
     merged.sort(key=lambda result: result.cluster_id)
     stats["results"] = merged
+
+    if config.write_probs:
+        # '-b' blocks are formatted on the owning process and written by
+        # process 0 in cluster-rank order — the same order the in-process
+        # writer produces (reference src/threaded_output_writer.cpp:40-95).
+        gathered_blocks = _allgather_payload(prob_collector)
+        if pid == 0:
+            from ..io import writers
+
+            prob_writer = writers.ProbabilityClusterWriter(
+                config.output_prefix + "_probs", config.prob_precision
+            )
+            all_blocks = [b for blocks in gathered_blocks for b in blocks]
+            all_blocks.sort(key=lambda item: item[0])
+            for _, block in all_blocks:
+                prob_writer.handle.write(block)
+            prob_writer.close()
 
     if pid == 0:
         from ..pipeline import write_outputs

@@ -19,6 +19,7 @@ multi-host runner can drive them independently.
 
 from __future__ import annotations
 
+import math
 import os
 import sys
 import time
@@ -766,10 +767,16 @@ def run_inference_phases(
     finder=None,
     cluster_filter=None,
     skip_outputs: bool = False,
+    prob_collector: Optional[List] = None,
 ) -> Dict:
     """Everything downstream of the (possibly merged multi-shard)
     fragment index: distribution re-fit, clustering, per-cluster
-    inference and output."""
+    inference and output.
+
+    `prob_collector`: when skip_outputs suppresses the in-process
+    probability writer (distributed runner), formatted '-b' cluster
+    blocks are appended here as (rank, text) for the caller to gather
+    and write on process 0 (reference src/threaded_output_writer.cpp:40-95)."""
     if config.is_single_end():
         frag_length_dist = pre_frag_length_dist
     else:
@@ -990,9 +997,21 @@ def run_inference_phases(
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
 
+    prob_digits = None
+    if config.write_probs and prob_collector is not None:
+        prob_digits = max(
+            writers.OUT_PRECISION_DIGITS,
+            math.ceil(-math.log10(config.prob_precision)),
+        )
     for (rank, paths, cluster_probs), result in zip(cluster_data, results):
         if prob_writer is not None:
             prob_writer.add_cluster(cluster_probs, paths)
+        elif prob_digits is not None:
+            block = writers.format_probability_cluster_block(
+                cluster_probs, paths, prob_digits
+            )
+            if block:
+                prob_collector.append((rank, block))
         if gibbs_writer is not None:
             gibbs_writer.add_samples(result.cluster_id, result.estimates)
             result.estimates.gibbs_read_count_samples = []

@@ -129,6 +129,7 @@ def _distributed_worker(pid, n, port, graph_path, panel_path, aln_path, prefix):
         output_prefix=prefix,
         inference_model="transcripts",
         num_gibbs_samples=4,
+        write_probs=True,
         rng_seed=42,
         score_not_qual=True,
     )
@@ -155,6 +156,7 @@ def test_distributed_matches_single_host(dataset, tmp_path):
     base_prefix = str(tmp_path / "single")
     config = make_config(dataset, base_prefix)
     config.num_gibbs_samples = 4
+    config.write_probs = True
     run_pipeline(config)
 
     with socket.socket() as sock:
@@ -180,5 +182,11 @@ def test_distributed_matches_single_host(dataset, tmp_path):
         assert a.read() == b.read()
     with gzip.open(base_prefix + "_gibbs.txt.gz", "rt") as a, gzip.open(
         prefix + "_gibbs.txt.gz", "rt"
+    ) as b:
+        assert a.read() == b.read()
+    # '-b' probability blocks: formatted per owning process, gathered and
+    # written by process 0 — must match the in-process writer exactly.
+    with gzip.open(base_prefix + "_probs.txt.gz", "rt") as a, gzip.open(
+        prefix + "_probs.txt.gz", "rt"
     ) as b:
         assert a.read() == b.read()
