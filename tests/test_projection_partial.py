@@ -1,11 +1,36 @@
 """Partial/internal-match projection tests, ported from the reference
 scenario matrix over --max-par-offset
-(/root/reference/src/tests/alignment_path_finder_test.cpp:2113-3009)."""
+(/root/reference/src/tests/alignment_path_finder_test.cpp:2113-3009).
 
+Every scenario runs against BOTH projection engines: the Python
+specification and the native C++ finder (parametrized `engine`)."""
+
+import pytest
 from helpers import INT32_LOWEST, aln, build_index, locate_ids, mp_aln
 
 from rpvg_tpu.graph import Graph
 from rpvg_tpu.projection import AlignmentPathFinder
+
+
+def _native_finder_cls():
+    try:
+        from rpvg_tpu import native
+
+        if native.native_available():
+            return native.NativeFinder
+    except Exception:
+        pass
+    return None
+
+
+ENGINES = ["python", "native"]
+
+
+@pytest.fixture(params=ENGINES)
+def engine(request):
+    if request.param == "native" and _native_finder_cls() is None:
+        pytest.skip("native toolchain unavailable")
+    return request.param
 
 PARTIAL_GRAPH = {1: 2, 2: 1, 3: 1, 4: 1, 5: 3, 6: 3, 7: 3, 8: 2, 9: 3, 10: 1}
 
@@ -76,7 +101,7 @@ def make_partial_index():
     )
 
 
-def make_finder(index, max_partial_offset=4, **kwargs):
+def make_finder(index, max_partial_offset=4, engine="python", **kwargs):
     defaults = dict(
         library_type="unstranded",
         score_not_qual=True,
@@ -88,13 +113,15 @@ def make_finder(index, max_partial_offset=4, **kwargs):
         min_best_score_filter=0.0,
     )
     defaults.update(kwargs)
+    if engine == "native":
+        return _native_finder_cls()(index, **defaults)
     return AlignmentPathFinder(index, **defaults)
 
 
-def test_paired_multipath_partial_paths():
+def test_paired_multipath_partial_paths(engine):
     index = make_partial_index()
     assert index.number_of_paths() == 3
-    finder = make_finder(index, max_partial_offset=4)
+    finder = make_finder(index, max_partial_offset=4, engine=engine)
 
     paths = finder.find_paired_alignment_paths(mp_aln(P_ALIGNMENT_1), mp_aln(P_ALIGNMENT_2))
     assert len(paths) == 10
@@ -122,15 +149,22 @@ def test_paired_multipath_partial_paths():
         assert not p.is_simple
 
 
-def test_paired_multipath_partial_offset_filtering():
+def test_paired_multipath_partial_offset_filtering(engine):
     index = make_partial_index()
 
-    rows_for = lambda k: {
-        (tuple(locate_ids(index, p)), p.frag_length, p.align_length, p.score_sum)
-        for p in make_finder(index, max_partial_offset=k).find_paired_alignment_paths(
-            mp_aln(P_ALIGNMENT_1), mp_aln(P_ALIGNMENT_2)
-        )
-    }
+    def rows_for(k):
+        paths = make_finder(
+            index, max_partial_offset=k, engine=engine
+        ).find_paired_alignment_paths(mp_aln(P_ALIGNMENT_1), mp_aln(P_ALIGNMENT_2))
+        # Reference asserts filtered rows equal the unfiltered entries
+        # wholesale — mapq/simple flags included (ref :2585-2637).
+        for p in paths:
+            assert p.min_mapq == 10
+            assert not p.is_simple
+        return {
+            (tuple(locate_ids(index, p)), p.frag_length, p.align_length, p.score_sum)
+            for p in paths
+        }
 
     assert rows_for(3) == {
         ((0,), 19, 10, 10),
@@ -184,7 +218,7 @@ L_ALIGNMENT = {
 }
 
 
-def test_partial_end_beyond_only_hit():
+def test_partial_end_beyond_only_hit(engine):
     # Read extends beyond the single-node panel path: a huge partial
     # offset still yields the real hit plus noise (reference :2430-2501).
     graph = Graph({1: 2, 2: 1})
@@ -199,11 +233,11 @@ def test_partial_end_beyond_only_hit():
         "sequence": "AAA",
         "mapping_quality": 10,
     }
-    finder = make_finder(index, max_partial_offset=1000)
+    finder = make_finder(index, max_partial_offset=1000, engine=engine)
     assert len(finder.find_alignment_paths(aln(alignment))) == 2
 
 
-def test_partial_with_full_length_match():
+def test_partial_with_full_length_match(engine):
     graph = Graph(LADDER_GRAPH)
     index = build_index(
         [L_THREAD_START2_END4, L_THREAD_START2, L_THREAD_END4, L_THREAD_FULL],
@@ -213,26 +247,26 @@ def test_partial_with_full_length_match():
     assert index.number_of_paths() == 4
 
     sizes = {
-        k: len(make_finder(index, max_partial_offset=k).find_alignment_paths(aln(L_ALIGNMENT)))
+        k: len(make_finder(index, max_partial_offset=k, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)))
         for k in (0, 2, 3, 4)
     }
     assert sizes == {0: 2, 2: 3, 3: 3, 4: 4}
 
 
-def test_partial_end_only_no_longer_match():
+def test_partial_end_only_no_longer_match(engine):
     graph = Graph(LADDER_GRAPH)
     index = build_index([L_THREAD_END4], graph, bidirectional=False)
 
-    assert make_finder(index, max_partial_offset=0).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert make_finder(index, max_partial_offset=3).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert len(make_finder(index, max_partial_offset=8).find_alignment_paths(aln(L_ALIGNMENT))) == 2
+    assert make_finder(index, max_partial_offset=0, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
+    assert make_finder(index, max_partial_offset=3, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
+    assert len(make_finder(index, max_partial_offset=8, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
 
 
-def test_partial_start_and_end_no_longer_match():
+def test_partial_start_and_end_no_longer_match(engine):
     graph = Graph(LADDER_GRAPH)
     index = build_index([L_THREAD_START2_END4], graph, bidirectional=False)
 
-    assert make_finder(index, max_partial_offset=0).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert make_finder(index, max_partial_offset=3).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert len(make_finder(index, max_partial_offset=4).find_alignment_paths(aln(L_ALIGNMENT))) == 2
-    assert len(make_finder(index, max_partial_offset=8).find_alignment_paths(aln(L_ALIGNMENT))) == 2
+    assert make_finder(index, max_partial_offset=0, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
+    assert make_finder(index, max_partial_offset=3, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
+    assert len(make_finder(index, max_partial_offset=4, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
+    assert len(make_finder(index, max_partial_offset=8, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
