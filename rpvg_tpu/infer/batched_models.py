@@ -19,9 +19,11 @@ Covered here:
 
 Batched read-count and posterior Gibbs are bitwise identical to the
 per-cluster dispatch (counter-based threefry: padded draws share their
-prefix; key chains replicated with a vmapped scan).  The only
-remaining per-cluster configuration is non-diploid non-Gibbs
-`haplotypes` full enumeration.
+prefix; key chains replicated with a vmapped scan).  Non-diploid
+non-Gibbs full enumeration runs through one dense device kernel per
+bucket (posteriors.full_posteriors_batched), so every model + flag
+combination executes whole-population batched; the per-cluster
+estimators remain as the tested specification.
 """
 
 from __future__ import annotations
@@ -43,9 +45,9 @@ from .posteriors import diploid_posteriors_batched
 
 
 def supports_batched_haplotypes(estimator) -> bool:
-    return isinstance(estimator, PathGroupPosteriorEstimator) and (
-        estimator.use_hap_gibbs or estimator.ploidy == 2
-    )
+    # Every configuration: Gibbs sampling, the diploid dense engine, and
+    # non-diploid full enumeration all have whole-population drivers.
+    return isinstance(estimator, PathGroupPosteriorEstimator)
 
 
 def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
@@ -70,8 +72,12 @@ def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0, ranks=None) -
     if estimator.use_hap_gibbs:
         keys = cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci in meta])
         results = path_group_posteriors_gibbs_batched(inputs, estimator.ploidy, keys)
-    else:
+    elif estimator.ploidy == 2:
         results = diploid_posteriors_batched(inputs, HAPLOTYPES_MIN_REL_LIKELIHOOD)
+    else:
+        from .posteriors import full_posteriors_batched
+
+        results = full_posteriors_batched(inputs, estimator.ploidy)
     for ci, (groups, posteriors) in zip(meta, results):
         est = cluster_data[ci][0]
         est.path_group_sets = groups
@@ -79,9 +85,20 @@ def batched_haplotypes(estimator, cluster_data, rng_seed: int = 0, ranks=None) -
 
 
 def supports_batched_nested(estimator, num_gibbs_samples: int) -> bool:
-    return isinstance(estimator, NestedPathAbundanceEstimator) and (
-        estimator.group_size == 2 or estimator.use_group_post_gibbs
-    )
+    # Gibbs, diploid dense scoring, and non-diploid full enumeration all
+    # have whole-population drivers.
+    return isinstance(estimator, NestedPathAbundanceEstimator)
+
+
+def _group_posteriors_batched(inputs, group_size: int, min_rel_likelihood: float):
+    """Non-Gibbs group posteriors for many clusters: dense diploid
+    scoring at group size 2, exhaustive enumeration otherwise — the
+    batched twin of PathPosteriorEstimator._group_posteriors."""
+    if group_size == 2:
+        return diploid_posteriors_batched(inputs, min_rel_likelihood)
+    from .posteriors import full_posteriors_batched
+
+    return full_posteriors_batched(inputs, group_size)
 
 
 def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
@@ -126,7 +143,9 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             inputs, estimator.group_size, keys
         )
     else:
-        results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+        results = _group_posteriors_batched(
+            inputs, estimator.group_size, estimator.min_hap_prob
+        )
 
     per_cluster_jobs: Dict[int, List] = {}
     for (ci, gi, group), res in zip(jobs, results):
@@ -251,7 +270,9 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
             cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci, _ in meta]),
         )
     else:
-        posterior_results = diploid_posteriors_batched(inputs, estimator.min_hap_prob)
+        posterior_results = _group_posteriors_batched(
+            inputs, estimator.group_size, estimator.min_hap_prob
+        )
 
     if timing:
         print(f"  [timing]   B diploid posteriors: {time.perf_counter() - t0:.2f}s", file=sys.stderr)

@@ -823,3 +823,139 @@ def path_group_posteriors_gibbs(
     groups = [list(map(int, row)) for row in unique]
     posteriors = sample_counts / float(num_chains * num_its)
     return groups, posteriors
+
+
+# ---------------------------------------------- batched full enumeration
+
+
+@jax.jit
+def _group_scores_chunk(probs, noise, counts, idx):
+    """(B, G) log-likelihoods of the multiset groups in `idx` (G, k):
+    score[b, g] = sum_r counts[b, r] * log(noise[b, r] +
+    mean_k probs[b, r, idx[g, k]]) — the reference's exhaustive
+    enumeration loop (src/path_posterior_estimator.cpp) as one dense
+    contraction per bucket."""
+    k = idx.shape[1]
+    acc = probs[:, :, idx[:, 0]]
+    for i in range(1, k):
+        acc = acc + probs[:, :, idx[:, i]]
+    group = noise[:, :, None] + acc / k
+    logs = jnp.where(group > 0, jnp.log(group), -jnp.inf)
+    return jnp.einsum("br,brg->bg", counts, logs)
+
+
+def _log_permutations_rows(groups: np.ndarray) -> np.ndarray:
+    """log permutation prior per row of sorted index tuples — the
+    reference's n! / (n - u + 1)! with u unique values (src/utils.hpp:
+    95-117, mirrored by mathutils.num_permutations), NOT the multinomial
+    coefficient.  Exact integer arithmetic so the float matches
+    math.log(num_permutations(group))."""
+    G, k = groups.shape
+    if k == 1:
+        return np.zeros(G, dtype=np.float64)
+    uniques = 1 + (groups[:, 1:] != groups[:, :-1]).sum(axis=1)
+    denom = np.array(
+        [math.factorial(k - u + 1) for u in range(1, k + 1)], dtype=np.int64
+    )
+    return np.log(math.factorial(k) // denom[uniques - 1])
+
+
+# Enumeration explodes combinatorially with ploidy; buckets whose padded
+# group count exceeds this fall back to the per-cluster host engine.
+_FULL_ENUM_GROUP_LIMIT = 1 << 17
+
+
+def full_posteriors_batched(cluster_inputs, group_size: int):
+    """Exhaustive group-posterior enumeration over many clusters at once
+    (`haplotypes` with non-diploid ploidy and no Gibbs): clusters bucket
+    into padded power-of-two shapes, every bucket's multiset enumeration
+    is scored by one dense device kernel (G-chunked to bound memory),
+    and the group-prior terms + normalization run on the host in float64
+    — the same math as :func:`path_group_posteriors_full` per cluster.
+
+    cluster_inputs: per cluster (probs (R, P), noise (R,), counts (R,),
+    path_counts).  Returns per cluster (groups, posteriors)."""
+    import jax as _jax
+
+    from ..parallel.autoshard import shard_batched
+
+    on_tpu = _jax.default_backend() == "tpu"
+    dtype = np.float32 if on_tpu else np.float64
+
+    results = [None] * len(cluster_inputs)
+    buckets = {}
+    for ci, (probs, _, _, _) in enumerate(cluster_inputs):
+        R, P = probs.shape
+        P_pad = _ceil_pow2(P)
+        if math.comb(P_pad + group_size - 1, group_size) > _FULL_ENUM_GROUP_LIMIT:
+            p_, n_, c_, pc = cluster_inputs[ci]
+            results[ci] = path_group_posteriors_full(p_, n_, c_, pc, group_size)
+            continue
+        buckets.setdefault((_ceil_pow4(R), P_pad), []).append(ci)
+
+    pending = []  # (chunk indices, [(g0, device scores)], groups_pad)
+    for (R_pad, P_pad), indices in buckets.items():
+        groups_pad = np.asarray(
+            list(combinations_with_replacement(range(P_pad), group_size)),
+            dtype=np.int32,
+        )
+        G_pad = len(groups_pad)
+        max_batch = max(1, 4096 // R_pad) * 8
+        for chunk_start in range(0, len(indices), max_batch):
+            chunk = indices[chunk_start : chunk_start + max_batch]
+            B = _ceil_pow2(len(chunk), floor=1)
+
+            probs_pad = np.zeros((B, R_pad, P_pad), dtype=dtype)
+            noise_pad = np.ones((B, R_pad), dtype=dtype)
+            counts_pad = np.zeros((B, R_pad), dtype=dtype)
+            for b, ci in enumerate(chunk):
+                probs, noise, counts, _ = cluster_inputs[ci]
+                R, P = probs.shape
+                probs_pad[b, :R, :P] = probs
+                noise_pad[b, :R] = noise
+                counts_pad[b, :R] = counts
+
+            probs_dev, noise_dev, counts_dev = shard_batched(
+                jnp.asarray(probs_pad), jnp.asarray(noise_pad), jnp.asarray(counts_pad)
+            )
+            # Chunk the group axis so the (B, R, G) intermediate stays
+            # bounded; every chunk pads to the fixed width so the kernel
+            # compiles once per bucket.
+            g_chunk = _ceil_pow2(max(1, (1 << 24) // max(1, B * R_pad)), floor=128)
+            parts = []
+            for g0 in range(0, G_pad, g_chunk):
+                idx_block = np.zeros((g_chunk, group_size), dtype=np.int32)
+                block = groups_pad[g0 : g0 + g_chunk]
+                idx_block[: len(block)] = block
+                parts.append(
+                    (
+                        g0,
+                        len(block),
+                        _group_scores_chunk(
+                            probs_dev, noise_dev, counts_dev, jnp.asarray(idx_block)
+                        ),
+                    )
+                )
+            pending.append((chunk, parts, groups_pad))
+
+    for chunk, parts, groups_pad in pending:
+        G_pad = len(groups_pad)
+        scores = np.empty((len(parts[0][2]), G_pad), dtype=np.float64)
+        for g0, width, dev in parts:
+            scores[:, g0 : g0 + width] = np.asarray(dev, dtype=np.float64)[:, :width]
+        for b, ci in enumerate(chunk):
+            probs, _, _, path_counts = cluster_inputs[ci]
+            P = probs.shape[1]
+            valid = (groups_pad < P).all(axis=1)
+            groups_real = groups_pad[valid]
+            log_freqs = calc_path_log_frequencies(path_counts)
+            ll = (
+                scores[b, valid]
+                + log_freqs[groups_real].sum(axis=1)
+                + _log_permutations_rows(groups_real)
+            )
+            results[ci] = (
+                [list(map(int, row)) for row in groups_real],
+                _normalize_log_posteriors(ll),
+            )
+    return results

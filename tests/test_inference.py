@@ -483,3 +483,56 @@ def test_batched_posterior_gibbs_matches_unbatched():
         )
         assert groups_b == groups_s
         np.testing.assert_array_equal(post_b, post_s)
+
+
+def test_full_posteriors_batched_matches_per_cluster():
+    """Non-diploid full enumeration: the bucketed device engine must
+    reproduce path_group_posteriors_full for every ploidy (including the
+    reference's n!/(n-u+1)! permutation prior, src/utils.hpp:95-117)."""
+    from rpvg_tpu.infer.posteriors import (
+        full_posteriors_batched,
+        path_group_posteriors_full,
+    )
+
+    rng = np.random.default_rng(3)
+    for group_size in (1, 3, 4, 5):
+        inputs = []
+        for _ in range(9):
+            R = int(rng.integers(2, 40))
+            P = int(rng.integers(2, 12))
+            probs = rng.random((R, P)) * 0.5
+            noise = rng.random(R) * 0.1 + 1e-3
+            counts = rng.integers(1, 9, size=R).astype(np.float64)
+            path_counts = [int(c) for c in rng.integers(1, 4, size=P)]
+            inputs.append((probs, noise, counts, path_counts))
+        batched = full_posteriors_batched(inputs, group_size)
+        for (probs, noise, counts, path_counts), (groups_b, post_b) in zip(
+            inputs, batched
+        ):
+            groups_s, post_s = path_group_posteriors_full(
+                probs, noise, counts, path_counts, group_size
+            )
+            assert groups_b == [list(g) for g in groups_s]
+            np.testing.assert_allclose(post_b, post_s, rtol=1e-10, atol=1e-13)
+
+
+def test_full_posteriors_batched_enumeration_fallback():
+    """Clusters whose padded enumeration exceeds the group limit fall
+    back to the per-cluster host engine inside the batched driver."""
+    from rpvg_tpu.infer import posteriors as post
+
+    rng = np.random.default_rng(7)
+    probs = rng.random((6, 9)) * 0.5
+    noise = rng.random(6) * 0.1 + 1e-3
+    counts = rng.integers(1, 5, size=6).astype(np.float64)
+    inputs = [(probs, noise, counts, [1] * 9)]
+
+    saved = post._FULL_ENUM_GROUP_LIMIT
+    post._FULL_ENUM_GROUP_LIMIT = 8  # force the fallback branch
+    try:
+        fallback = post.full_posteriors_batched(inputs, 3)
+    finally:
+        post._FULL_ENUM_GROUP_LIMIT = saved
+    direct = post.path_group_posteriors_full(probs, noise, counts, [1] * 9, 3)
+    assert fallback[0][0] == [list(g) for g in direct[0]]
+    np.testing.assert_allclose(fallback[0][1], direct[1], rtol=1e-12)
