@@ -2701,3 +2701,193 @@ void rpvg_posterior_gibbs_ragged(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Skew-normal MLE fit (reference fragment_length_dist.cpp:103-278): MOM
+// init + alternating golden-section search on alpha and mu with the
+// analytic sigma update.  The scalar math mirrors utils.hpp:142-294
+// (erf/erfc branch CDF, asymptotic log-CDF tail, precomputed-step
+// golden section) — the sequential-summation likelihood matches the
+// reference's own scalar loops.
+
+namespace fitmle {
+
+static const double kSqrt12 = 0.70710678118654757;  // sqrt(1/2)
+static const double kInvSqrt2Pi = 0.3989422804014327;
+static const double kLogSkewConst = -0.2257913526447274;  // log(2/sqrt(2*pi))
+
+static inline double std_normal_cdf(double z) {
+  double x = z * kSqrt12;
+  double a = std::fabs(x);
+  if (a < kSqrt12) return 0.5 + 0.5 * std::erf(x);
+  double y = 0.5 * std::erfc(a);
+  return x > 0 ? 1.0 - y : y;
+}
+
+static inline double log_std_normal_cdf(double z) {
+  if (z > 6.0) return -std_normal_cdf(-z);
+  if (z > -20.0) return std::log(std_normal_cdf(z));
+  double log_lhs = -0.5 * z * z - std::log(-z) - 0.5 * std::log(2.0 * M_PI);
+  double rhs = 1.0, last = 0.0, numerator = 1.0, denom_factor = 1.0;
+  double denom_cons = 1.0 / (z * z);
+  double sign = 1.0;
+  int i = 0;
+  while (std::fabs(last - rhs) > 2.220446049250313e-16) {
+    ++i;
+    last = rhs;
+    sign = -sign;
+    denom_factor *= denom_cons;
+    numerator *= 2 * i - 1;
+    rhs += sign * numerator * denom_factor;
+  }
+  return log_lhs + std::log(rhs);
+}
+
+struct LogLik {
+  const double* lengths;
+  const double* counts;
+  int64_t n;
+  double operator()(double m, double s, double a) const {
+    double total = 0.0;
+    double log_s = std::log(s);
+    for (int64_t i = 0; i < n; ++i) {
+      double z = (lengths[i] - m) / s;
+      total += counts[i] * (kLogSkewConst + log_std_normal_cdf(a * z) - log_s - 0.5 * z * z);
+    }
+    return total;
+  }
+};
+
+template <typename F>
+static double golden_section_search(const F& f, double x_min, double x_max, double tolerance) {
+  const double inv_phi = (std::sqrt(5.0) - 1.0) / 2.0;
+  int steps = static_cast<int>(std::ceil(std::log(tolerance / (x_max - x_min)) / std::log(inv_phi)));
+  double x_lo = x_min + inv_phi * inv_phi * (x_max - x_min);
+  double x_hi = x_min + inv_phi * (x_max - x_min);
+  double f_lo = f(x_lo);
+  double f_hi = f(x_hi);
+  for (int i = 0; i < steps; ++i) {
+    if (f_lo < f_hi) {
+      x_min = x_lo;
+      x_lo = x_hi;
+      x_hi = x_min + inv_phi * (x_max - x_min);
+      f_lo = f_hi;
+      f_hi = f(x_hi);
+    } else {
+      x_max = x_hi;
+      x_hi = x_lo;
+      x_lo = x_min + inv_phi * inv_phi * (x_max - x_min);
+      f_hi = f_lo;
+      f_lo = f(x_lo);
+    }
+  }
+  return f_lo > f_hi ? (x_min + x_hi) / 2.0 : (x_lo + x_max) / 2.0;
+}
+
+template <typename F>
+static void expand_bracket(const F& f, double center, double ll, double* out_left, double* out_right) {
+  const double factor = 1.3;
+  double left = 1.0;
+  while (true) {
+    double v = f(center - left);
+    if (!(v >= ll) || std::isinf(v)) break;
+    if (std::isinf(left * factor)) break;
+    left *= factor;
+  }
+  double right = 1.0;
+  while (true) {
+    double v = f(center + right);
+    if (!(v >= ll) || std::isinf(v)) break;
+    if (std::isinf(right * factor)) break;
+    right *= factor;
+  }
+  *out_left = left;
+  *out_right = right;
+}
+
+}  // namespace fitmle
+
+extern "C" {
+
+void rpvg_fit_skew_normal_mle(const double* counts, int64_t size,
+                              double* out_mu, double* out_sigma, double* out_alpha) {
+  using namespace fitmle;
+  double k0 = 0.0, k1 = 0.0, k2 = 0.0, k3 = 0.0;
+  for (int64_t i = 0; i < size; ++i) {
+    double len = static_cast<double>(i);
+    k0 += counts[i];
+    k1 += len * counts[i];
+    k2 += len * len * counts[i];
+    k3 += len * len * len * counts[i];
+  }
+  double m1 = k1 / k0;
+  double m2 = k2 / k0 - m1 * m1;
+  double m3 = k3 / k0 - 3.0 * m1 * m2 - m1 * m1 * m1;
+
+  double mean = m1;
+  double sd = std::sqrt(m2);
+  double skew = m3 / (sd * sd * sd);
+
+  double alpha = 0.0;
+  double sigma = 0.0;
+  if (skew != 0.0 && k0 > 2.0) {
+    double gam = std::pow(std::min(std::fabs(skew), 0.9952717464311565), 2.0 / 3.0);
+    double abs_delta = std::sqrt((M_PI / 2.0) * (gam / (gam + std::pow((4.0 - M_PI) / 2.0, 2.0 / 3.0))));
+    double abs_alpha = abs_delta / std::sqrt(1.0 - abs_delta * abs_delta);
+    alpha = skew < 0.0 ? -abs_alpha : abs_alpha;
+  }
+  double delta = alpha / std::sqrt(1.0 + alpha * alpha);
+  if (sd != 0.0 && k0 > 1.0) {
+    sigma = sd / std::sqrt(1.0 - 2.0 * delta * delta / M_PI);
+  }
+  double mean_offset = sigma * delta * std::sqrt(2.0 / M_PI);
+  double mu_est = mean - mean_offset;
+
+  if (std::fabs(alpha) > 1000.0 * sigma) {
+    alpha = std::copysign(1000.0 * sigma, alpha);
+  }
+
+  std::vector<double> nz_lengths, nz_counts;
+  nz_lengths.reserve(size);
+  nz_counts.reserve(size);
+  for (int64_t i = 0; i < size; ++i) {
+    if (counts[i] > 0) {
+      nz_lengths.push_back(static_cast<double>(i));
+      nz_counts.push_back(counts[i]);
+    }
+  }
+  LogLik loglik{nz_lengths.data(), nz_counts.data(), static_cast<int64_t>(nz_lengths.size())};
+
+  const double tol = 1e-4;
+  double prev_mu = mu_est + 2.0 * tol;
+  double prev_alpha = alpha + 2.0 * tol;
+
+  int it = 0;
+  while (it < 100 && (std::fabs(prev_mu - mu_est) >= tol || std::fabs(prev_alpha - alpha) >= tol)) {
+    ++it;
+    prev_mu = mu_est;
+    prev_alpha = alpha;
+
+    auto f_alpha = [&](double a) { return loglik(mu_est, sigma, a); };
+    double left, right;
+    expand_bracket(f_alpha, alpha, f_alpha(alpha), &left, &right);
+    alpha = golden_section_search(f_alpha, alpha - left, alpha + right, tol / 4.0);
+
+    auto f_mu = [&](double m) { return loglik(m, sigma, alpha); };
+    expand_bracket(f_mu, mu_est, f_mu(mu_est), &left, &right);
+    mu_est = golden_section_search(f_mu, mu_est - left, mu_est + right, tol / 4.0);
+
+    double acc = 0.0;
+    for (int64_t i = 0; i < size; ++i) {
+      double d = static_cast<double>(i) - mu_est;
+      acc += d * d * counts[i];
+    }
+    sigma = std::sqrt(acc / k0);
+  }
+
+  *out_mu = mu_est;
+  *out_sigma = sigma;
+  *out_alpha = alpha;
+}
+
+}  // extern "C"

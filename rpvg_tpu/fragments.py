@@ -11,6 +11,7 @@ buffer up to loc + sd * sd_max_multi.
 from __future__ import annotations
 
 import math
+import os
 import sys
 from dataclasses import dataclass, field
 from typing import Optional, Sequence
@@ -72,7 +73,20 @@ class FragmentLengthDist:
             var = float(((lengths - loc) ** 2 * counts).sum()) / (sample_size - 1)
             dist = cls(loc=loc, scale=math.sqrt(var), shape=0.0)
         else:
-            loc, scale, shape = _fit_skew_normal_mle(counts, lengths)
+            fitted = None
+            if os.environ.get("RPVG_TPU_NATIVE_EM", "1") != "0":
+                # C++ twin of the alternating golden-section fit — same
+                # algorithm, scalar math; ~40x faster than the vectorised
+                # Python path on typical histograms.
+                try:
+                    from .native import fit_skew_normal_mle
+
+                    fitted = fit_skew_normal_mle(counts)
+                except Exception:
+                    fitted = None
+            if fitted is None:
+                fitted = _fit_skew_normal_mle(counts, lengths)
+            loc, scale, shape = fitted
             dist = cls(loc=loc, scale=scale, shape=shape)
 
         assert dist.is_valid()

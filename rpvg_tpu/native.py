@@ -690,3 +690,32 @@ class NativeFinder:
 
     def find_paired_alignment_paths(self, aln_1, aln_2) -> List[AlignmentPath]:
         return self.project_batch([(aln_1, aln_2)])[0]
+
+
+def fit_skew_normal_mle(counts) -> "Optional[tuple]":
+    """Native skew-normal MLE fit (same MOM init + alternating
+    golden-section algorithm as fragments._fit_skew_normal_mle);
+    returns (loc, scale, shape) or None when the library is missing."""
+    lib = load_library()
+    if lib is None:
+        return None
+    import numpy as np
+
+    if not getattr(lib, "_fit_mle_configured", False):
+        lib.rpvg_fit_skew_normal_mle.restype = None
+        lib.rpvg_fit_skew_normal_mle.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double),
+        ]
+        lib._fit_mle_configured = True
+    counts = np.ascontiguousarray(counts, dtype=np.float64)
+    mu = ctypes.c_double()
+    sigma = ctypes.c_double()
+    alpha = ctypes.c_double()
+    lib.rpvg_fit_skew_normal_mle(
+        counts.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        counts.size,
+        ctypes.byref(mu), ctypes.byref(sigma), ctypes.byref(alpha),
+    )
+    return mu.value, sigma.value, alpha.value

@@ -96,3 +96,24 @@ def test_skew_normal_fit_real_data_histogram_terminates():
         2, 1, 0, 1, 2, 1, 2, 3, 4, 1, 1, 1, 0, 2, 1, 0, 3, 2, 1, 4, 3, 2, 1, 0, 1] + [0] * 40
     dist = FragmentLengthDist.from_counts(length_counts, skew_normal=True)
     assert dist.is_valid()
+
+
+def test_skew_normal_mle_native_matches_python():
+    # The C++ fit (native.fit_skew_normal_mle) must agree with the Python
+    # spec implementation to float tolerance on a realistic histogram.
+    from rpvg_tpu.native import fit_skew_normal_mle
+
+    rng = np.random.default_rng(11)
+    # Skewed mixture histogram, including empty leading/trailing bins.
+    core = np.clip(rng.normal(180, 40, 50000) + np.abs(rng.normal(0, 55, 50000)), 0, 799)
+    counts = np.bincount(core.round().astype(int), minlength=800).astype(float)
+    native = fit_skew_normal_mle(counts)
+    if native is None:
+        pytest.skip("native library unavailable")
+    lengths = np.arange(counts.size, dtype=float)
+    from rpvg_tpu.fragments import _fit_skew_normal_mle
+
+    py = _fit_skew_normal_mle(counts, lengths)
+    # Both fits terminate at the same golden-section tolerance (1e-4), so
+    # agreement is bounded by that tolerance, not machine epsilon.
+    assert np.allclose(native, py, rtol=0, atol=1e-3)
