@@ -30,31 +30,41 @@ def parse_haplotype_transcript_info(
         assert cols[0] == "Name", f"unexpected info header: {header!r}"
         is_old_format = "Reference" in header
 
+        # Haplotype strings repeat heavily across paths (the panel has
+        # far fewer distinct haplotype sets than paths), so the
+        # id-set/count for each distinct string is computed once.
+        hap_field = 4 if is_old_format else 3
+        hap_cache: Dict[str, tuple] = {}
+        tid_setdefault = transcript_id_index.setdefault
+        hid_setdefault = haplotype_id_index.setdefault
+
         for line in handle:
-            if not line.strip():
+            fields = line.split("\t")
+            if len(fields) <= hap_field:
+                assert not line.strip(), f"malformed info line: {line!r}"
                 continue
-            fields = line.rstrip("\n").split("\t")
             name = fields[0]
             transcript = fields[2]
-            haplotypes = fields[4] if is_old_format else fields[3]
+            haplotypes = fields[hap_field].rstrip()
 
             assert name not in info, f"duplicate path name {name}"
-            path_info = PathInfo(name=name)
-            if use_transcript_names:
-                path_info.name = transcript
-            path_info.group_id = transcript_id_index.setdefault(
-                transcript, len(transcript_id_index)
+            cached = hap_cache.get(haplotypes)
+            if cached is None:
+                if parse_haplotype_ids:
+                    source_ids = frozenset(
+                        hid_setdefault(hap, len(haplotype_id_index))
+                        for hap in haplotypes.split(",")
+                    )
+                    cached = (source_ids, len(source_ids))
+                else:
+                    cached = (frozenset(), haplotypes.count(",") + 1)
+                hap_cache[haplotypes] = cached
+
+            info[name] = PathInfo(
+                transcript if use_transcript_names else name,
+                tid_setdefault(transcript, len(transcript_id_index)),
+                cached[1],
+                cached[0],
             )
-
-            if parse_haplotype_ids:
-                source_ids = set()
-                for hap in haplotypes.split(","):
-                    source_ids.add(haplotype_id_index.setdefault(hap, len(haplotype_id_index)))
-                path_info.source_ids = frozenset(source_ids)
-                path_info.source_count = len(source_ids)
-            else:
-                path_info.source_count = haplotypes.count(",") + 1
-
-            info[name] = path_info
 
     return info

@@ -22,7 +22,7 @@ from .projection import AlignmentPath
 _LOWEST = -np.finfo(np.float64).max
 
 
-@dataclass
+@dataclass(slots=True)
 class PathInfo:
     """Per-path metadata within a cluster (reference
     src/path_cluster_estimates.hpp:15-33)."""
