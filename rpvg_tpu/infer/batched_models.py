@@ -43,6 +43,28 @@ from .estimators import (
 from .matrices import construct_probability_matrix, total_read_count
 from .posteriors import diploid_posteriors_batched
 
+# Flattened [len, ids...] specs for the memoised (shared) group lists
+# returned by find_path_source_groups, keyed by object identity — the
+# memo holds the lists alive, so ids stay valid; the identity check
+# guards against id reuse for non-memoised lists.
+_FLAT_SPEC_CACHE: Dict[int, Tuple[list, tuple]] = {}
+
+
+def _flat_group_spec(groups: List[List[int]]) -> Tuple[np.ndarray, int]:
+    """(flat int64 spec, n_cols) for native_subset_collapse_multi."""
+    key = id(groups)
+    hit = _FLAT_SPEC_CACHE.get(key)
+    if hit is not None and hit[0] is groups:
+        return hit[1]
+    stream: List[int] = []
+    for col in groups:
+        stream.append(len(col))
+        stream.extend(col)
+    spec = (np.asarray(stream, dtype=np.int64), len(groups))
+    if len(_FLAT_SPEC_CACHE) < 1_000_000:
+        _FLAT_SPEC_CACHE[key] = (groups, spec)
+    return spec
+
 
 def supports_batched_haplotypes(estimator) -> bool:
     # Every configuration: Gibbs sampling, the diploid dense engine, and
@@ -234,7 +256,7 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
             continue
         source_groups, source_counts = estimator.find_path_source_groups(est.paths)
         dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
-        group_jobs.append((len(dense_clusters) - 1, source_groups))
+        group_jobs.append((len(dense_clusters) - 1, _flat_group_spec(source_groups)))
         source_counts_of.append(source_counts)
         meta.append((ci, source_groups))
 
@@ -321,7 +343,10 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
                 "multiplicity": multiplicity,
             }
             tasks.append(task)
-            subset_jobs.append((slot, [[pid] for pid in collapsed]))
+            flat = np.empty(2 * len(collapsed), dtype=np.int64)
+            flat[0::2] = 1
+            flat[1::2] = collapsed
+            subset_jobs.append((slot, (flat, len(collapsed))))
         cluster_tasks[ci] = tasks
         all_tasks.extend((ci, task) for task in tasks)
 

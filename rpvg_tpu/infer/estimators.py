@@ -38,6 +38,13 @@ from .posteriors import (
 )
 from .readcount_gibbs import gibbs_read_count_samples
 
+# Memo state for find_path_source_groups: distinct source-id sets get a
+# small interned signature; grouping results are cached per ordered
+# signature tuple (equal frozensets iterate identically in-process, so
+# the cached result is exact for any cluster with the same signature).
+_SOURCE_SET_SIG_INDEX: Dict[frozenset, int] = {}
+_SOURCE_GROUP_CACHE: Dict[tuple, Tuple[List[List[int]], List[int]]] = {}
+
 
 class ClusterRNG:
     """Per-cluster random state: a numpy generator for host-side
@@ -300,7 +307,22 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
     def find_path_source_groups(paths) -> Tuple[List[List[int]], List[int]]:
         """Group paths by identical haplotype source-id membership; the
         returned counts collapse sources sharing a path set (reference
-        findPathSourceGroups :493-546)."""
+        findPathSourceGroups :493-546).
+
+        The grouping depends only on the ordered sequence of per-path
+        source-id sets, and panels have few distinct sets, so cluster
+        patterns repeat heavily: results are memoised on that signature.
+        Returned lists are shared across clusters — treat as read-only."""
+        sig_index = _SOURCE_SET_SIG_INDEX
+        try:
+            sig = tuple(sig_index.setdefault(p.source_ids, len(sig_index)) for p in paths)
+        except TypeError:  # unhashable source_ids (plain set): no memo
+            sig = None
+        if sig is not None:
+            cached = _SOURCE_GROUP_CACHE.get(sig)
+            if cached is not None:
+                return cached
+
         source_id_paths: Dict[int, List[int]] = {}
         for i, path in enumerate(paths):
             for sid in path.source_ids:
@@ -320,6 +342,8 @@ class NestedPathAbundanceEstimator(PathAbundanceEstimator):
                 counts.append(1)
             else:
                 counts[g] += 1
+        if sig is not None and len(_SOURCE_GROUP_CACHE) < 1_000_000:
+            _SOURCE_GROUP_CACHE[sig] = (groups, counts)
         return groups, counts
 
     # ------------------------------------------------------------ drivers

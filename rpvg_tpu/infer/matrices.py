@@ -294,15 +294,28 @@ def native_subset_collapse_multi(clusters, jobs, prob_precision):
     )
 
     job_cluster = np.fromiter((j[0] for j in jobs), np.int64, n_jobs)
-    job_ncols = np.fromiter((len(j[1]) for j in jobs), np.int64, n_jobs)
-    spec_stream: List[int] = []
-    spec_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    # A job's col_spec may arrive pre-flattened as (flat int64 array in
+    # [len, ids..., len, ids...] layout, n_cols) — callers with repeated
+    # or regular specs build/cache those without per-element Python work.
+    job_ncols = np.empty(n_jobs, dtype=np.int64)
+    flat_specs = []
     for j, (_, spec) in enumerate(jobs):
-        for col in spec:
-            spec_stream.append(len(col))
-            spec_stream.extend(col)
-        spec_offsets[j + 1] = len(spec_stream)
-    spec_arr = np.asarray(spec_stream, dtype=np.int64)
+        if isinstance(spec, tuple):
+            flat, ncols = spec
+        else:
+            ncols = len(spec)
+            stream: List[int] = []
+            for col in spec:
+                stream.append(len(col))
+                stream.extend(col)
+            flat = np.asarray(stream, dtype=np.int64)
+        job_ncols[j] = ncols
+        flat_specs.append(flat)
+    spec_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
+    np.cumsum([f.size for f in flat_specs], out=spec_offsets[1:])
+    spec_arr = (
+        np.concatenate(flat_specs) if flat_specs else np.empty(0, dtype=np.int64)
+    )
 
     job_rows = n_rows[job_cluster]
     out_offsets = np.zeros(n_jobs + 1, dtype=np.int64)
