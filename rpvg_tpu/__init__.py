@@ -25,6 +25,12 @@ CPU devices, float32 on TPU devices.
 
 import os
 
+# Keep large host buffers on the reusable heap (this class of host
+# serves fresh mmap pages extremely slowly); see hostalloc.py.
+from .hostalloc import tune_glibc_allocator as _tune_glibc_allocator
+
+_tune_glibc_allocator()
+
 # The reference engine computes in float64 throughout.  Enable x64 so CPU
 # test runs are bit-comparable; TPU kernels explicitly request float32.
 if os.environ.get("RPVG_TPU_DISABLE_X64", "0") != "1":

@@ -66,6 +66,23 @@ class PathClusters:
         self._edge_v = [np.concatenate(edge_v)] if edge_v else []
         self._rebuild()
 
+    @classmethod
+    def from_columnar(cls, paths_index: PathIndex, cols) -> "PathClusters":
+        """Build from a native ColumnarFragments dump: the anchor/located
+        id CSR yields the whole edge star list in two array ops."""
+        self = cls.__new__(cls)
+        self.index = paths_index
+        self.num_paths = paths_index.number_of_paths()
+        n_ids = np.diff(cols.id_bounds)
+        if cols.all_ids.size:
+            self._edge_u = [np.repeat(cols.anchors, n_ids)]
+            self._edge_v = [cols.all_ids]
+        else:
+            self._edge_u = []
+            self._edge_v = []
+        self._rebuild()
+        return self
+
     def add_node_clusters(self, paths_index: PathIndex) -> None:
         """Merge clusters whose paths share a graph node (reference
         path_clusters.cpp:85-161)."""

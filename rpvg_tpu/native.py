@@ -233,6 +233,66 @@ class LocatedPaths:
         self.ids = ids
 
 
+class ColumnarFragments:
+    """Columnar view of the native dedup index dump: per-entry count,
+    anchor path id, located-id CSR and raw serialized-entry byte bounds,
+    all over one shared buffer.  Lets the pipeline cluster, partition
+    and assemble native matrix-builder blobs with array ops only."""
+
+    __slots__ = (
+        "data", "counts", "anchors", "id_bounds", "all_ids", "raw_bounds",
+        "histogram", "unaligned", "_data_arr",
+    )
+
+    def __init__(self, data, counts, anchors, id_bounds, all_ids, raw_bounds,
+                 histogram, unaligned):
+        self.data = data
+        self.counts = counts
+        self.anchors = anchors
+        self.id_bounds = id_bounds
+        self.all_ids = all_ids
+        self.raw_bounds = raw_bounds
+        self.histogram = histogram
+        self.unaligned = unaligned
+        self._data_arr = None
+
+    def __len__(self) -> int:
+        return self.anchors.size
+
+    def data_array(self) -> np.ndarray:
+        if self._data_arr is None:
+            self._data_arr = np.frombuffer(self.data, dtype=np.uint8)
+        return self._data_arr
+
+    def gather_blob(self, entry_order: np.ndarray):
+        """Concatenated raw entry bytes for `entry_order` (uint8 array)
+        plus each entry's byte length — one vectorised gather."""
+        starts = self.raw_bounds[entry_order]
+        lens = self.raw_bounds[entry_order + 1] - starts
+        total = int(lens.sum())
+        if total == 0:
+            return np.empty(0, dtype=np.uint8), lens
+        out_starts = np.zeros(entry_order.size, dtype=np.int64)
+        np.cumsum(lens[:-1], out=out_starts[1:])
+        idx = np.arange(total, dtype=np.int64)
+        idx += np.repeat(starts - out_starts, lens)
+        return self.data_array()[idx], lens
+
+    def entry_list(self):
+        """Materialise the legacy per-entry representation:
+        [(LocatedPaths, count, raw bytes)]."""
+        data, counts, anchors = self.data, self.counts, self.anchors
+        id_bounds, all_ids, raw_bounds = self.id_bounds, self.all_ids, self.raw_bounds
+        return [
+            (
+                LocatedPaths(int(anchors[i]), all_ids[id_bounds[i] : id_bounds[i + 1]]),
+                int(counts[i]),
+                data[raw_bounds[i] : raw_bounds[i + 1]],
+            )
+            for i in range(anchors.size)
+        ]
+
+
 def _parse_path_list(view, offset):
     """Parse one serialized alignment-path list; returns (paths, offset)."""
     (n_paths,) = struct.unpack_from("<i", view, offset)
@@ -467,10 +527,10 @@ class NativeFinder:
         histogram = np.frombuffer(view, dtype=np.int64, count=hist_size, offset=offset).copy()
         return entries, histogram, int(unaligned)
 
-    def dump_indexer_located(self, indexer, hist_size: int):
-        """Like :meth:`dump_indexer` but entries carry pre-located path
-        ids (LocatedPaths) instead of parsed AlignmentPath objects —
-        no per-path Python parsing on the hot path."""
+    def dump_indexer_columnar(self, indexer, hist_size: int) -> "ColumnarFragments":
+        """Dump the dedup index as column arrays — counts, anchor ids,
+        located-id CSR and raw-entry byte bounds over one shared buffer —
+        with NO per-entry Python objects."""
         out_len = ctypes.c_int64()
         out_ptr = self._lib.rpvg_indexer_dump_located(
             indexer, self._handle, ctypes.byref(out_len)
@@ -502,18 +562,20 @@ class NativeFinder:
         raw_bounds[1:] += offset
         offset = int(raw_bounds[-1])
 
-        entries = [
-            (
-                LocatedPaths(int(anchors[i]), all_ids[id_bounds[i] : id_bounds[i + 1]]),
-                int(counts[i]),
-                data[raw_bounds[i] : raw_bounds[i + 1]],
-            )
-            for i in range(n)
-        ]
         (unaligned,) = struct.unpack_from("<Q", data, offset)
         offset += 8
         histogram = np.frombuffer(data, dtype=np.int64, count=hist_size, offset=offset).copy()
-        return entries, histogram, int(unaligned)
+        return ColumnarFragments(
+            data, counts, anchors, id_bounds, all_ids, raw_bounds,
+            histogram, int(unaligned),
+        )
+
+    def dump_indexer_located(self, indexer, hist_size: int):
+        """Like :meth:`dump_indexer` but entries carry pre-located path
+        ids (LocatedPaths) instead of parsed AlignmentPath objects —
+        no per-path Python parsing on the hot path."""
+        cols = self.dump_indexer_columnar(indexer, hist_size)
+        return cols.entry_list(), cols.histogram, cols.unaligned
 
     # ------------------------------------------------------- cluster probs
     def build_cluster_matrices(
@@ -536,10 +598,21 @@ class NativeFinder:
         (probs (R, C), noise (R,), counts (R,)) as read-only views into
         one shared buffer; elementwise identical to assembling
         construct_probability_matrix from build_cluster_probs rows."""
-        n_clusters = len(cluster_blobs)
-        entries_blob = b"".join(cluster_blobs)
-        blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
-        np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
+        # cluster_blobs: either a sequence of per-cluster bytes, or the
+        # pre-concatenated fast path (uint8 array, int64 offsets (n+1,))
+        # from ColumnarFragments.gather_blob — no join, no buffer copy.
+        if isinstance(cluster_blobs, tuple):
+            blob_arr, blob_offsets = cluster_blobs
+            blob_arr = np.ascontiguousarray(blob_arr, dtype=np.uint8)
+            blob_offsets = np.ascontiguousarray(blob_offsets, dtype=np.int64)
+            n_clusters = blob_offsets.size - 1
+            in_buf = blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        else:
+            n_clusters = len(cluster_blobs)
+            entries_blob = b"".join(cluster_blobs)
+            blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+            np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
+            in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
         entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
 
         path_sizes = [ids.size for ids in cluster_path_ids]
@@ -566,7 +639,6 @@ class NativeFinder:
         n_groups_arr = np.asarray(cluster_n_groups, dtype=np.int64)
         frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
 
-        in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
         out_len = ctypes.c_int64()
         out_ptr = self._lib.rpvg_build_cluster_matrices(
             self._handle,

@@ -200,19 +200,44 @@ class _NativeIndexerSession:
         self.finder.project_and_index(payload, self.indexer)
 
     def finish(self) -> FragmentIndex:
-        entries, histogram, unaligned = self.finder.dump_indexer_located(
-            self.indexer, self.hist_size
-        )
+        return self.finish_columnar().to_fragment_index()
+
+    def finish_columnar(self) -> "ColumnarFragmentIndex":
+        cols = self.finder.dump_indexer_columnar(self.indexer, self.hist_size)
         self.finder.free_indexer(self.indexer)
+        return ColumnarFragmentIndex(cols, self.pre, self.is_single_end)
+
+
+class ColumnarFragmentIndex:
+    """Deduplicated fragment index held as native column arrays (see
+    native.ColumnarFragments) — the single-host fast path: clustering,
+    partitioning and matrix-builder blob assembly run as array ops with
+    no per-entry Python objects.  Falls back to a materialised
+    FragmentIndex for consumers that need per-entry rows (probability
+    writer, shard merging)."""
+
+    def __init__(self, cols, pre_frag_length_dist: FragmentLengthDist,
+                 is_single_end: bool):
+        self.columnar = cols
+        self.frag_length_counts = cols.histogram
+        self.unaligned_count = cols.unaligned
+        self.pre = pre_frag_length_dist
+        self.is_single_end = is_single_end
+
+    def num_entries(self) -> int:
+        return len(self.columnar)
+
+    def to_fragment_index(self) -> FragmentIndex:
         index = FragmentIndex(self.pre, self.is_single_end)
         # The native serialization is the canonical dedup key (stable
         # across shards); entries carry pre-located ids, so no per-path
         # Python parsing happens on this path.
         index.entries = {
-            raw[8:]: (located, count, raw) for located, count, raw in entries
+            raw[8:]: (located, count, raw)
+            for located, count, raw in self.columnar.entry_list()
         }
-        index.frag_length_counts = histogram
-        index.unaligned_count = unaligned
+        index.frag_length_counts = self.frag_length_counts
+        index.unaligned_count = self.unaligned_count
         return index
 
 
@@ -221,6 +246,7 @@ def run_fragment_pass(
     fragments: Iterable,
     pre_frag_length_dist: FragmentLengthDist,
     is_single_end: bool,
+    columnar: bool = False,
 ) -> FragmentIndex:
     """Project all fragments and index the results.  `fragments` yields
     Alignment/MultipathAlignment objects (single-end) or pairs.  A
@@ -238,7 +264,7 @@ def run_fragment_pass(
                 batch = []
         if batch:
             session.add_payload(serialize_fragments(batch))
-        return session.finish()
+        return session.finish_columnar() if columnar else session.finish()
 
     index = FragmentIndex(pre_frag_length_dist, is_single_end)
     if is_single_end:
@@ -321,6 +347,74 @@ def _build_cluster_path_infos(
     return paths, group_name_index
 
 
+def _clusters_meta(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    frag_length_dist: FragmentLengthDist,
+    cluster_path_id_lists: Sequence[np.ndarray],
+    haplotype_info: Optional[Dict[str, PathInfo]],
+    collapse_haps: bool,
+    all_lengths: np.ndarray,
+    all_eff_lengths: Optional[np.ndarray],
+):
+    """Per-cluster PathInfos and the column arrays the native matrix
+    builder needs (shared by the list- and columnar-input drivers)."""
+    pid_arrays = []
+    effs = []
+    groups = []
+    n_groups_list = []
+    log_srcs = []
+    all_paths = []
+    for cluster_path_ids in cluster_path_id_lists:
+        paths, group_name_index = _build_cluster_path_infos(
+            config, paths_index, frag_length_dist, cluster_path_ids,
+            haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
+        )
+        pid_arrays.append(np.asarray(cluster_path_ids, dtype=np.int64))
+        effs.append(np.array([info.effective_length for info in paths]))
+        if collapse_haps:
+            groups.append(
+                np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
+            )
+            n_groups_list.append(len(group_name_index))
+            log_srcs.append(
+                np.log(np.array([info.source_count for info in paths], dtype=np.float64))
+            )
+            paths = _collapse_cluster_paths(paths, group_name_index)
+        else:
+            groups.append(None)
+            n_groups_list.append(0)
+            log_srcs.append(None)
+        all_paths.append(paths)
+    return all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs
+
+
+def _run_native_matrix_build(
+    config, finder, blobs, entry_counts, meta, frag_log_probs
+):
+    from .infer.matrices import DenseCluster
+
+    all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs = meta
+    matrices = finder.build_cluster_matrices(
+        blobs,
+        entry_counts,
+        pid_arrays,
+        effs,
+        groups,
+        n_groups_list,
+        log_srcs,
+        frag_log_probs,
+        config.is_single_end(),
+        config.min_noise_prob,
+        config.prob_precision,
+        n_threads=config.threads,
+    )
+    return [
+        (paths, DenseCluster(probs, noise, counts))
+        for paths, (probs, noise, counts) in zip(all_paths, matrices)
+    ]
+
+
 def build_cluster_matrices_batched(
     config: PipelineConfig,
     paths_index: PathIndex,
@@ -340,23 +434,9 @@ def build_cluster_matrices_batched(
     construct_probability_matrix produce."""
     import struct as _struct
 
-    from .infer.matrices import DenseCluster
-
     blobs = []
     entry_counts = []
-    pid_arrays = []
-    effs = []
-    groups = []
-    n_groups_list = []
-    log_srcs = []
-    all_paths = []
-    for cluster_path_ids, fragment_lists in zip(
-        cluster_path_id_lists, cluster_fragment_lists
-    ):
-        paths, group_name_index = _build_cluster_path_infos(
-            config, paths_index, frag_length_dist, cluster_path_ids,
-            haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
-        )
+    for fragment_lists in cluster_fragment_lists:
         blobs.append(
             b"".join(
                 _struct.pack("<Q", count) + raw[8:]
@@ -364,41 +444,53 @@ def build_cluster_matrices_batched(
             )
         )
         entry_counts.append(len(fragment_lists))
-        pid_arrays.append(np.asarray(cluster_path_ids, dtype=np.int64))
-        effs.append(np.array([info.effective_length for info in paths]))
-        if collapse_haps:
-            groups.append(
-                np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
-            )
-            n_groups_list.append(len(group_name_index))
-            log_srcs.append(
-                np.log(np.array([info.source_count for info in paths], dtype=np.float64))
-            )
-            paths = _collapse_cluster_paths(paths, group_name_index)
-        else:
-            groups.append(None)
-            n_groups_list.append(0)
-            log_srcs.append(None)
-        all_paths.append(paths)
 
-    matrices = finder.build_cluster_matrices(
-        blobs,
-        entry_counts,
-        pid_arrays,
-        effs,
-        groups,
-        n_groups_list,
-        log_srcs,
-        frag_log_probs,
-        config.is_single_end(),
-        config.min_noise_prob,
-        config.prob_precision,
-        n_threads=config.threads,
+    meta = _clusters_meta(
+        config, paths_index, frag_length_dist, cluster_path_id_lists,
+        haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
     )
-    return [
-        (paths, DenseCluster(probs, noise, counts))
-        for paths, (probs, noise, counts) in zip(all_paths, matrices)
-    ]
+    return _run_native_matrix_build(
+        config, finder, blobs, entry_counts, meta, frag_log_probs
+    )
+
+
+def build_cluster_matrices_columnar(
+    config: PipelineConfig,
+    paths_index: PathIndex,
+    frag_length_dist: FragmentLengthDist,
+    cluster_path_id_lists: Sequence[np.ndarray],
+    cols,
+    cluster_entry_idx: Sequence[np.ndarray],
+    haplotype_info: Optional[Dict[str, PathInfo]],
+    collapse_haps: bool,
+    finder,
+    frag_log_probs: np.ndarray,
+    all_lengths: np.ndarray,
+    all_eff_lengths: Optional[np.ndarray],
+):
+    """Columnar-input twin of build_cluster_matrices_batched: per-cluster
+    blobs come from ONE vectorised byte gather over the native dump (the
+    raw entries embed their final dedup counts — no shard merging has
+    touched them on this path)."""
+    entry_counts = [idx.size for idx in cluster_entry_idx]
+    entry_order = (
+        np.concatenate(cluster_entry_idx)
+        if cluster_entry_idx else np.empty(0, dtype=np.int64)
+    )
+    blob_arr, lens = cols.gather_blob(entry_order)
+    blob_offsets = np.zeros(len(cluster_entry_idx) + 1, dtype=np.int64)
+    bounds = np.cumsum(entry_counts)
+    byte_cum = np.concatenate(([0], np.cumsum(lens)))
+    blob_offsets[1:] = byte_cum[bounds]
+
+    meta = _clusters_meta(
+        config, paths_index, frag_length_dist, cluster_path_id_lists,
+        haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
+    )
+    return _run_native_matrix_build(
+        config, finder, (blob_arr, blob_offsets), entry_counts, meta,
+        frag_log_probs,
+    )
 
 
 def build_cluster_probs(
@@ -669,6 +761,7 @@ def collect_fragments(
     pre_frag_length_dist: FragmentLengthDist,
     shard: int = 0,
     num_shards: int = 1,
+    columnar: bool = False,
 ) -> FragmentIndex:
     """Fragment pass over this shard of the input (block-interleaved for
     rpa, fragment-interleaved otherwise).  Each host runs its own shard
@@ -718,7 +811,7 @@ def collect_fragments(
                 break
             session.add_payload(payload)
         reader_thread.join()
-        return session.finish()
+        return session.finish_columnar() if columnar else session.finish()
 
     fragments = iter_fragments(config)
     if num_shards > 1:
@@ -728,7 +821,8 @@ def collect_fragments(
             if i % num_shards == shard
         )
     return run_fragment_pass(
-        finder, fragments, pre_frag_length_dist, config.is_single_end()
+        finder, fragments, pre_frag_length_dist, config.is_single_end(),
+        columnar=columnar,
     )
 
 
@@ -744,9 +838,16 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     finder = build_finder(config, paths_index, pre_frag_length_dist)
 
     t_phase = time.perf_counter()
-    fragment_index = collect_fragments(config, finder, pre_frag_length_dist)
+    fragment_index = collect_fragments(
+        config, finder, pre_frag_length_dist, columnar=True
+    )
+    num_entries = (
+        fragment_index.num_entries()
+        if isinstance(fragment_index, ColumnarFragmentIndex)
+        else len(fragment_index.entries)
+    )
     log(
-        f"Found {len(fragment_index.entries)} distinct alignment path lists and "
+        f"Found {num_entries} distinct alignment path lists and "
         f"{fragment_index.unaligned_count} unaligned reads "
         f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
     )
@@ -812,27 +913,6 @@ def run_inference_phases(
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] length/effective-length tables: {time.perf_counter() - t_tab:.2f}s")
 
-    t_phase = time.perf_counter()
-    fragment_lists = fragment_index.lists()
-    located_entries = bool(fragment_lists) and hasattr(fragment_lists[0][0], "anchor")
-    if not located_entries and hasattr(paths_index, "locate_batch"):
-        paths_index.locate_batch(
-            ap.search for fl in fragment_lists for ap in fl[0]
-        )
-    clusters = PathClusters(paths_index, [fl[0] for fl in fragment_lists])
-    if config.path_node_cluster or collapse_haps:
-        clusters.add_node_clusters(paths_index)
-    per_cluster = partition_fragments(paths_index, clusters, fragment_lists)
-    log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)")
-
-    haplotype_info = None
-    if config.path_info is not None:
-        haplotype_info = parse_haplotype_transcript_info(
-            config.path_info,
-            parse_haplotype_ids=config.inference_model == "haplotype-transcripts",
-            use_transcript_names=collapse_haps,
-        )
-
     estimator = make_estimator(
         config.inference_model,
         ploidy=config.ploidy,
@@ -846,12 +926,83 @@ def run_inference_phases(
         prob_precision=config.prob_precision,
     )
 
+    from .infer.batched_models import (
+        batched_haplotype_transcripts,
+        batched_haplotypes,
+        batched_strains,
+        batched_transcripts,
+        supports_batched_haplotypes,
+        supports_batched_nested,
+        supports_batched_strains,
+        supports_batched_transcripts,
+    )
+
+    batched_supported = (
+        supports_batched_nested(estimator, config.num_gibbs_samples)
+        or supports_batched_haplotypes(estimator)
+        or supports_batched_strains(estimator, config.num_gibbs_samples)
+        or supports_batched_transcripts(estimator)
+    )
+
+    t_phase = time.perf_counter()
+    cols = None
+    if isinstance(fragment_index, ColumnarFragmentIndex):
+        # The columnar fast path requires the native matrix builder and
+        # no per-entry consumers; otherwise materialise the legacy index.
+        if (
+            batched_supported
+            and not config.write_probs
+            and finder is not None
+            and hasattr(finder, "build_cluster_matrices")
+            and frag_log_probs is not None
+        ):
+            cols = fragment_index.columnar
+        else:
+            fragment_index = fragment_index.to_fragment_index()
+
+    if cols is not None:
+        clusters = PathClusters.from_columnar(paths_index, cols)
+        if config.path_node_cluster or collapse_haps:
+            clusters.add_node_clusters(paths_index)
+        # Partition entries by their anchor's cluster with one stable
+        # argsort (within-cluster order = dump order, as the legacy
+        # per-entry append produces).
+        entry_cluster = clusters.path_to_cluster[cols.anchors]
+        cluster_sizes = np.bincount(
+            entry_cluster, minlength=clusters.num_clusters()
+        )
+        sort_idx = np.argsort(entry_cluster, kind="stable")
+        entry_idx_per_cluster = np.split(sort_idx, np.cumsum(cluster_sizes)[:-1])
+        per_cluster = None
+        size_of = lambda c: int(cluster_sizes[c])  # noqa: E731
+    else:
+        fragment_lists = fragment_index.lists()
+        located_entries = bool(fragment_lists) and hasattr(fragment_lists[0][0], "anchor")
+        if not located_entries and hasattr(paths_index, "locate_batch"):
+            paths_index.locate_batch(
+                ap.search for fl in fragment_lists for ap in fl[0]
+            )
+        clusters = PathClusters(paths_index, [fl[0] for fl in fragment_lists])
+        if config.path_node_cluster or collapse_haps:
+            clusters.add_node_clusters(paths_index)
+        per_cluster = partition_fragments(paths_index, clusters, fragment_lists)
+        size_of = lambda c: len(per_cluster[c])  # noqa: E731
+    log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)")
+
+    haplotype_info = None
+    if config.path_info is not None:
+        haplotype_info = parse_haplotype_transcript_info(
+            config.path_info,
+            parse_haplotype_ids=config.inference_model == "haplotype-transcripts",
+            use_transcript_names=collapse_haps,
+        )
+
     # Clusters processed largest-first (reference sorts by fragment count
     # for load balance; the rank also seeds the per-cluster RNG and
     # becomes the output ClusterID).
     order = sorted(
         range(clusters.num_clusters()),
-        key=lambda c: (len(per_cluster[c]), c),
+        key=lambda c: (size_of(c), c),
         reverse=True,
     )
     # Multi-host split: each host owns a strided subset of cluster RANKS
@@ -880,30 +1031,12 @@ def run_inference_phases(
 
     t_phase = time.perf_counter()
 
-    from .infer.batched_models import (
-        batched_haplotype_transcripts,
-        batched_haplotypes,
-        batched_strains,
-        batched_transcripts,
-        supports_batched_haplotypes,
-        supports_batched_nested,
-        supports_batched_strains,
-        supports_batched_transcripts,
-    )
-
-    batched_supported = (
-        supports_batched_nested(estimator, config.num_gibbs_samples)
-        or supports_batched_haplotypes(estimator)
-        or supports_batched_strains(estimator, config.num_gibbs_samples)
-        or supports_batched_transcripts(estimator)
-    )
-
     # Host half: per-cluster path metadata + deduplicated probabilities.
     # With the native engine and a batched device driver, every cluster's
     # dense matrix is built by one multithreaded native call; otherwise
     # ReadPathProbs objects are built per cluster (also needed when the
     # probability writer must see the sparse rows).
-    matrix_mode = (
+    matrix_mode = cols is not None or (
         batched_supported
         and not config.write_probs
         and finder is not None
@@ -914,7 +1047,26 @@ def run_inference_phases(
         )
     )
     cluster_data = []
-    if matrix_mode:
+    if cols is not None:
+        matrix_results = build_cluster_matrices_columnar(
+            config,
+            paths_index,
+            frag_length_dist,
+            [clusters.cluster_to_paths[ci] for ci in order],
+            cols,
+            [entry_idx_per_cluster[ci] for ci in order],
+            haplotype_info,
+            collapse_haps,
+            finder,
+            frag_log_probs,
+            all_lengths,
+            all_eff_lengths,
+        )
+        cluster_data = [
+            (owned_ranks[i], paths, dense)
+            for i, (paths, dense) in enumerate(matrix_results)
+        ]
+    elif matrix_mode:
         matrix_results = build_cluster_matrices_batched(
             config,
             paths_index,
@@ -1034,7 +1186,11 @@ def run_inference_phases(
             log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
 
     return {
-        "num_fragment_lists": len(fragment_index.entries),
+        "num_fragment_lists": (
+            fragment_index.num_entries()
+            if isinstance(fragment_index, ColumnarFragmentIndex)
+            else len(fragment_index.entries)
+        ),
         "unaligned_reads": fragment_index.unaligned_count,
         "num_clusters": clusters.num_clusters(),
         "frag_length_dist": frag_length_dist,

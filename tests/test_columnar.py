@@ -1,0 +1,110 @@
+"""Columnar fragment-index fast path: the array-based clustering /
+partition / blob assembly must reproduce the materialised per-entry
+path byte-for-byte (same outputs, same cluster structure)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from rpvg_tpu import sim
+from rpvg_tpu.pipeline import (
+    ColumnarFragmentIndex,
+    PipelineConfig,
+    build_finder,
+    collect_fragments,
+    resolve_pre_fragment_dist,
+    run_inference_phases,
+)
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("columnar")
+    panel = sim.build_panel(
+        num_transcripts=40, num_haplotypes=4, exons_per_transcript=4,
+        exon_length=90, variant_sites=2, seed=21,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 1500, read_length=80, frag_mean=210, frag_sd=18, seed=22
+    )
+    aln = str(tmp / "aln.json")
+    info = str(tmp / "info.tsv")
+    sim.write_alignment_json(records, aln)
+    panel.write_info_tsv(info)
+    return panel, aln, info, tmp
+
+
+def _config(panel, aln, info, prefix, model, **kw):
+    return PipelineConfig(
+        graph=panel.graph,
+        paths=panel.paths_index,
+        alignments=aln,
+        output_prefix=prefix,
+        inference_model=model,
+        path_info=info if model == "haplotype-transcripts" else None,
+        rng_seed=7,
+        score_not_qual=True,
+        **kw,
+    )
+
+
+@pytest.mark.parametrize("model", ["transcripts", "haplotype-transcripts", "strains"])
+def test_columnar_matches_materialized(dataset, tmp_path, model):
+    panel, aln, info, _ = dataset
+    config = _config(panel, aln, info, "", model)
+    pre = resolve_pre_fragment_dist(config)
+    finder = build_finder(config, panel.paths_index, pre)
+    if not hasattr(finder, "project_and_index"):
+        pytest.skip("native engine unavailable")
+
+    index = collect_fragments(config, finder, pre, columnar=True)
+    assert isinstance(index, ColumnarFragmentIndex)
+
+    out_a = str(tmp_path / f"{model}_columnar")
+    config_a = _config(panel, aln, info, out_a, model)
+    run_inference_phases(config_a, panel.paths_index, index, pre, finder=finder)
+
+    out_b = str(tmp_path / f"{model}_legacy")
+    config_b = _config(panel, aln, info, out_b, model)
+    run_inference_phases(
+        config_b, panel.paths_index, index.to_fragment_index(), pre, finder=finder
+    )
+
+    with open(out_a + ".txt") as fa, open(out_b + ".txt") as fb:
+        assert fa.read() == fb.read()
+    if model == "haplotype-transcripts":
+        with open(out_a + "_joint.txt") as fa, open(out_b + "_joint.txt") as fb:
+            assert fa.read() == fb.read()
+
+
+def test_columnar_entry_list_roundtrip(dataset):
+    panel, aln, info, _ = dataset
+    config = _config(panel, aln, info, "", "transcripts")
+    pre = resolve_pre_fragment_dist(config)
+    finder = build_finder(config, panel.paths_index, pre)
+    if not hasattr(finder, "project_and_index"):
+        pytest.skip("native engine unavailable")
+
+    index = collect_fragments(config, finder, pre, columnar=True)
+    cols = index.columnar
+    entries = cols.entry_list()
+    assert len(entries) == len(cols) == index.num_entries()
+    # Raw byte slices must tile the raw region exactly and embed the
+    # dedup count in their first 8 bytes.
+    import struct
+
+    for i in (0, len(entries) // 2, len(entries) - 1):
+        located, count, raw = entries[i]
+        assert struct.unpack_from("<Q", raw, 0)[0] == count
+        assert located.anchor == int(cols.anchors[i])
+        assert raw == cols.data[cols.raw_bounds[i]:cols.raw_bounds[i + 1]]
+
+    # gather_blob over all entries in dump order reproduces the raw
+    # region verbatim.
+    order = np.arange(len(entries), dtype=np.int64)
+    blob, lens = cols.gather_blob(order)
+    start = int(cols.raw_bounds[0])
+    end = int(cols.raw_bounds[-1])
+    assert blob.tobytes() == cols.data[start:end]
+    assert lens.sum() == end - start
