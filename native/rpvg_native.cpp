@@ -23,6 +23,7 @@
 #include <limits>
 #include <string>
 #include <thread>
+#include <map>
 #include <unordered_map>
 #include <vector>
 
@@ -2888,6 +2889,290 @@ void rpvg_fit_skew_normal_mle(const double* counts, int64_t size,
   *out_mu = mu_est;
   *out_sigma = sigma;
   *out_alpha = alpha;
+}
+
+}  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fused nested-model inference for the collapsed diploid non-Gibbs
+// configuration (the reference's NestedPathAbundanceEstimator::
+// inferAbundancesCollapsedGroups, src/path_abundance_estimator.cpp:
+// 442-546 + inferPathSubsetAbundance :608-750): grouped-matrix
+// construction, dense diploid group posteriors, posterior subset
+// selection, per-subset matrix collapse and EM all run inside ONE
+// threaded native call, eliminating the per-phase Python marshalling
+// between the existing kernels.  Each stage reuses the exact arithmetic
+// of its standalone kernel (subset_collapse_job, the
+// rpvg_diploid_posteriors_ragged scoring/selection loops, the
+// rpvg_em_ragged fixed point), so results are bitwise identical to the
+// staged path.
+
+namespace nested {
+
+struct SlotOut {
+  std::vector<uint8_t> bytes;
+  template <typename T>
+  void put(T v) {
+    size_t off = bytes.size();
+    bytes.resize(off + sizeof(T));
+    std::memcpy(bytes.data() + off, &v, sizeof(T));
+  }
+  void put_f64s(const double* p, int64_t n) {
+    size_t off = bytes.size();
+    bytes.resize(off + n * sizeof(double));
+    std::memcpy(bytes.data() + off, p, n * sizeof(double));
+  }
+  void put_i64s(const int64_t* p, int64_t n) {
+    size_t off = bytes.size();
+    bytes.resize(off + n * sizeof(int64_t));
+    std::memcpy(bytes.data() + off, p, n * sizeof(int64_t));
+  }
+};
+
+// rpvg_em_ragged's fixed point, verbatim, on one matrix.
+static void em_fixed_point(const double* P, const double* counts, int64_t R,
+                           int64_t C, int64_t max_its, double conv,
+                           std::vector<double>& abund,
+                           std::vector<double>& fresh) {
+  constexpr double MIN_ABUNDANCE = 1e-8;
+  constexpr int32_t MIN_CONV_ITS = 10;
+  double total = 0.0;
+  for (int64_t r = 0; r < R; ++r) total += counts[r];
+  const double denom = std::max(total, 1.0);
+  abund.assign(C, 1.0 / static_cast<double>(C));
+  fresh.assign(C, 0.0);
+  int32_t conv_its = 0;
+  for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
+    std::fill(fresh.begin(), fresh.end(), 0.0);
+    for (int64_t r = 0; r < R; ++r) {
+      const double* row = P + r * C;
+      double row_sum = 0.0;
+      for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
+      if (row_sum > 0.0) {
+        const double w = counts[r] / row_sum;
+        for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
+      }
+    }
+    bool has_conv = true;
+    for (int64_t c = 0; c < C; ++c) {
+      fresh[c] /= denom;
+      if (fresh[c] >= MIN_ABUNDANCE &&
+          std::abs(fresh[c] - abund[c]) / fresh[c] > conv) {
+        has_conv = false;
+      }
+    }
+    conv_its = has_conv ? conv_its + 1 : 0;
+    std::swap(abund, fresh);
+  }
+}
+
+}  // namespace nested
+
+extern "C" {
+
+// Serialized output: [i64 n_slots] then per slot:
+//   f64 total_count, i64 n_tasks, per task:
+//     f64 subset_prob, i64 n_collapsed,
+//     i64[n_collapsed] collapsed path ids,
+//     i64[n_collapsed] multiplicities,
+//     i64 kept_rows, u8 has_fracs,
+//     has_fracs ? f64[n_collapsed+1] EM fractions
+//                : f64[kept_rows*(n_collapsed+1)] matrix,
+//                  f64[kept_rows] counts   (for device-side EM)
+uint8_t* rpvg_nested_diploid_infer(
+    const double* dense_concat, const double* noise_concat,
+    const double* counts_concat, const int64_t* dense_offsets,
+    const int64_t* row_offsets, const int64_t* n_rows, const int64_t* n_cols,
+    int64_t n_slots, const int64_t* group_spec_stream,
+    const int64_t* group_spec_offsets, const int64_t* n_groups,
+    const double* group_src_counts, const int64_t* group_count_offsets,
+    double min_rel_likelihood, double min_hap_prob, double precision,
+    int64_t max_em_its, double em_conv, int64_t em_area_cutoff,
+    int32_t n_threads, int64_t* out_len) {
+  const double log_cutoff = std::log(min_rel_likelihood);
+  const double log2v = std::log(2.0);
+
+  std::vector<nested::SlotOut> slots(n_slots);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> gmat, gcnt, lf, scores, post;
+    std::vector<int64_t> pairs, spec, key, collapsed, mult;
+    std::vector<double> tmat, tcnt, abund, fresh;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_slots) return;
+      nested::SlotOut& out = slots[b];
+      const int64_t R = n_rows[b];
+      const int64_t C = n_cols[b];
+      const int64_t G = n_groups[b];
+      const double* dense = dense_concat + dense_offsets[b];
+      const double* noise = noise_concat + row_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+      const int64_t* gspec = group_spec_stream + group_spec_offsets[b];
+      const double* gcounts = group_src_counts + group_count_offsets[b];
+
+      double total_count = 0.0;
+      for (int64_t r = 0; r < R; ++r) total_count += counts[r];
+      out.put<double>(total_count);
+
+      // Phase A: grouped (collapsed) probability matrix, width G+1.
+      gmat.assign(R * (G + 1), 0.0);
+      gcnt.assign(R, 0.0);
+      const int64_t Rg = subset_collapse_job(dense, noise, counts, R, C,
+                                             gspec, G, precision,
+                                             gmat.data(), gcnt.data());
+
+      // Log frequency prior from the source multiplicities.
+      lf.assign(G, 0.0);
+      double gc_total = 0.0;
+      for (int64_t g = 0; g < G; ++g) gc_total += gcounts[g];
+      for (int64_t g = 0; g < G; ++g) lf[g] = std::log(gcounts[g] / gc_total);
+
+      // Phase B: diploid pair scoring + relative-likelihood selection
+      // (rpvg_diploid_posteriors_ragged arithmetic; row stride G+1 with
+      // the noise value in the trailing column).
+      const int64_t tri = G * (G + 1) / 2;
+      scores.assign(tri, 0.0);
+      double max_ll = -std::numeric_limits<double>::infinity();
+      int64_t t = 0;
+      for (int64_t i = 0; i < G; ++i) {
+        for (int64_t j = i; j < G; ++j, ++t) {
+          double s = 0.0;
+          for (int64_t r = 0; r < Rg; ++r) {
+            const double* row = gmat.data() + r * (G + 1);
+            const double g = row[G] + 0.5 * row[i] + 0.5 * row[j];
+            s += gcnt[r] * (g > 0.0
+                                ? std::log(g)
+                                : -std::numeric_limits<double>::infinity());
+          }
+          s += lf[i] + lf[j];
+          if (i != j) s += log2v;
+          scores[t] = s;
+          if (s > max_ll) max_ll = s;
+        }
+      }
+      pairs.clear();
+      post.clear();
+      double post_total = 0.0;
+      const bool finite_max = std::isfinite(max_ll);
+      t = 0;
+      for (int64_t i = 0; i < G; ++i) {
+        for (int64_t j = i; j < G; ++j, ++t) {
+          if (scores[t] - max_ll >= log_cutoff) {
+            pairs.push_back(i);
+            pairs.push_back(j);
+            const double e = finite_max
+                                 ? std::exp(scores[t] - max_ll)
+                                 : std::numeric_limits<double>::quiet_NaN();
+            post.push_back(e);
+            post_total += e;
+          }
+        }
+      }
+      for (double& p : post) p /= post_total;
+
+      // Phase C: posterior-weighted subset selection in first-seen
+      // order (the Python dict-insertion contract).
+      std::vector<std::vector<int64_t>> keys;
+      std::vector<double> key_probs;
+      std::map<std::vector<int64_t>, size_t> key_index;
+      double total_posterior = 0.0;
+      for (size_t k = 0; k < post.size(); ++k) {
+        const double posterior = post[k];
+        if (!(posterior >= min_hap_prob)) continue;
+        key.clear();
+        for (int side = 0; side < 2; ++side) {
+          const int64_t g = pairs[2 * k + side];
+          const int64_t* cur = gspec;
+          for (int64_t gg = 0; gg < g; ++gg) cur += 1 + *cur;
+          const int64_t len = *cur++;
+          key.insert(key.end(), cur, cur + len);
+        }
+        std::sort(key.begin(), key.end());
+        auto it = key_index.find(key);
+        if (it == key_index.end()) {
+          key_index.emplace(key, keys.size());
+          keys.push_back(key);
+          key_probs.push_back(posterior);
+        } else {
+          key_probs[it->second] += posterior;
+        }
+        total_posterior += posterior;
+      }
+
+      // Emit tasks: collapse + EM per selected subset.
+      size_t n_tasks_pos = out.bytes.size();
+      out.put<int64_t>(0);  // patched below
+      int64_t n_tasks = 0;
+      for (size_t k = 0; k < keys.size(); ++k) {
+        const double subset_prob = key_probs[k] / total_posterior;
+        if (subset_prob < min_hap_prob) continue;
+        const std::vector<int64_t>& kk = keys[k];
+        collapsed.clear();
+        mult.clear();
+        for (int64_t pid : kk) {
+          if (collapsed.empty() || pid != collapsed.back()) {
+            collapsed.push_back(pid);
+            mult.push_back(1);
+          } else {
+            ++mult.back();
+          }
+        }
+        const int64_t n_col = static_cast<int64_t>(collapsed.size());
+        spec.clear();
+        for (int64_t pid : collapsed) {
+          spec.push_back(1);
+          spec.push_back(pid);
+        }
+        const int64_t width = n_col + 1;
+        tmat.assign(R * width, 0.0);
+        tcnt.assign(R, 0.0);
+        const int64_t kept = subset_collapse_job(dense, noise, counts, R, C,
+                                                 spec.data(), n_col, precision,
+                                                 tmat.data(), tcnt.data());
+        out.put<double>(subset_prob);
+        out.put<int64_t>(n_col);
+        out.put_i64s(collapsed.data(), n_col);
+        out.put_i64s(mult.data(), n_col);
+        out.put<int64_t>(kept);
+        const bool run_em =
+            em_area_cutoff <= 0 || kept * width < em_area_cutoff;
+        out.put<uint8_t>(run_em ? 1 : 0);
+        if (run_em) {
+          nested::em_fixed_point(tmat.data(), tcnt.data(), kept, width,
+                                 max_em_its, em_conv, abund, fresh);
+          out.put_f64s(abund.data(), width);
+        } else {
+          out.put_f64s(tmat.data(), kept * width);
+          out.put_f64s(tcnt.data(), kept);
+        }
+        ++n_tasks;
+      }
+      std::memcpy(out.bytes.data() + n_tasks_pos, &n_tasks, sizeof(int64_t));
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_slots <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t2 = 0; t2 < threads; ++t2) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  size_t total = 8;
+  for (const auto& s : slots) total += s.bytes.size();
+  auto* buf = static_cast<uint8_t*>(std::malloc(total));
+  std::memcpy(buf, &n_slots, sizeof(int64_t));
+  size_t off = 8;
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.bytes.data(), s.bytes.size());
+    off += s.bytes.size();
+  }
+  *out_len = static_cast<int64_t>(total);
+  return buf;
 }
 
 }  // extern "C"

@@ -32,7 +32,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD
+from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD, MIN_EM_ABUNDANCE
 from .batching import run_batched_em
 from .estimators import (
     MinimumPathAbundanceEstimator,
@@ -241,6 +241,25 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
     timing = bool(os.environ.get("RPVG_TPU_PHASE_TIMING"))
     t0 = time.perf_counter()
 
+    # Fused native path for the diploid non-Gibbs configuration: the
+    # whole grouped-matrix -> posterior -> subset-selection -> collapse
+    # -> EM chain runs in one threaded C++ call (bitwise identical to
+    # the staged kernels below).  Gibbs configurations and group sizes
+    # other than 2 keep the staged path.
+    if (
+        estimator.group_size == 2
+        and not estimator.use_group_post_gibbs
+        and estimator.num_gibbs_samples == 0
+    ):
+        from .batching import native_em_available
+
+        if native_em_available():
+            done = _batched_haplotype_transcripts_fused(
+                estimator, cluster_data, timing, t0
+            )
+            if done:
+                return
+
     # Phase A (host): grouped probability matrices — one threaded native
     # call across every cluster (per-cluster Python fallback without the
     # library).
@@ -379,6 +398,154 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
         t0,
         rank_of=rank_of,
     )
+
+
+def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) -> bool:
+    """One-call native execution of the collapsed diploid non-Gibbs
+    nested model (native rpvg_nested_diploid_infer); returns False when
+    the native library is unavailable so the staged path runs."""
+    import os
+    import sys
+    import time
+
+    from ..native import nested_diploid_infer
+    from .matrices import cluster_matrix
+
+    meta: List[int] = []
+    dense_clusters = []
+    group_specs = []
+    group_src_counts = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(0, 0)
+        if not cluster_probs:
+            continue
+        source_groups, source_counts = estimator.find_path_source_groups(est.paths)
+        dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
+        group_specs.append(_flat_group_spec(source_groups))
+        group_src_counts.append(source_counts)
+        meta.append(ci)
+
+    # On accelerator backends keep routing LARGE subset-EM matrices to
+    # the device (same hybrid area split as run_batched_em); the fused
+    # call returns their matrices instead of running EM natively.
+    import jax
+
+    em_area_cutoff = 0
+    if jax.default_backend() == "tpu":
+        em_area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 16384))
+        if em_area_cutoff <= 0:
+            return False  # hybrid disabled: run everything on device
+
+    results = nested_diploid_infer(
+        dense_clusters,
+        group_specs,
+        group_src_counts,
+        min_rel_likelihood=estimator.min_hap_prob,
+        min_hap_prob=estimator.min_hap_prob,
+        prob_precision=estimator.prob_precision,
+        max_em_its=estimator.max_em_its,
+        max_rel_em_conv=estimator.max_rel_em_conv,
+        em_area_cutoff=em_area_cutoff,
+    )
+    if results is None:
+        return False
+
+    if timing:
+        print(f"  [timing]   fused nested infer: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+
+    # Device EM for any tasks the area cutoff filtered out.
+    device_jobs = [
+        (slot, task)
+        for slot, (_, tasks) in enumerate(results)
+        for task in tasks
+        if "fracs" not in task
+    ]
+    if device_jobs:
+        device_results = run_batched_em(
+            [(task["matrix"], task["counts"]) for _, task in device_jobs],
+            estimator.max_em_its,
+            estimator.max_rel_em_conv,
+        )
+    else:
+        device_results = []
+    device_it = iter(device_results)
+
+    # Post-EM tail (exact run_batched_em/run_native_em semantics) and
+    # per-cluster posterior-weighted combination, consuming the columnar
+    # task arrays directly (no per-task dict/tuple materialisation).
+    for slot, ci in enumerate(meta):
+        est = cluster_data[ci][0]
+        total_count, raw_tasks = results[slot]
+        est.total_count = total_count
+
+        gid_of = [info.group_id for info in est.paths]
+        group_estimates: Dict[tuple, List] = {}
+        sum_hap_prob = 0.0
+
+        for task in raw_tasks:
+            if "fracs" in task:
+                fracs = task["fracs"]
+                # Collapse preserves the (integral) read-count total, so
+                # the cluster total is exact for the per-task sum.
+                path_counts = fracs[:-1] * total_count
+                low = fracs[:-1] < MIN_EM_ABUNDANCE
+                noise_count = float(path_counts[low].sum()) + float(
+                    fracs[-1] * total_count
+                )
+                path_counts = path_counts.copy()
+                path_counts[low] = 0.0
+            else:
+                path_counts, noise_count = next(device_it)
+
+            # combine_subset_tasks semantics (reference
+            # inferPathSubsetAbundance :608-750 combine tail), reading
+            # collapsed/multiplicity arrays: the expanded sorted subset
+            # splits by transcript group in first-seen order, each slot
+            # position receiving abundance * prob / multiplicity.
+            sp = task["subset_prob"]
+            sum_hap_prob += sp
+            est.noise_count += noise_count * sp
+
+            by_group_paths: Dict[int, List[int]] = {}
+            by_group_vals: Dict[int, List[float]] = {}
+            for j, pid in enumerate(task["collapsed"].tolist()):
+                m = int(task["mult"][j])
+                g = gid_of[pid]
+                contrib = float(path_counts[j]) * sp / m
+                paths_list = by_group_paths.get(g)
+                if paths_list is None:
+                    paths_list = by_group_paths[g] = []
+                    by_group_vals[g] = []
+                vals_list = by_group_vals[g]
+                for _ in range(m):
+                    paths_list.append(pid)
+                    vals_list.append(contrib)
+
+            for g, group_paths in by_group_paths.items():
+                key = tuple(group_paths)
+                entry = group_estimates.get(key)
+                if entry is None:
+                    entry = group_estimates[key] = [0.0, [0.0] * len(group_paths)]
+                entry[0] += sp
+                vals = by_group_vals[g]
+                acc = entry[1]
+                for i in range(len(acc)):
+                    acc[i] += vals[i]
+
+        est.path_group_sets = []
+        est.posteriors = []
+        est.abundances = []
+        for key, (posterior, path_abundances) in group_estimates.items():
+            est.path_group_sets.append(list(key))
+            est.posteriors.append(posterior)
+            est.abundances.extend(path_abundances)
+
+        est.noise_count += (1.0 - sum_hap_prob) * est.total_count
+
+    if timing:
+        print(f"  [timing]   fused combine ({sum(len(t) for _, t in results)} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+    return True
 
 
 def _nested_em_and_gibbs(

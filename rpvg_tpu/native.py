@@ -791,3 +791,153 @@ def fit_skew_normal_mle(counts) -> "Optional[tuple]":
         ctypes.byref(mu), ctypes.byref(sigma), ctypes.byref(alpha),
     )
     return mu.value, sigma.value, alpha.value
+
+
+def nested_diploid_infer(
+    dense_clusters,
+    group_specs,
+    group_src_counts,
+    min_rel_likelihood: float,
+    min_hap_prob: float,
+    prob_precision: float,
+    max_em_its: int,
+    max_rel_em_conv: float,
+    em_area_cutoff: int = 0,
+    n_threads: int = 0,
+):
+    """Fused nested-model inference (native/rpvg_native.cpp:
+    rpvg_nested_diploid_infer): grouped matrices, diploid posteriors,
+    subset selection, per-subset collapse and EM in one threaded call.
+
+    dense_clusters: per slot (dense (R, C), noise (R,), counts (R,)).
+    group_specs: per slot (flat [len, ids...] int64 spec, n_groups).
+    group_src_counts: per slot the per-group source multiplicities.
+
+    Returns per slot (total_count, tasks) with each task a dict of
+    subset_prob, collapsed (int64 array), multiplicity (int64 array)
+    and either fracs (EM fractions, len n_collapsed+1) or
+    matrix/counts (device-EM handoff when em_area_cutoff filters it
+    out); None when the library is unavailable."""
+    import os
+
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_nested_configured", False):
+        lib.rpvg_nested_diploid_infer.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rpvg_nested_diploid_infer.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_double, ctypes.c_double, ctypes.c_double,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._nested_configured = True
+
+    n = len(dense_clusters)
+    n_rows = np.fromiter((c[0].shape[0] for c in dense_clusters), np.int64, n)
+    n_cols = np.fromiter((c[0].shape[1] for c in dense_clusters), np.int64, n)
+    dense_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows * n_cols, out=dense_offsets[1:])
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows, out=row_offsets[1:])
+
+    empty_f = np.empty(0, dtype=np.float64)
+    dense_concat = (
+        np.concatenate([np.ascontiguousarray(c[0], dtype=np.float64).ravel() for c in dense_clusters])
+        if n else empty_f
+    )
+    noise_concat = (
+        np.concatenate([np.asarray(c[1], dtype=np.float64) for c in dense_clusters])
+        if n else empty_f
+    )
+    counts_concat = (
+        np.concatenate([np.asarray(c[2], dtype=np.float64) for c in dense_clusters])
+        if n else empty_f
+    )
+
+    n_groups = np.fromiter((s[1] for s in group_specs), np.int64, n)
+    spec_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([s[0].size for s in group_specs], out=spec_offsets[1:])
+    spec_concat = (
+        np.concatenate([s[0] for s in group_specs])
+        if n else np.empty(0, dtype=np.int64)
+    )
+    gc_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_groups, out=gc_offsets[1:])
+    gc_concat = (
+        np.concatenate([np.asarray(c, dtype=np.float64) for c in group_src_counts])
+        if n else empty_f
+    )
+
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    out_len = ctypes.c_int64()
+    out_ptr = lib.rpvg_nested_diploid_infer(
+        as_f64(dense_concat), as_f64(noise_concat), as_f64(counts_concat),
+        as_i64(dense_offsets), as_i64(row_offsets), as_i64(n_rows), as_i64(n_cols),
+        n, as_i64(spec_concat), as_i64(spec_offsets), as_i64(n_groups),
+        as_f64(gc_concat), as_i64(gc_offsets),
+        float(min_rel_likelihood), float(min_hap_prob), float(prob_precision),
+        int(max_em_its), float(max_rel_em_conv), int(em_area_cutoff),
+        int(n_threads), ctypes.byref(out_len),
+    )
+    try:
+        data = ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.rpvg_buffer_free(out_ptr)
+
+    view = np.frombuffer(data, dtype=np.uint8)
+    (n_out,) = struct.unpack_from("<q", data, 0)
+    assert n_out == n
+    offset = 8
+    results = []
+    for _ in range(n):
+        (total_count,) = struct.unpack_from("<d", data, offset)
+        offset += 8
+        (n_tasks,) = struct.unpack_from("<q", data, offset)
+        offset += 8
+        tasks = []
+        for _t in range(n_tasks):
+            (subset_prob,) = struct.unpack_from("<d", data, offset)
+            offset += 8
+            (n_col,) = struct.unpack_from("<q", data, offset)
+            offset += 8
+            collapsed = np.frombuffer(data, dtype=np.int64, count=n_col, offset=offset)
+            offset += 8 * n_col
+            mult = np.frombuffer(data, dtype=np.int64, count=n_col, offset=offset)
+            offset += 8 * n_col
+            (kept,) = struct.unpack_from("<q", data, offset)
+            offset += 8
+            has_fracs = data[offset]
+            offset += 1
+            task = {
+                "subset_prob": subset_prob,
+                "collapsed": collapsed,
+                "mult": mult,
+                "kept": kept,
+            }
+            if has_fracs:
+                task["fracs"] = np.frombuffer(
+                    data, dtype=np.float64, count=n_col + 1, offset=offset
+                )
+                offset += 8 * (n_col + 1)
+            else:
+                task["matrix"] = np.frombuffer(
+                    data, dtype=np.float64, count=kept * (n_col + 1), offset=offset
+                ).reshape(kept, n_col + 1)
+                offset += 8 * kept * (n_col + 1)
+                task["counts"] = np.frombuffer(
+                    data, dtype=np.float64, count=kept, offset=offset
+                )
+                offset += 8 * kept
+            tasks.append(task)
+        results.append((total_count, tasks))
+    return results
