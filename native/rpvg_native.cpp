@@ -2909,24 +2909,19 @@ void rpvg_fit_skew_normal_mle(const double* counts, int64_t size,
 
 namespace nested {
 
-struct SlotOut {
-  std::vector<uint8_t> bytes;
-  template <typename T>
-  void put(T v) {
-    size_t off = bytes.size();
-    bytes.resize(off + sizeof(T));
-    std::memcpy(bytes.data() + off, &v, sizeof(T));
-  }
-  void put_f64s(const double* p, int64_t n) {
-    size_t off = bytes.size();
-    bytes.resize(off + n * sizeof(double));
-    std::memcpy(bytes.data() + off, p, n * sizeof(double));
-  }
-  void put_i64s(const int64_t* p, int64_t n) {
-    size_t off = bytes.size();
-    bytes.resize(off + n * sizeof(int64_t));
-    std::memcpy(bytes.data() + off, p, n * sizeof(int64_t));
-  }
+// Per-slot task output, stream-per-field so the Python side parses the
+// whole batch with a handful of array views instead of per-task reads.
+struct SlotStreams {
+  double total_count = 0.0;
+  std::vector<double> subset_prob;
+  std::vector<int64_t> n_col;
+  std::vector<int64_t> kept;
+  std::vector<uint8_t> has_fracs;
+  std::vector<int64_t> collapsed;
+  std::vector<int64_t> mult;
+  std::vector<double> fracs;
+  std::vector<double> mats;
+  std::vector<double> cnts;
 };
 
 // rpvg_em_ragged's fixed point, verbatim, on one matrix.
@@ -2970,15 +2965,15 @@ static void em_fixed_point(const double* P, const double* counts, int64_t R,
 
 extern "C" {
 
-// Serialized output: [i64 n_slots] then per slot:
-//   f64 total_count, i64 n_tasks, per task:
-//     f64 subset_prob, i64 n_collapsed,
-//     i64[n_collapsed] collapsed path ids,
-//     i64[n_collapsed] multiplicities,
-//     i64 kept_rows, u8 has_fracs,
-//     has_fracs ? f64[n_collapsed+1] EM fractions
-//                : f64[kept_rows*(n_collapsed+1)] matrix,
-//                  f64[kept_rows] counts   (for device-side EM)
+// Columnar serialized output (all i64/f64 little-endian, no padding):
+//   i64 n_slots, i64 n_tasks_total,
+//   f64 total_count[n_slots], i64 n_tasks[n_slots],
+//   f64 subset_prob[T], i64 n_col[T], i64 kept[T], u8 has_fracs[T],
+//   i64 collapsed_total, i64 collapsed[collapsed_total],
+//   i64 mult[collapsed_total],
+//   i64 fracs_total, f64 fracs[fracs_total]          (tasks w/ EM run)
+//   i64 mat_total,   f64 mats[mat_total],            (device-EM tasks)
+//   i64 cnt_total,   f64 cnts[cnt_total]
 uint8_t* rpvg_nested_diploid_infer(
     const double* dense_concat, const double* noise_concat,
     const double* counts_concat, const int64_t* dense_offsets,
@@ -2992,16 +2987,16 @@ uint8_t* rpvg_nested_diploid_infer(
   const double log_cutoff = std::log(min_rel_likelihood);
   const double log2v = std::log(2.0);
 
-  std::vector<nested::SlotOut> slots(n_slots);
+  std::vector<nested::SlotStreams> slots(n_slots);
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> gmat, gcnt, lf, scores, post;
-    std::vector<int64_t> pairs, spec, key, collapsed, mult;
+    std::vector<int64_t> pairs, spec, key;
     std::vector<double> tmat, tcnt, abund, fresh;
     for (;;) {
       int64_t b = next.fetch_add(1);
       if (b >= n_slots) return;
-      nested::SlotOut& out = slots[b];
+      nested::SlotStreams& out = slots[b];
       const int64_t R = n_rows[b];
       const int64_t C = n_cols[b];
       const int64_t G = n_groups[b];
@@ -3013,7 +3008,7 @@ uint8_t* rpvg_nested_diploid_infer(
 
       double total_count = 0.0;
       for (int64_t r = 0; r < R; ++r) total_count += counts[r];
-      out.put<double>(total_count);
+      out.total_count = total_count;
 
       // Phase A: grouped (collapsed) probability matrix, width G+1.
       gmat.assign(R * (G + 1), 0.0);
@@ -3101,28 +3096,25 @@ uint8_t* rpvg_nested_diploid_infer(
       }
 
       // Emit tasks: collapse + EM per selected subset.
-      size_t n_tasks_pos = out.bytes.size();
-      out.put<int64_t>(0);  // patched below
-      int64_t n_tasks = 0;
       for (size_t k = 0; k < keys.size(); ++k) {
         const double subset_prob = key_probs[k] / total_posterior;
         if (subset_prob < min_hap_prob) continue;
         const std::vector<int64_t>& kk = keys[k];
-        collapsed.clear();
-        mult.clear();
+        const size_t col_base = out.collapsed.size();
         for (int64_t pid : kk) {
-          if (collapsed.empty() || pid != collapsed.back()) {
-            collapsed.push_back(pid);
-            mult.push_back(1);
+          if (out.collapsed.size() == col_base || pid != out.collapsed.back()) {
+            out.collapsed.push_back(pid);
+            out.mult.push_back(1);
           } else {
-            ++mult.back();
+            ++out.mult.back();
           }
         }
-        const int64_t n_col = static_cast<int64_t>(collapsed.size());
+        const int64_t n_col =
+            static_cast<int64_t>(out.collapsed.size() - col_base);
         spec.clear();
-        for (int64_t pid : collapsed) {
+        for (size_t c = col_base; c < out.collapsed.size(); ++c) {
           spec.push_back(1);
-          spec.push_back(pid);
+          spec.push_back(out.collapsed[c]);
         }
         const int64_t width = n_col + 1;
         tmat.assign(R * width, 0.0);
@@ -3130,25 +3122,22 @@ uint8_t* rpvg_nested_diploid_infer(
         const int64_t kept = subset_collapse_job(dense, noise, counts, R, C,
                                                  spec.data(), n_col, precision,
                                                  tmat.data(), tcnt.data());
-        out.put<double>(subset_prob);
-        out.put<int64_t>(n_col);
-        out.put_i64s(collapsed.data(), n_col);
-        out.put_i64s(mult.data(), n_col);
-        out.put<int64_t>(kept);
+        out.subset_prob.push_back(subset_prob);
+        out.n_col.push_back(n_col);
+        out.kept.push_back(kept);
         const bool run_em =
             em_area_cutoff <= 0 || kept * width < em_area_cutoff;
-        out.put<uint8_t>(run_em ? 1 : 0);
+        out.has_fracs.push_back(run_em ? 1 : 0);
         if (run_em) {
           nested::em_fixed_point(tmat.data(), tcnt.data(), kept, width,
                                  max_em_its, em_conv, abund, fresh);
-          out.put_f64s(abund.data(), width);
+          out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
         } else {
-          out.put_f64s(tmat.data(), kept * width);
-          out.put_f64s(tcnt.data(), kept);
+          out.mats.insert(out.mats.end(), tmat.begin(),
+                          tmat.begin() + kept * width);
+          out.cnts.insert(out.cnts.end(), tcnt.begin(), tcnt.begin() + kept);
         }
-        ++n_tasks;
       }
-      std::memcpy(out.bytes.data() + n_tasks_pos, &n_tasks, sizeof(int64_t));
     }
   };
 
@@ -3162,16 +3151,50 @@ uint8_t* rpvg_nested_diploid_infer(
     for (auto& th : pool) th.join();
   }
 
-  size_t total = 8;
-  for (const auto& s : slots) total += s.bytes.size();
-  auto* buf = static_cast<uint8_t*>(std::malloc(total));
-  std::memcpy(buf, &n_slots, sizeof(int64_t));
-  size_t off = 8;
+  // Assemble the global streams.
+  int64_t n_tasks_total = 0, collapsed_total = 0, fracs_total = 0;
+  int64_t mat_total = 0, cnt_total = 0;
   for (const auto& s : slots) {
-    std::memcpy(buf + off, s.bytes.data(), s.bytes.size());
-    off += s.bytes.size();
+    n_tasks_total += static_cast<int64_t>(s.subset_prob.size());
+    collapsed_total += static_cast<int64_t>(s.collapsed.size());
+    fracs_total += static_cast<int64_t>(s.fracs.size());
+    mat_total += static_cast<int64_t>(s.mats.size());
+    cnt_total += static_cast<int64_t>(s.cnts.size());
   }
-  *out_len = static_cast<int64_t>(total);
+  const size_t total_bytes =
+      16 + n_slots * 16 + n_tasks_total * 25 + 8 + collapsed_total * 16 +
+      8 + fracs_total * 8 + 16 + mat_total * 8 + cnt_total * 8;
+  auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
+  size_t off = 0;
+  auto put_i64 = [&](int64_t v) {
+    std::memcpy(buf + off, &v, 8);
+    off += 8;
+  };
+  put_i64(n_slots);
+  put_i64(n_tasks_total);
+  for (const auto& s : slots) { std::memcpy(buf + off, &s.total_count, 8); off += 8; }
+  for (const auto& s : slots) put_i64(static_cast<int64_t>(s.subset_prob.size()));
+  auto put_stream = [&](auto getter, size_t elem) {
+    for (const auto& s : slots) {
+      const auto& v = getter(s);
+      std::memcpy(buf + off, v.data(), v.size() * elem);
+      off += v.size() * elem;
+    }
+  };
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.subset_prob; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.n_col; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.kept; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<uint8_t>& { return s.has_fracs; }, 1);
+  put_i64(collapsed_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.collapsed; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.mult; }, 8);
+  put_i64(fracs_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.fracs; }, 8);
+  put_i64(mat_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.mats; }, 8);
+  put_i64(cnt_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.cnts; }, 8);
+  *out_len = static_cast<int64_t>(off);
   return buf;
 }
 

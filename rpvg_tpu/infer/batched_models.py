@@ -436,7 +436,7 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device
 
-    results = nested_diploid_infer(
+    streams = nested_diploid_infer(
         dense_clusters,
         group_specs,
         group_src_counts,
@@ -447,45 +447,72 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         max_rel_em_conv=estimator.max_rel_em_conv,
         em_area_cutoff=em_area_cutoff,
     )
-    if results is None:
+    if streams is None:
         return False
 
     if timing:
         print(f"  [timing]   fused nested infer: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
 
+    totals = streams["totals"]
+    n_tasks = streams["n_tasks"]
+    sp_arr = streams["subset_prob"]
+    n_col_arr = streams["n_col"]
+    kept_arr = streams["kept"]
+    has_fracs = streams["has_fracs"].astype(bool)
+    collapsed_all = streams["collapsed"]
+    mult_all = streams["mult"]
+    fracs_all = streams["fracs"]
+    mats_all = streams["mats"]
+    cnts_all = streams["cnts"]
+
+    T = sp_arr.size
+    task_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+    np.cumsum(n_tasks, out=task_bounds[1:])
+    col_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(n_col_arr, out=col_bounds[1:])
+    fr_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(np.where(has_fracs, n_col_arr + 1, 0), out=fr_bounds[1:])
+    mat_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(np.where(has_fracs, 0, kept_arr * (n_col_arr + 1)), out=mat_bounds[1:])
+    cnt_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(np.where(has_fracs, 0, kept_arr), out=cnt_bounds[1:])
+
     # Device EM for any tasks the area cutoff filtered out.
-    device_jobs = [
-        (slot, task)
-        for slot, (_, tasks) in enumerate(results)
-        for task in tasks
-        if "fracs" not in task
-    ]
-    if device_jobs:
+    device_tasks = np.flatnonzero(~has_fracs)
+    if device_tasks.size:
         device_results = run_batched_em(
-            [(task["matrix"], task["counts"]) for _, task in device_jobs],
+            [
+                (
+                    mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
+                        int(kept_arr[t]), int(n_col_arr[t]) + 1
+                    ),
+                    cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
+                )
+                for t in device_tasks
+            ],
             estimator.max_em_its,
             estimator.max_rel_em_conv,
         )
+        device_of = dict(zip(device_tasks.tolist(), device_results))
     else:
-        device_results = []
-    device_it = iter(device_results)
+        device_of = {}
 
     # Post-EM tail (exact run_batched_em/run_native_em semantics) and
     # per-cluster posterior-weighted combination, consuming the columnar
-    # task arrays directly (no per-task dict/tuple materialisation).
+    # task streams directly (no per-task dict/tuple materialisation).
     for slot, ci in enumerate(meta):
         est = cluster_data[ci][0]
-        total_count, raw_tasks = results[slot]
+        total_count = float(totals[slot])
         est.total_count = total_count
 
         gid_of = [info.group_id for info in est.paths]
         group_estimates: Dict[tuple, List] = {}
         sum_hap_prob = 0.0
 
-        for task in raw_tasks:
-            if "fracs" in task:
-                fracs = task["fracs"]
+        for t in range(int(task_bounds[slot]), int(task_bounds[slot + 1])):
+            if has_fracs[t]:
+                fracs = fracs_all[fr_bounds[t] : fr_bounds[t + 1]]
                 # Collapse preserves the (integral) read-count total, so
                 # the cluster total is exact for the per-task sum.
                 path_counts = fracs[:-1] * total_count
@@ -496,21 +523,24 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
                 path_counts = path_counts.copy()
                 path_counts[low] = 0.0
             else:
-                path_counts, noise_count = next(device_it)
+                path_counts, noise_count = device_of[t]
 
             # combine_subset_tasks semantics (reference
             # inferPathSubsetAbundance :608-750 combine tail), reading
             # collapsed/multiplicity arrays: the expanded sorted subset
             # splits by transcript group in first-seen order, each slot
             # position receiving abundance * prob / multiplicity.
-            sp = task["subset_prob"]
+            sp = float(sp_arr[t])
             sum_hap_prob += sp
             est.noise_count += noise_count * sp
 
             by_group_paths: Dict[int, List[int]] = {}
             by_group_vals: Dict[int, List[float]] = {}
-            for j, pid in enumerate(task["collapsed"].tolist()):
-                m = int(task["mult"][j])
+            mult_t = mult_all[col_bounds[t] : col_bounds[t + 1]]
+            for j, pid in enumerate(
+                collapsed_all[col_bounds[t] : col_bounds[t + 1]].tolist()
+            ):
+                m = int(mult_t[j])
                 g = gid_of[pid]
                 contrib = float(path_counts[j]) * sp / m
                 paths_list = by_group_paths.get(g)
@@ -544,7 +574,7 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         est.noise_count += (1.0 - sum_hap_prob) * est.total_count
 
     if timing:
-        print(f"  [timing]   fused combine ({sum(len(t) for _, t in results)} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        print(f"  [timing]   fused combine ({T} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
     return True
 
 

@@ -813,11 +813,11 @@ def nested_diploid_infer(
     group_specs: per slot (flat [len, ids...] int64 spec, n_groups).
     group_src_counts: per slot the per-group source multiplicities.
 
-    Returns per slot (total_count, tasks) with each task a dict of
-    subset_prob, collapsed (int64 array), multiplicity (int64 array)
-    and either fracs (EM fractions, len n_collapsed+1) or
-    matrix/counts (device-EM handoff when em_area_cutoff filters it
-    out); None when the library is unavailable."""
+    Returns a dict of global streams — totals/n_tasks per slot;
+    subset_prob/n_col/kept/has_fracs per task; collapsed+mult CSR;
+    fracs CSR for natively-EM'd tasks; mats+cnts CSR for device-EM
+    handoffs (tasks the em_area_cutoff filtered out) — or None when the
+    library is unavailable."""
     import os
 
     lib = load_library()
@@ -894,50 +894,33 @@ def nested_diploid_infer(
     finally:
         lib.rpvg_buffer_free(out_ptr)
 
-    view = np.frombuffer(data, dtype=np.uint8)
-    (n_out,) = struct.unpack_from("<q", data, 0)
+    (n_out, n_tasks_total) = struct.unpack_from("<qq", data, 0)
     assert n_out == n
-    offset = 8
-    results = []
-    for _ in range(n):
-        (total_count,) = struct.unpack_from("<d", data, offset)
+    offset = 16
+
+    def take(dtype, count):
+        nonlocal offset
+        arr = np.frombuffer(data, dtype=dtype, count=count, offset=offset)
+        offset += arr.nbytes
+        return arr
+
+    def take_sized(dtype):
+        nonlocal offset
+        (count,) = struct.unpack_from("<q", data, offset)
         offset += 8
-        (n_tasks,) = struct.unpack_from("<q", data, offset)
-        offset += 8
-        tasks = []
-        for _t in range(n_tasks):
-            (subset_prob,) = struct.unpack_from("<d", data, offset)
-            offset += 8
-            (n_col,) = struct.unpack_from("<q", data, offset)
-            offset += 8
-            collapsed = np.frombuffer(data, dtype=np.int64, count=n_col, offset=offset)
-            offset += 8 * n_col
-            mult = np.frombuffer(data, dtype=np.int64, count=n_col, offset=offset)
-            offset += 8 * n_col
-            (kept,) = struct.unpack_from("<q", data, offset)
-            offset += 8
-            has_fracs = data[offset]
-            offset += 1
-            task = {
-                "subset_prob": subset_prob,
-                "collapsed": collapsed,
-                "mult": mult,
-                "kept": kept,
-            }
-            if has_fracs:
-                task["fracs"] = np.frombuffer(
-                    data, dtype=np.float64, count=n_col + 1, offset=offset
-                )
-                offset += 8 * (n_col + 1)
-            else:
-                task["matrix"] = np.frombuffer(
-                    data, dtype=np.float64, count=kept * (n_col + 1), offset=offset
-                ).reshape(kept, n_col + 1)
-                offset += 8 * kept * (n_col + 1)
-                task["counts"] = np.frombuffer(
-                    data, dtype=np.float64, count=kept, offset=offset
-                )
-                offset += 8 * kept
-            tasks.append(task)
-        results.append((total_count, tasks))
-    return results
+        return take(dtype, count)
+
+    streams = {
+        "totals": take(np.float64, n),
+        "n_tasks": take(np.int64, n),
+        "subset_prob": take(np.float64, n_tasks_total),
+        "n_col": take(np.int64, n_tasks_total),
+        "kept": take(np.int64, n_tasks_total),
+        "has_fracs": take(np.uint8, n_tasks_total),
+    }
+    streams["collapsed"] = take_sized(np.int64)
+    streams["mult"] = take(np.int64, streams["collapsed"].size)
+    streams["fracs"] = take_sized(np.float64)
+    streams["mats"] = take_sized(np.float64)
+    streams["cnts"] = take_sized(np.float64)
+    return streams
