@@ -358,7 +358,20 @@ def _clusters_meta(
     all_eff_lengths: Optional[np.ndarray],
 ):
     """Per-cluster PathInfos and the column arrays the native matrix
-    builder needs (shared by the list- and columnar-input drivers)."""
+    builder needs (shared by the list- and columnar-input drivers).
+    Equivalent to mapping _build_cluster_path_infos over the clusters,
+    restructured as one pass with table lookups (each path id belongs
+    to exactly one cluster, so PathInfos are constructed directly
+    instead of copy-then-patch)."""
+    names = getattr(paths_index, "names", None)
+    if all_eff_lengths is not None:
+        eff_table = all_eff_lengths
+    elif config.long_reads:
+        eff_table = all_lengths.astype(np.float64)
+    else:
+        eff_table = paths_index.all_effective_path_lengths(frag_length_dist)
+    empty_fs = frozenset()
+
     pid_arrays = []
     effs = []
     groups = []
@@ -366,12 +379,35 @@ def _clusters_meta(
     log_srcs = []
     all_paths = []
     for cluster_path_ids in cluster_path_id_lists:
-        paths, group_name_index = _build_cluster_path_infos(
-            config, paths_index, frag_length_dist, cluster_path_ids,
-            haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
-        )
-        pid_arrays.append(np.asarray(cluster_path_ids, dtype=np.int64))
-        effs.append(np.array([info.effective_length for info in paths]))
+        pid_arr = np.asarray(cluster_path_ids, dtype=np.int64)
+        pid_arrays.append(pid_arr)
+        eff_vec = eff_table[pid_arr]
+        effs.append(eff_vec)
+        pids = pid_arr.tolist()
+        lens = all_lengths[pid_arr].tolist()
+        effl = eff_vec.tolist()
+
+        group_name_index: Dict[str, int] = {}
+        paths = []
+        if haplotype_info is None:
+            for pid, length, eff in zip(pids, lens, effl):
+                name = names[pid] if names is not None else str(pid + 1)
+                if collapse_haps:
+                    group_name_index.setdefault(name, len(group_name_index))
+                paths.append(PathInfo(name, 0, 1, empty_fs, length, eff))
+        else:
+            for pid, length, eff in zip(pids, lens, effl):
+                key = names[pid] if names is not None else str(pid + 1)
+                src = haplotype_info[key]
+                if collapse_haps:
+                    group_name_index.setdefault(src.name, len(group_name_index))
+                paths.append(
+                    PathInfo(
+                        src.name, src.group_id, src.source_count,
+                        src.source_ids, length, eff,
+                    )
+                )
+
         if collapse_haps:
             groups.append(
                 np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
