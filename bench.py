@@ -95,13 +95,14 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
         score_not_qual=True,
     )
 
-    # Five runs, best kept: the first pays one-time jit
+    # Ten runs, best kept: the first pays one-time jit
     # tracing/compiles (amortised away in production by the persistent
     # XLA compile cache), the rest measure steady state — best-of damps
     # the +-30% burst noise observed on small shared hosts (three runs
-    # proved too few: one noisy burst can still cover all of them).
+    # proved too few: one noisy burst can still cover all of them; at
+    # ~2s per run, ten runs are cheap insurance).
     elapsed = []
-    for _ in range(5):
+    for _ in range(10):
         start = time.perf_counter()
         stats = run_pipeline(config)
         elapsed.append(time.perf_counter() - start)

@@ -2133,6 +2133,97 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
 
 }  // extern "C"
 
+
+// Shared single instantiations of the EM fixed point and the diploid
+// score/select loop: the standalone ragged kernels AND the fused
+// nested kernel call these same compiled bodies (noinline), so their
+// results are bitwise identical regardless of caller-specific codegen
+// (FP contraction may otherwise differ between inlined copies).
+__attribute__((noinline)) static void em_fixed_point_one(
+    const double* P, const double* counts, int64_t R, int64_t C,
+    int64_t max_its, double conv, std::vector<double>& abund,
+    std::vector<double>& fresh) {
+  constexpr double MIN_ABUNDANCE = 1e-8;
+  constexpr int32_t MIN_CONV_ITS = 10;
+  double total = 0.0;
+  for (int64_t r = 0; r < R; ++r) total += counts[r];
+  const double denom = std::max(total, 1.0);
+  abund.assign(C, 1.0 / static_cast<double>(C));
+  fresh.assign(C, 0.0);
+  int32_t conv_its = 0;
+  for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
+    std::fill(fresh.begin(), fresh.end(), 0.0);
+    for (int64_t r = 0; r < R; ++r) {
+      const double* row = P + r * C;
+      double row_sum = 0.0;
+      for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
+      if (row_sum > 0.0) {
+        const double w = counts[r] / row_sum;
+        for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
+      }
+    }
+    bool has_conv = true;
+    for (int64_t c = 0; c < C; ++c) {
+      fresh[c] /= denom;
+      if (fresh[c] >= MIN_ABUNDANCE &&
+          std::abs(fresh[c] - abund[c]) / fresh[c] > conv) {
+        has_conv = false;
+      }
+    }
+    conv_its = has_conv ? conv_its + 1 : 0;
+    std::swap(abund, fresh);
+  }
+}
+
+__attribute__((noinline)) static int64_t diploid_score_select_one(
+    const double* probs, int64_t prob_stride, const double* noise,
+    int64_t noise_stride, const double* counts, const double* lf, int64_t R,
+    int64_t P, double log_cutoff, std::vector<double>& scores,
+    int32_t* pairs, double* post) {
+  const double log2v = std::log(2.0);
+  const int64_t tri = P * (P + 1) / 2;
+  scores.assign(tri, 0.0);
+  double max_ll = -std::numeric_limits<double>::infinity();
+  int64_t t = 0;
+  for (int64_t i = 0; i < P; ++i) {
+    for (int64_t j = i; j < P; ++j, ++t) {
+      double s = 0.0;
+      for (int64_t r = 0; r < R; ++r) {
+        const double g = noise[r * noise_stride] +
+                         0.5 * probs[r * prob_stride + i] +
+                         0.5 * probs[r * prob_stride + j];
+        s += counts[r] * (g > 0.0 ? std::log(g)
+                                  : -std::numeric_limits<double>::infinity());
+      }
+      s += lf[i] + lf[j];
+      if (i != j) s += log2v;
+      scores[t] = s;
+      if (s > max_ll) max_ll = s;
+    }
+  }
+
+  int64_t kept = 0;
+  double total = 0.0;
+  const bool finite_max = std::isfinite(max_ll);
+  t = 0;
+  for (int64_t i = 0; i < P; ++i) {
+    for (int64_t j = i; j < P; ++j, ++t) {
+      if (scores[t] - max_ll >= log_cutoff) {
+        pairs[2 * kept] = static_cast<int32_t>(i);
+        pairs[2 * kept + 1] = static_cast<int32_t>(j);
+        const double e = finite_max
+                             ? std::exp(scores[t] - max_ll)
+                             : std::numeric_limits<double>::quiet_NaN();
+        post[kept] = e;
+        total += e;
+        ++kept;
+      }
+    }
+  }
+  for (int64_t k = 0; k < kept; ++k) post[k] /= total;
+  return kept;
+}
+
 extern "C" {
 
 // Ragged batched EM (CPU speed path behind rpvg_tpu/infer/batching.py;
@@ -2150,9 +2241,6 @@ void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
                     const int64_t* n_cols, int64_t n_clusters,
                     int64_t max_its, double conv, int32_t n_threads,
                     double* out_concat) {
-  constexpr double MIN_ABUNDANCE = 1e-8;
-  constexpr int32_t MIN_CONV_ITS = 10;
-
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> abund, fresh;
@@ -2165,36 +2253,7 @@ void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
       const double* counts = counts_concat + row_offsets[b];
       double* out = out_concat + col_offsets[b];
 
-      double total = 0.0;
-      for (int64_t r = 0; r < R; ++r) total += counts[r];
-      const double denom = std::max(total, 1.0);
-
-      abund.assign(C, 1.0 / static_cast<double>(C));
-      fresh.assign(C, 0.0);
-
-      int32_t conv_its = 0;
-      for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
-        std::fill(fresh.begin(), fresh.end(), 0.0);
-        for (int64_t r = 0; r < R; ++r) {
-          const double* row = P + r * C;
-          double row_sum = 0.0;
-          for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
-          if (row_sum > 0.0) {
-            const double w = counts[r] / row_sum;
-            for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
-          }
-        }
-        bool has_conv = true;
-        for (int64_t c = 0; c < C; ++c) {
-          fresh[c] /= denom;
-          if (fresh[c] >= MIN_ABUNDANCE &&
-              std::abs(fresh[c] - abund[c]) / fresh[c] > conv) {
-            has_conv = false;
-          }
-        }
-        conv_its = has_conv ? conv_its + 1 : 0;
-        std::swap(abund, fresh);
-      }
+      em_fixed_point_one(P, counts, R, C, max_its, conv, abund, fresh);
       std::copy(abund.begin(), abund.end(), out);
     }
   };
@@ -2293,7 +2352,6 @@ void rpvg_diploid_posteriors_ragged(
     double min_rel_likelihood, int32_t n_threads, int64_t* out_nkeep,
     int32_t* out_pairs, double* out_post) {
   const double log_cutoff = std::log(min_rel_likelihood);
-  const double log2 = std::log(2.0);
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> scores;
@@ -2307,49 +2365,9 @@ void rpvg_diploid_posteriors_ragged(
       const double* counts = counts_concat + row_offsets[b];
       const double* lf = lf_concat + col_offsets[b];
 
-      const int64_t tri = P * (P + 1) / 2;
-      scores.assign(tri, 0.0);
-      double max_ll = -std::numeric_limits<double>::infinity();
-      int64_t t = 0;
-      for (int64_t i = 0; i < P; ++i) {
-        for (int64_t j = i; j < P; ++j, ++t) {
-          double s = 0.0;
-          for (int64_t r = 0; r < R; ++r) {
-            const double g =
-                noise[r] + 0.5 * probs[r * P + i] + 0.5 * probs[r * P + j];
-            s += counts[r] * (g > 0.0
-                                  ? std::log(g)
-                                  : -std::numeric_limits<double>::infinity());
-          }
-          s += lf[i] + lf[j];
-          if (i != j) s += log2;
-          scores[t] = s;
-          if (s > max_ll) max_ll = s;
-        }
-      }
-
-      int64_t kept = 0;
-      int32_t* pairs = out_pairs + 2 * tri_offsets[b];
-      double* post = out_post + tri_offsets[b];
-      double total = 0.0;
-      const bool finite_max = std::isfinite(max_ll);
-      t = 0;
-      for (int64_t i = 0; i < P; ++i) {
-        for (int64_t j = i; j < P; ++j, ++t) {
-          if (scores[t] - max_ll >= log_cutoff) {
-            pairs[2 * kept] = static_cast<int32_t>(i);
-            pairs[2 * kept + 1] = static_cast<int32_t>(j);
-            const double e = finite_max
-                                 ? std::exp(scores[t] - max_ll)
-                                 : std::numeric_limits<double>::quiet_NaN();
-            post[kept] = e;
-            total += e;
-            ++kept;
-          }
-        }
-      }
-      for (int64_t k = 0; k < kept; ++k) post[k] /= total;
-      out_nkeep[b] = kept;
+      out_nkeep[b] = diploid_score_select_one(
+          probs, P, noise, 1, counts, lf, R, P, log_cutoff, scores,
+          out_pairs + 2 * tri_offsets[b], out_post + tri_offsets[b]);
     }
   };
 
@@ -2924,43 +2942,6 @@ struct SlotStreams {
   std::vector<double> cnts;
 };
 
-// rpvg_em_ragged's fixed point, verbatim, on one matrix.
-static void em_fixed_point(const double* P, const double* counts, int64_t R,
-                           int64_t C, int64_t max_its, double conv,
-                           std::vector<double>& abund,
-                           std::vector<double>& fresh) {
-  constexpr double MIN_ABUNDANCE = 1e-8;
-  constexpr int32_t MIN_CONV_ITS = 10;
-  double total = 0.0;
-  for (int64_t r = 0; r < R; ++r) total += counts[r];
-  const double denom = std::max(total, 1.0);
-  abund.assign(C, 1.0 / static_cast<double>(C));
-  fresh.assign(C, 0.0);
-  int32_t conv_its = 0;
-  for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
-    std::fill(fresh.begin(), fresh.end(), 0.0);
-    for (int64_t r = 0; r < R; ++r) {
-      const double* row = P + r * C;
-      double row_sum = 0.0;
-      for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
-      if (row_sum > 0.0) {
-        const double w = counts[r] / row_sum;
-        for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
-      }
-    }
-    bool has_conv = true;
-    for (int64_t c = 0; c < C; ++c) {
-      fresh[c] /= denom;
-      if (fresh[c] >= MIN_ABUNDANCE &&
-          std::abs(fresh[c] - abund[c]) / fresh[c] > conv) {
-        has_conv = false;
-      }
-    }
-    conv_its = has_conv ? conv_its + 1 : 0;
-    std::swap(abund, fresh);
-  }
-}
-
 }  // namespace nested
 
 extern "C" {
@@ -2980,18 +2961,18 @@ uint8_t* rpvg_nested_diploid_infer(
     const int64_t* row_offsets, const int64_t* n_rows, const int64_t* n_cols,
     int64_t n_slots, const int64_t* group_spec_stream,
     const int64_t* group_spec_offsets, const int64_t* n_groups,
-    const double* group_src_counts, const int64_t* group_count_offsets,
+    const double* lf_concat, const int64_t* group_count_offsets,
     double min_rel_likelihood, double min_hap_prob, double precision,
     int64_t max_em_its, double em_conv, int64_t em_area_cutoff,
     int32_t n_threads, int64_t* out_len) {
   const double log_cutoff = std::log(min_rel_likelihood);
-  const double log2v = std::log(2.0);
 
   std::vector<nested::SlotStreams> slots(n_slots);
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
-    std::vector<double> gmat, gcnt, lf, scores, post;
-    std::vector<int64_t> pairs, spec, key;
+    std::vector<double> gmat, gcnt, scores, post;
+    std::vector<int32_t> pairs;
+    std::vector<int64_t> spec, key;
     std::vector<double> tmat, tcnt, abund, fresh;
     for (;;) {
       int64_t b = next.fetch_add(1);
@@ -3004,7 +2985,7 @@ uint8_t* rpvg_nested_diploid_infer(
       const double* noise = noise_concat + row_offsets[b];
       const double* counts = counts_concat + row_offsets[b];
       const int64_t* gspec = group_spec_stream + group_spec_offsets[b];
-      const double* gcounts = group_src_counts + group_count_offsets[b];
+      const double* lf = lf_concat + group_count_offsets[b];
 
       double total_count = 0.0;
       for (int64_t r = 0; r < R; ++r) total_count += counts[r];
@@ -3017,54 +2998,17 @@ uint8_t* rpvg_nested_diploid_infer(
                                              gspec, G, precision,
                                              gmat.data(), gcnt.data());
 
-      // Log frequency prior from the source multiplicities.
-      lf.assign(G, 0.0);
-      double gc_total = 0.0;
-      for (int64_t g = 0; g < G; ++g) gc_total += gcounts[g];
-      for (int64_t g = 0; g < G; ++g) lf[g] = std::log(gcounts[g] / gc_total);
-
-      // Phase B: diploid pair scoring + relative-likelihood selection
-      // (rpvg_diploid_posteriors_ragged arithmetic; row stride G+1 with
-      // the noise value in the trailing column).
+      // Phase B: diploid pair scoring + relative-likelihood selection —
+      // the same compiled body as rpvg_diploid_posteriors_ragged, read
+      // with row stride G+1 (noise in the trailing column).
       const int64_t tri = G * (G + 1) / 2;
-      scores.assign(tri, 0.0);
-      double max_ll = -std::numeric_limits<double>::infinity();
-      int64_t t = 0;
-      for (int64_t i = 0; i < G; ++i) {
-        for (int64_t j = i; j < G; ++j, ++t) {
-          double s = 0.0;
-          for (int64_t r = 0; r < Rg; ++r) {
-            const double* row = gmat.data() + r * (G + 1);
-            const double g = row[G] + 0.5 * row[i] + 0.5 * row[j];
-            s += gcnt[r] * (g > 0.0
-                                ? std::log(g)
-                                : -std::numeric_limits<double>::infinity());
-          }
-          s += lf[i] + lf[j];
-          if (i != j) s += log2v;
-          scores[t] = s;
-          if (s > max_ll) max_ll = s;
-        }
-      }
-      pairs.clear();
-      post.clear();
-      double post_total = 0.0;
-      const bool finite_max = std::isfinite(max_ll);
-      t = 0;
-      for (int64_t i = 0; i < G; ++i) {
-        for (int64_t j = i; j < G; ++j, ++t) {
-          if (scores[t] - max_ll >= log_cutoff) {
-            pairs.push_back(i);
-            pairs.push_back(j);
-            const double e = finite_max
-                                 ? std::exp(scores[t] - max_ll)
-                                 : std::numeric_limits<double>::quiet_NaN();
-            post.push_back(e);
-            post_total += e;
-          }
-        }
-      }
-      for (double& p : post) p /= post_total;
+      pairs.assign(2 * tri, 0);
+      post.assign(tri, 0.0);
+      const int64_t n_kept = diploid_score_select_one(
+          gmat.data(), G + 1, gmat.data() + G, G + 1, gcnt.data(), lf,
+          Rg, G, log_cutoff, scores, pairs.data(), post.data());
+      pairs.resize(2 * n_kept);
+      post.resize(n_kept);
 
       // Phase C: posterior-weighted subset selection in first-seen
       // order (the Python dict-insertion contract).
@@ -3129,8 +3073,8 @@ uint8_t* rpvg_nested_diploid_infer(
             em_area_cutoff <= 0 || kept * width < em_area_cutoff;
         out.has_fracs.push_back(run_em ? 1 : 0);
         if (run_em) {
-          nested::em_fixed_point(tmat.data(), tcnt.data(), kept, width,
-                                 max_em_its, em_conv, abund, fresh);
+          em_fixed_point_one(tmat.data(), tcnt.data(), kept, width,
+                             max_em_its, em_conv, abund, fresh);
           out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
         } else {
           out.mats.insert(out.mats.end(), tmat.begin(),

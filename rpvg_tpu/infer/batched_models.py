@@ -250,6 +250,7 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
         estimator.group_size == 2
         and not estimator.use_group_post_gibbs
         and estimator.num_gibbs_samples == 0
+        and os.environ.get("RPVG_TPU_FUSED_NESTED", "1") != "0"
     ):
         from .batching import native_em_available
 

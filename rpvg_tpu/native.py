@@ -862,6 +862,10 @@ def nested_diploid_infer(
     )
 
     n_groups = np.fromiter((s[1] for s in group_specs), np.int64, n)
+    if n and int(n_groups.min()) == 0:
+        # Degenerate slot without source groups: the staged path
+        # handles it; reduceat below cannot.
+        return None
     spec_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum([s[0].size for s in group_specs], out=spec_offsets[1:])
     spec_concat = (
@@ -874,6 +878,14 @@ def nested_diploid_infer(
         np.concatenate([np.asarray(c, dtype=np.float64) for c in group_src_counts])
         if n else empty_f
     )
+    # Log frequency priors computed HERE with numpy (np.log can differ
+    # from libm's log by an ulp; the staged path uses numpy, and the
+    # fused kernel must match it bitwise).
+    if n:
+        seg_totals = np.add.reduceat(gc_concat, gc_offsets[:-1])
+        lf_concat = np.log(gc_concat / np.repeat(seg_totals, n_groups))
+    else:
+        lf_concat = empty_f
 
     if n_threads <= 0:
         n_threads = min(16, os.cpu_count() or 1)
@@ -884,7 +896,7 @@ def nested_diploid_infer(
         as_f64(dense_concat), as_f64(noise_concat), as_f64(counts_concat),
         as_i64(dense_offsets), as_i64(row_offsets), as_i64(n_rows), as_i64(n_cols),
         n, as_i64(spec_concat), as_i64(spec_offsets), as_i64(n_groups),
-        as_f64(gc_concat), as_i64(gc_offsets),
+        as_f64(lf_concat), as_i64(gc_offsets),
         float(min_rel_likelihood), float(min_hap_prob), float(prob_precision),
         int(max_em_its), float(max_rel_em_conv), int(em_area_cutoff),
         int(n_threads), ctypes.byref(out_len),
