@@ -2964,7 +2964,7 @@ uint8_t* rpvg_nested_diploid_infer(
     const double* lf_concat, const int64_t* group_count_offsets,
     double min_rel_likelihood, double min_hap_prob, double precision,
     int64_t max_em_its, double em_conv, int64_t em_area_cutoff,
-    int32_t n_threads, int64_t* out_len) {
+    int32_t emit_matrices, int32_t n_threads, int64_t* out_len) {
   const double log_cutoff = std::log(min_rel_likelihood);
 
   std::vector<nested::SlotStreams> slots(n_slots);
@@ -3076,7 +3076,11 @@ uint8_t* rpvg_nested_diploid_infer(
           em_fixed_point_one(tmat.data(), tcnt.data(), kept, width,
                              max_em_its, em_conv, abund, fresh);
           out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
-        } else {
+        }
+        // Gibbs configurations need every task's collapsed matrix for
+        // the read-count sampler (emit_matrices); device-EM handoffs
+        // (!run_em) always do.
+        if (!run_em || emit_matrices) {
           out.mats.insert(out.mats.end(), tmat.begin(),
                           tmat.begin() + kept * width);
           out.cnts.insert(out.cnts.end(), tcnt.begin(), tcnt.begin() + kept);

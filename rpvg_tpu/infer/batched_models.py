@@ -249,14 +249,13 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
     if (
         estimator.group_size == 2
         and not estimator.use_group_post_gibbs
-        and estimator.num_gibbs_samples == 0
         and os.environ.get("RPVG_TPU_FUSED_NESTED", "1") != "0"
     ):
         from .batching import native_em_available
 
         if native_em_available():
             done = _batched_haplotype_transcripts_fused(
-                estimator, cluster_data, timing, t0
+                estimator, cluster_data, timing, t0, rng_seed, ranks
             )
             if done:
                 return
@@ -401,16 +400,22 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
     )
 
 
-def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) -> bool:
-    """One-call native execution of the collapsed diploid non-Gibbs
-    nested model (native rpvg_nested_diploid_infer); returns False when
-    the native library is unavailable so the staged path runs."""
+def _batched_haplotype_transcripts_fused(
+    estimator, cluster_data, timing, t0, rng_seed=0, ranks=None
+) -> bool:
+    """One-call native execution of the collapsed diploid nested model
+    (native rpvg_nested_diploid_infer), including read-count Gibbs
+    configurations (task matrices are emitted for the sampler); returns
+    False when the native library is unavailable so the staged path
+    runs."""
     import os
     import sys
     import time
 
     from ..native import nested_diploid_infer
     from .matrices import cluster_matrix
+
+    rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
 
     meta: List[int] = []
     dense_clusters = []
@@ -437,6 +442,7 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device
 
+    emit_matrices = estimator.num_gibbs_samples > 0
     streams = nested_diploid_infer(
         dense_clusters,
         group_specs,
@@ -447,6 +453,7 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         max_em_its=estimator.max_em_its,
         max_rel_em_conv=estimator.max_rel_em_conv,
         em_area_cutoff=em_area_cutoff,
+        emit_matrices=emit_matrices,
     )
     if streams is None:
         return False
@@ -474,24 +481,27 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
     np.cumsum(n_col_arr, out=col_bounds[1:])
     fr_bounds = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(np.where(has_fracs, n_col_arr + 1, 0), out=fr_bounds[1:])
+    has_mat = (
+        np.ones(T, dtype=bool) if emit_matrices else ~has_fracs
+    )
     mat_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(np.where(has_fracs, 0, kept_arr * (n_col_arr + 1)), out=mat_bounds[1:])
+    np.cumsum(np.where(has_mat, kept_arr * (n_col_arr + 1), 0), out=mat_bounds[1:])
     cnt_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(np.where(has_fracs, 0, kept_arr), out=cnt_bounds[1:])
+    np.cumsum(np.where(has_mat, kept_arr, 0), out=cnt_bounds[1:])
+
+    def task_matrix(t):
+        return (
+            mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
+                int(kept_arr[t]), int(n_col_arr[t]) + 1
+            ),
+            cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
+        )
 
     # Device EM for any tasks the area cutoff filtered out.
     device_tasks = np.flatnonzero(~has_fracs)
     if device_tasks.size:
         device_results = run_batched_em(
-            [
-                (
-                    mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
-                        int(kept_arr[t]), int(n_col_arr[t]) + 1
-                    ),
-                    cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
-                )
-                for t in device_tasks
-            ],
+            [task_matrix(t) for t in device_tasks],
             estimator.max_em_its,
             estimator.max_rel_em_conv,
         )
@@ -499,8 +509,104 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
     else:
         device_of = {}
 
-    # Post-EM tail (exact run_batched_em/run_native_em semantics) and
-    # per-cluster posterior-weighted combination, consuming the columnar
+    # Post-EM tail (exact run_batched_em/run_native_em semantics).
+    slot_of_task = np.repeat(np.arange(len(meta)), n_tasks)
+    em_results = []
+    for t in range(T):
+        if has_fracs[t]:
+            total_count = float(totals[slot_of_task[t]])
+            fracs = fracs_all[fr_bounds[t] : fr_bounds[t + 1]]
+            # Collapse preserves the (integral) read-count total, so
+            # the cluster total is exact for the per-task sum.
+            path_counts = fracs[:-1] * total_count
+            low = fracs[:-1] < MIN_EM_ABUNDANCE
+            noise_count = float(path_counts[low].sum()) + float(
+                fracs[-1] * total_count
+            )
+            path_counts = path_counts.copy()
+            path_counts[low] = 0.0
+            em_results.append((path_counts, noise_count))
+        else:
+            em_results.append(device_of[t])
+
+    # Read-count Gibbs sampling per selected subset (exact staged
+    # semantics: the posterior phase consumed no PRNG keys in this
+    # non-Gibbs-posterior configuration, so key_base is 0 and the host
+    # RNG stream starts fresh per cluster rank).
+    if estimator.num_gibbs_samples > 0:
+        from .readcount_gibbs import run_batched_gibbs
+
+        jobs = []  # (slot, key_idx, task_id, n_here)
+        key_ranks = []
+        max_depth = 0
+        for slot, ci in enumerate(meta):
+            np_rng = np.random.default_rng((rng_seed, rank_of(ci)))
+            remaining_gibbs = estimator.num_gibbs_samples
+            remaining_prob = 1.0
+            key_count = 0
+            for t in range(int(task_bounds[slot]), int(task_bounds[slot + 1])):
+                if remaining_gibbs > 0:
+                    sp = float(sp_arr[t])
+                    n_here = int(
+                        np_rng.binomial(
+                            remaining_gibbs, min(1.0, sp / remaining_prob)
+                        )
+                    )
+                    remaining_gibbs -= n_here
+                    remaining_prob -= sp
+                    if n_here > 0:
+                        jobs.append((slot, key_count, t, n_here))
+                        key_count += 1
+            if key_count:
+                key_ranks.append(ci)
+                max_depth = max(max_depth, key_count)
+
+        if jobs:
+            chains = cluster_gibbs_key_chains(
+                rng_seed, [rank_of(ci) for ci in key_ranks], max_depth
+            )
+            chain_of = {ci: chains[i] for i, ci in enumerate(key_ranks)}
+
+            def _pow2(n):
+                size = 1
+                while size < n:
+                    size *= 2
+                return size
+
+            shared_pad = _pow2(max(job[3] for job in jobs))
+            inputs = []
+            keys = []
+            for slot, key_idx, t, _ in jobs:
+                matrix, counts = task_matrix(t)
+                abundances, noise_count = em_results[t]
+                inputs.append(
+                    (
+                        matrix,
+                        counts,
+                        np.asarray(abundances),
+                        noise_count,
+                        float(totals[slot]),
+                    )
+                )
+                keys.append(chain_of[meta[slot]][key_idx])
+            for (slot, _, t, n_here), (noise_samples, path_samples) in zip(
+                jobs,
+                run_batched_gibbs(
+                    inputs, keys, shared_pad, estimator.gibbs_thin_its
+                ),
+            ):
+                _attach_gibbs_samples(
+                    cluster_data[meta[slot]][0],
+                    collapsed_all[col_bounds[t] : col_bounds[t + 1]].tolist(),
+                    noise_samples[:n_here],
+                    path_samples[:n_here],
+                )
+
+        if timing:
+            print(f"  [timing]   fused Gibbs ({len(jobs)} jobs): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+            t0 = time.perf_counter()
+
+    # Per-cluster posterior-weighted combination, consuming the columnar
     # task streams directly (no per-task dict/tuple materialisation).
     for slot, ci in enumerate(meta):
         est = cluster_data[ci][0]
@@ -512,19 +618,7 @@ def _batched_haplotype_transcripts_fused(estimator, cluster_data, timing, t0) ->
         sum_hap_prob = 0.0
 
         for t in range(int(task_bounds[slot]), int(task_bounds[slot + 1])):
-            if has_fracs[t]:
-                fracs = fracs_all[fr_bounds[t] : fr_bounds[t + 1]]
-                # Collapse preserves the (integral) read-count total, so
-                # the cluster total is exact for the per-task sum.
-                path_counts = fracs[:-1] * total_count
-                low = fracs[:-1] < MIN_EM_ABUNDANCE
-                noise_count = float(path_counts[low].sum()) + float(
-                    fracs[-1] * total_count
-                )
-                path_counts = path_counts.copy()
-                path_counts[low] = 0.0
-            else:
-                path_counts, noise_count = device_of[t]
+            path_counts, noise_count = em_results[t]
 
             # combine_subset_tasks semantics (reference
             # inferPathSubsetAbundance :608-750 combine tail), reading

@@ -803,6 +803,7 @@ def nested_diploid_infer(
     max_em_its: int,
     max_rel_em_conv: float,
     em_area_cutoff: int = 0,
+    emit_matrices: bool = False,
     n_threads: int = 0,
 ):
     """Fused nested-model inference (native/rpvg_native.cpp:
@@ -835,7 +836,7 @@ def nested_diploid_infer(
             ctypes.POINTER(ctypes.c_int64),
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
         ]
         lib._nested_configured = True
 
@@ -899,7 +900,7 @@ def nested_diploid_infer(
         as_f64(lf_concat), as_i64(gc_offsets),
         float(min_rel_likelihood), float(min_hap_prob), float(prob_precision),
         int(max_em_its), float(max_rel_em_conv), int(em_area_cutoff),
-        int(n_threads), ctypes.byref(out_len),
+        int(bool(emit_matrices)), int(n_threads), ctypes.byref(out_len),
     )
     try:
         data = ctypes.string_at(out_ptr, out_len.value)

@@ -119,3 +119,34 @@ def test_fused_matches_staged_and_per_cluster(min_hap_prob):
             np.asarray(a.abundances), np.asarray(b.abundances),
             rtol=1e-6, atol=1e-9,
         )
+
+
+@pytest.mark.skipif(not native_em_available(), reason="native library unavailable")
+def test_fused_gibbs_matches_staged():
+    # Read-count Gibbs configuration: the fused path must replicate the
+    # staged driver bitwise — sample allocation (host RNG stream), PRNG
+    # key chains and the sampler inputs are all identical.
+    rng = np.random.default_rng(29)
+    clusters = _random_population(rng, 12)
+    estimator = NestedPathAbundanceEstimator(
+        group_size=2,
+        min_hap_prob=0.001,
+        infer_collapsed=True,
+        use_group_post_gibbs=False,
+        num_gibbs_samples=8,
+    )
+
+    fused = _run(clusters, estimator, "fused")
+    staged = _run(clusters, estimator, "staged")
+
+    for a, b in zip(staged, fused):
+        assert a.noise_count == b.noise_count
+        assert a.path_group_sets == b.path_group_sets
+        np.testing.assert_array_equal(
+            np.asarray(a.abundances), np.asarray(b.abundances)
+        )
+        assert len(a.gibbs_read_count_samples) == len(b.gibbs_read_count_samples)
+        for sa, sb in zip(a.gibbs_read_count_samples, b.gibbs_read_count_samples):
+            assert sa.path_ids == sb.path_ids
+            assert sa.noise_samples == sb.noise_samples
+            assert sa.abundance_samples == sb.abundance_samples
