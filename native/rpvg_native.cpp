@@ -2175,6 +2175,26 @@ __attribute__((noinline)) static void em_fixed_point_one(
   }
 }
 
+// The reference's sub-threshold folding (src/path_abundance_estimator.
+// cpp:100-113): abundances below 1e-8 zero out, their mass (and the
+// noise column) accumulates into the noise count sequentially.
+__attribute__((noinline)) static void em_postprocess_one(
+    const double* fracs, int64_t width, double total, double* out_counts,
+    double* out_noise) {
+  constexpr double MIN_ABUNDANCE = 1e-8;
+  double noise_acc = 0.0;
+  for (int64_t c = 0; c < width - 1; ++c) {
+    const double pc = fracs[c] * total;
+    if (fracs[c] < MIN_ABUNDANCE) {
+      noise_acc += pc;
+      out_counts[c] = 0.0;
+    } else {
+      out_counts[c] = pc;
+    }
+  }
+  *out_noise = noise_acc + fracs[width - 1] * total;
+}
+
 __attribute__((noinline)) static int64_t diploid_score_select_one(
     const double* probs, int64_t prob_stride, const double* noise,
     int64_t noise_stride, const double* counts, const double* lf, int64_t R,
@@ -2258,6 +2278,47 @@ void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
     }
   };
 
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// rpvg_em_ragged plus the sub-threshold postprocess fused in: per
+// cluster C_b-1 path read counts (floored mass folded to noise) and a
+// noise count.  out_counts_concat is laid out at col_offsets[b] - b
+// (each cluster is one narrower than its fraction vector).
+void rpvg_em_ragged_counts(const double* probs_concat,
+                           const double* counts_concat,
+                           const int64_t* mat_offsets,
+                           const int64_t* row_offsets,
+                           const int64_t* col_offsets, const int64_t* n_rows,
+                           const int64_t* n_cols, int64_t n_clusters,
+                           int64_t max_its, double conv, int32_t n_threads,
+                           double* out_counts_concat, double* out_noise) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> abund, fresh;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_clusters) return;
+      const int64_t R = n_rows[b];
+      const int64_t C = n_cols[b];
+      const double* P = probs_concat + mat_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+      em_fixed_point_one(P, counts, R, C, max_its, conv, abund, fresh);
+      double total = 0.0;
+      for (int64_t r = 0; r < R; ++r) total += counts[r];
+      em_postprocess_one(abund.data(), C, total,
+                         out_counts_concat + col_offsets[b] - b,
+                         out_noise + b);
+    }
+  };
   int32_t threads = std::max(1, n_threads);
   if (threads == 1 || n_clusters <= 1) {
     worker();
@@ -2940,6 +3001,14 @@ struct SlotStreams {
   std::vector<double> fracs;
   std::vector<double> mats;
   std::vector<double> cnts;
+  // Combine outputs (valid when `combined`): the finished per-cluster
+  // estimate — group sets, posteriors, abundances, noise count.
+  uint8_t combined = 0;
+  double noise_count = 0.0;
+  std::vector<int64_t> set_lens;
+  std::vector<int64_t> set_ids;
+  std::vector<double> set_posteriors;
+  std::vector<double> set_abundances;
 };
 
 }  // namespace nested
@@ -2962,6 +3031,7 @@ uint8_t* rpvg_nested_diploid_infer(
     int64_t n_slots, const int64_t* group_spec_stream,
     const int64_t* group_spec_offsets, const int64_t* n_groups,
     const double* lf_concat, const int64_t* group_count_offsets,
+    const int64_t* gid_concat, const int64_t* gid_offsets,
     double min_rel_likelihood, double min_hap_prob, double precision,
     int64_t max_em_its, double em_conv, int64_t em_area_cutoff,
     int32_t emit_matrices, int32_t n_threads, int64_t* out_len) {
@@ -2986,6 +3056,7 @@ uint8_t* rpvg_nested_diploid_infer(
       const double* counts = counts_concat + row_offsets[b];
       const int64_t* gspec = group_spec_stream + group_spec_offsets[b];
       const double* lf = lf_concat + group_count_offsets[b];
+      const int64_t* gid = gid_concat + gid_offsets[b];
 
       double total_count = 0.0;
       for (int64_t r = 0; r < R; ++r) total_count += counts[r];
@@ -3039,7 +3110,23 @@ uint8_t* rpvg_nested_diploid_infer(
         total_posterior += posterior;
       }
 
-      // Emit tasks: collapse + EM per selected subset.
+      // Emit tasks: collapse + EM per selected subset, accumulating the
+      // posterior-weighted combination (reference
+      // inferPathSubsetAbundance :608-750 combine tail) alongside.  A
+      // slot finishes combined unless any task's EM was deferred to the
+      // device (area cutoff) — then Python combines from the streams.
+      std::vector<std::vector<int64_t>> ge_keys;
+      std::vector<double> ge_post;
+      std::vector<std::vector<double>> ge_abund;
+      std::map<std::vector<int64_t>, size_t> ge_index;
+      std::vector<double> pc_buf;
+      std::vector<int64_t> bg_groups;
+      std::vector<std::vector<int64_t>> bg_paths;
+      std::vector<std::vector<double>> bg_vals;
+      double sum_hap = 0.0;
+      double noise_combined = 0.0;
+      bool all_em = true;
+
       for (size_t k = 0; k < keys.size(); ++k) {
         const double subset_prob = key_probs[k] / total_posterior;
         if (subset_prob < min_hap_prob) continue;
@@ -3076,6 +3163,58 @@ uint8_t* rpvg_nested_diploid_infer(
           em_fixed_point_one(tmat.data(), tcnt.data(), kept, width,
                              max_em_its, em_conv, abund, fresh);
           out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
+
+          if (all_em) {
+            pc_buf.assign(n_col, 0.0);
+            double tnoise = 0.0;
+            em_postprocess_one(abund.data(), width, total_count,
+                               pc_buf.data(), &tnoise);
+            sum_hap += subset_prob;
+            noise_combined += tnoise * subset_prob;
+
+            // First-seen transcript-group split of the expanded subset.
+            bg_groups.clear();
+            bg_paths.clear();
+            bg_vals.clear();
+            for (int64_t j = 0; j < n_col; ++j) {
+              const int64_t pid = out.collapsed[col_base + j];
+              const int64_t m = out.mult[col_base + j];
+              const int64_t g = gid[pid];
+              const double contrib = pc_buf[j] * subset_prob / m;
+              size_t gi = 0;
+              for (; gi < bg_groups.size(); ++gi) {
+                if (bg_groups[gi] == g) break;
+              }
+              if (gi == bg_groups.size()) {
+                bg_groups.push_back(g);
+                bg_paths.emplace_back();
+                bg_vals.emplace_back();
+              }
+              for (int64_t rep = 0; rep < m; ++rep) {
+                bg_paths[gi].push_back(pid);
+                bg_vals[gi].push_back(contrib);
+              }
+            }
+            for (size_t gi = 0; gi < bg_groups.size(); ++gi) {
+              auto it = ge_index.find(bg_paths[gi]);
+              size_t idx;
+              if (it == ge_index.end()) {
+                idx = ge_keys.size();
+                ge_index.emplace(bg_paths[gi], idx);
+                ge_keys.push_back(bg_paths[gi]);
+                ge_post.push_back(0.0);
+                ge_abund.emplace_back(bg_paths[gi].size(), 0.0);
+              } else {
+                idx = it->second;
+              }
+              ge_post[idx] += subset_prob;
+              auto& acc = ge_abund[idx];
+              const auto& vals = bg_vals[gi];
+              for (size_t i = 0; i < acc.size(); ++i) acc[i] += vals[i];
+            }
+          }
+        } else {
+          all_em = false;
         }
         // Gibbs configurations need every task's collapsed matrix for
         // the read-count sampler (emit_matrices); device-EM handoffs
@@ -3084,6 +3223,20 @@ uint8_t* rpvg_nested_diploid_infer(
           out.mats.insert(out.mats.end(), tmat.begin(),
                           tmat.begin() + kept * width);
           out.cnts.insert(out.cnts.end(), tcnt.begin(), tcnt.begin() + kept);
+        }
+      }
+
+      if (all_em) {
+        noise_combined += (1.0 - sum_hap) * total_count;
+        out.combined = 1;
+        out.noise_count = noise_combined;
+        for (size_t s = 0; s < ge_keys.size(); ++s) {
+          out.set_lens.push_back(static_cast<int64_t>(ge_keys[s].size()));
+          out.set_ids.insert(out.set_ids.end(), ge_keys[s].begin(),
+                             ge_keys[s].end());
+          out.set_posteriors.push_back(ge_post[s]);
+          out.set_abundances.insert(out.set_abundances.end(),
+                                    ge_abund[s].begin(), ge_abund[s].end());
         }
       }
     }
@@ -3102,16 +3255,20 @@ uint8_t* rpvg_nested_diploid_infer(
   // Assemble the global streams.
   int64_t n_tasks_total = 0, collapsed_total = 0, fracs_total = 0;
   int64_t mat_total = 0, cnt_total = 0;
+  int64_t sets_total = 0, set_ids_total = 0;
   for (const auto& s : slots) {
     n_tasks_total += static_cast<int64_t>(s.subset_prob.size());
     collapsed_total += static_cast<int64_t>(s.collapsed.size());
     fracs_total += static_cast<int64_t>(s.fracs.size());
     mat_total += static_cast<int64_t>(s.mats.size());
     cnt_total += static_cast<int64_t>(s.cnts.size());
+    sets_total += static_cast<int64_t>(s.set_lens.size());
+    set_ids_total += static_cast<int64_t>(s.set_ids.size());
   }
   const size_t total_bytes =
       16 + n_slots * 16 + n_tasks_total * 25 + 8 + collapsed_total * 16 +
-      8 + fracs_total * 8 + 16 + mat_total * 8 + cnt_total * 8;
+      8 + fracs_total * 8 + 16 + mat_total * 8 + cnt_total * 8 +
+      n_slots * 17 + 16 + sets_total * 16 + set_ids_total * 16;
   auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
   size_t off = 0;
   auto put_i64 = [&](int64_t v) {
@@ -3142,6 +3299,16 @@ uint8_t* rpvg_nested_diploid_infer(
   put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.mats; }, 8);
   put_i64(cnt_total);
   put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.cnts; }, 8);
+  // Combine streams.
+  for (const auto& s : slots) { buf[off] = s.combined; off += 1; }
+  for (const auto& s : slots) { std::memcpy(buf + off, &s.noise_count, 8); off += 8; }
+  for (const auto& s : slots) put_i64(static_cast<int64_t>(s.set_lens.size()));
+  put_i64(sets_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.set_lens; }, 8);
+  put_i64(set_ids_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.set_ids; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.set_posteriors; }, 8);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.set_abundances; }, 8);
   *out_len = static_cast<int64_t>(off);
   return buf;
 }

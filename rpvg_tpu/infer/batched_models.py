@@ -33,7 +33,7 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD, MIN_EM_ABUNDANCE
-from .batching import run_batched_em
+from .batching import em_postprocess, run_batched_em
 from .estimators import (
     MinimumPathAbundanceEstimator,
     NestedPathAbundanceEstimator,
@@ -421,6 +421,7 @@ def _batched_haplotype_transcripts_fused(
     dense_clusters = []
     group_specs = []
     group_src_counts = []
+    group_ids = []
     for ci, (est, cluster_probs) in enumerate(cluster_data):
         est.reset(0, 0)
         if not cluster_probs:
@@ -429,6 +430,11 @@ def _batched_haplotype_transcripts_fused(
         dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
         group_specs.append(_flat_group_spec(source_groups))
         group_src_counts.append(source_counts)
+        group_ids.append(
+            np.fromiter(
+                (info.group_id for info in est.paths), np.int64, len(est.paths)
+            )
+        )
         meta.append(ci)
 
     # On accelerator backends keep routing LARGE subset-EM matrices to
@@ -447,6 +453,7 @@ def _batched_haplotype_transcripts_fused(
         dense_clusters,
         group_specs,
         group_src_counts,
+        group_ids,
         min_rel_likelihood=estimator.min_hap_prob,
         min_hap_prob=estimator.min_hap_prob,
         prob_precision=estimator.prob_precision,
@@ -509,25 +516,21 @@ def _batched_haplotype_transcripts_fused(
     else:
         device_of = {}
 
-    # Post-EM tail (exact run_batched_em/run_native_em semantics).
+    # Post-EM tail (exact run_batched_em/run_native_em semantics).  The
+    # kernel already folded these results into its per-slot combine;
+    # Python re-derives them only where needed — Gibbs sampler inputs
+    # and the (device-deferred) fallback combine below.
     slot_of_task = np.repeat(np.arange(len(meta)), n_tasks)
-    em_results = []
-    for t in range(T):
+
+    def task_em_result(t):
         if has_fracs[t]:
-            total_count = float(totals[slot_of_task[t]])
-            fracs = fracs_all[fr_bounds[t] : fr_bounds[t + 1]]
             # Collapse preserves the (integral) read-count total, so
             # the cluster total is exact for the per-task sum.
-            path_counts = fracs[:-1] * total_count
-            low = fracs[:-1] < MIN_EM_ABUNDANCE
-            noise_count = float(path_counts[low].sum()) + float(
-                fracs[-1] * total_count
+            return em_postprocess(
+                fracs_all[fr_bounds[t] : fr_bounds[t + 1]],
+                float(totals[slot_of_task[t]]),
             )
-            path_counts = path_counts.copy()
-            path_counts[low] = 0.0
-            em_results.append((path_counts, noise_count))
-        else:
-            em_results.append(device_of[t])
+        return device_of[t]
 
     # Read-count Gibbs sampling per selected subset (exact staged
     # semantics: the posterior phase consumed no PRNG keys in this
@@ -578,7 +581,7 @@ def _batched_haplotype_transcripts_fused(
             keys = []
             for slot, key_idx, t, _ in jobs:
                 matrix, counts = task_matrix(t)
-                abundances, noise_count = em_results[t]
+                abundances, noise_count = task_em_result(t)
                 inputs.append(
                     (
                         matrix,
@@ -606,19 +609,44 @@ def _batched_haplotype_transcripts_fused(
             print(f"  [timing]   fused Gibbs ({len(jobs)} jobs): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
             t0 = time.perf_counter()
 
-    # Per-cluster posterior-weighted combination, consuming the columnar
-    # task streams directly (no per-task dict/tuple materialisation).
+    # Per-cluster posterior-weighted combination: the kernel already
+    # combined every slot whose EM ran natively — assign its group
+    # sets/posteriors/abundances directly; only device-deferred slots
+    # run the Python combine below.
+    combined = streams["combined"].astype(bool)
+    n_sets = streams["n_sets"]
+    set_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+    np.cumsum(n_sets, out=set_bounds[1:])
+    set_lens = streams["set_lens"]
+    len_bounds = np.zeros(set_lens.size + 1, dtype=np.int64)
+    np.cumsum(set_lens, out=len_bounds[1:])
+    set_ids_all = streams["set_ids"]
+    set_post_all = streams["set_posteriors"]
+    set_ab_all = streams["set_abundances"]
+
     for slot, ci in enumerate(meta):
         est = cluster_data[ci][0]
         total_count = float(totals[slot])
         est.total_count = total_count
+
+        if combined[slot]:
+            lo, hi = int(set_bounds[slot]), int(set_bounds[slot + 1])
+            id_lo, id_hi = int(len_bounds[lo]), int(len_bounds[hi])
+            est.path_group_sets = [
+                set_ids_all[len_bounds[s] : len_bounds[s + 1]].tolist()
+                for s in range(lo, hi)
+            ]
+            est.posteriors = set_post_all[lo:hi].tolist()
+            est.abundances = set_ab_all[id_lo:id_hi].tolist()
+            est.noise_count = float(streams["slot_noise"][slot])
+            continue
 
         gid_of = [info.group_id for info in est.paths]
         group_estimates: Dict[tuple, List] = {}
         sum_hap_prob = 0.0
 
         for t in range(int(task_bounds[slot]), int(task_bounds[slot + 1])):
-            path_counts, noise_count = em_results[t]
+            path_counts, noise_count = task_em_result(t)
 
             # combine_subset_tasks semantics (reference
             # inferPathSubsetAbundance :608-750 combine tail), reading

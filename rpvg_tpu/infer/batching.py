@@ -33,6 +33,23 @@ def _ceil_pow4(n: int, floor: int = 8) -> int:
     return size
 
 
+def em_postprocess(fracs: np.ndarray, total: float) -> Tuple[np.ndarray, float]:
+    """The reference's sub-threshold folding (path_abundance_estimator.
+    cpp:100-113): abundances below 1e-8 zero out, their mass plus the
+    noise fraction becomes the noise count.  The masked sum runs
+    SEQUENTIALLY in index order (cumsum), bitwise-matching the C++
+    em_postprocess_one the native kernels use."""
+    path_counts = fracs[:-1] * total
+    low = fracs[:-1] < MIN_EM_ABUNDANCE
+    low_counts = path_counts[low]
+    noise_count = (
+        float(low_counts.cumsum()[-1]) if low_counts.size else 0.0
+    ) + float(fracs[-1] * total)
+    path_counts = path_counts.copy()
+    path_counts[low] = 0.0
+    return path_counts, noise_count
+
+
 def run_native_em(
     cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
     max_em_its: int,
@@ -71,30 +88,36 @@ def run_native_em(
         if n
         else np.empty(0, dtype=np.float64)
     )
-    out = np.empty(int(col_offsets[-1]), dtype=np.float64)
+    out_counts = np.empty(max(0, int(col_offsets[-1]) - n), dtype=np.float64)
+    out_noise = np.empty(n, dtype=np.float64)
 
     if n_threads <= 0:
         n_threads = min(16, os.cpu_count() or 1)
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
-    lib.rpvg_em_ragged(
+    if not getattr(lib, "_em_counts_configured", False):
+        lib.rpvg_em_ragged_counts.restype = None
+        lib.rpvg_em_ragged_counts.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ]
+        lib._em_counts_configured = True
+    lib.rpvg_em_ragged_counts(
         as_f64(probs_concat), as_f64(counts_concat),
         as_i64(mat_offsets), as_i64(row_offsets), as_i64(col_offsets),
         as_i64(n_rows), as_i64(n_cols), n,
         int(max_em_its), float(max_rel_em_conv), int(n_threads),
-        as_f64(out),
+        as_f64(out_counts), as_f64(out_noise),
     )
 
     results: List[Tuple[np.ndarray, float]] = []
-    for i, (_, counts) in enumerate(cluster_inputs):
-        fracs = out[col_offsets[i] : col_offsets[i + 1]]
-        total = float(np.asarray(counts, dtype=np.float64).sum())
-        path_counts = fracs[:-1] * total
-        low = fracs[:-1] < MIN_EM_ABUNDANCE
-        noise_count = float(path_counts[low].sum()) + float(fracs[-1] * total)
-        path_counts = path_counts.copy()
-        path_counts[low] = 0.0
-        results.append((path_counts, noise_count))
+    for i in range(n):
+        path_counts = out_counts[col_offsets[i] - i : col_offsets[i + 1] - (i + 1)]
+        results.append((path_counts, float(out_noise[i])))
     return results
 
 
@@ -234,12 +257,6 @@ def run_batched_em(
             probs, counts = cluster_inputs[idx]
             R, C = probs.shape
             total = float(counts.sum())
-            abundances = fracs[b, :C]
-            path_counts = abundances[:-1] * total
-            low = abundances[:-1] < MIN_EM_ABUNDANCE
-            noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total)
-            path_counts = path_counts.copy()
-            path_counts[low] = 0.0
-            results[idx] = (path_counts, noise_count)
+            results[idx] = em_postprocess(fracs[b, :C], total)
 
     return results

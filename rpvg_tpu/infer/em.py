@@ -111,12 +111,9 @@ def em_abundances(
         np.float64(max_rel_em_conv),
     )
     abundances = np.asarray(fracs, dtype=np.float64)[0, :C]
+    from .batching import em_postprocess
 
-    path_counts = abundances[:-1] * total_count
-    low = abundances[:-1] < MIN_EM_ABUNDANCE
-    noise_count = float(path_counts[low].sum()) + float(abundances[-1] * total_count)
-    path_counts[low] = 0.0
-    return path_counts, noise_count
+    return em_postprocess(abundances, total_count)
 
 
 # ------------------------------------------------------------------ batched

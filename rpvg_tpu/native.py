@@ -32,7 +32,11 @@ _lib = None
 
 def _build_library() -> bool:
     cmd = [
-        "g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC", "-pthread",
+        # -ffp-contract=off: round every FP operation like the Python/
+        # numpy spec arithmetic (no FMA contraction), so C++ twins are
+        # bitwise-comparable with the Python engines.
+        "g++", "-O3", "-march=native", "-ffp-contract=off", "-std=c++17",
+        "-shared", "-fPIC", "-pthread",
         _SRC, "-o", _LIB,
     ]
     try:
@@ -797,6 +801,7 @@ def nested_diploid_infer(
     dense_clusters,
     group_specs,
     group_src_counts,
+    group_ids,
     min_rel_likelihood: float,
     min_hap_prob: float,
     prob_precision: float,
@@ -834,6 +839,7 @@ def nested_diploid_infer(
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
             ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
@@ -888,6 +894,13 @@ def nested_diploid_infer(
     else:
         lf_concat = empty_f
 
+    gid_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_cols, out=gid_offsets[1:])
+    gid_concat = (
+        np.ascontiguousarray(np.concatenate(group_ids), dtype=np.int64)
+        if n else np.empty(0, dtype=np.int64)
+    )
+
     if n_threads <= 0:
         n_threads = min(16, os.cpu_count() or 1)
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
@@ -898,6 +911,7 @@ def nested_diploid_infer(
         as_i64(dense_offsets), as_i64(row_offsets), as_i64(n_rows), as_i64(n_cols),
         n, as_i64(spec_concat), as_i64(spec_offsets), as_i64(n_groups),
         as_f64(lf_concat), as_i64(gc_offsets),
+        as_i64(gid_concat), as_i64(gid_offsets),
         float(min_rel_likelihood), float(min_hap_prob), float(prob_precision),
         int(max_em_its), float(max_rel_em_conv), int(em_area_cutoff),
         int(bool(emit_matrices)), int(n_threads), ctypes.byref(out_len),
@@ -936,4 +950,11 @@ def nested_diploid_infer(
     streams["fracs"] = take_sized(np.float64)
     streams["mats"] = take_sized(np.float64)
     streams["cnts"] = take_sized(np.float64)
+    streams["combined"] = take(np.uint8, n)
+    streams["slot_noise"] = take(np.float64, n)
+    streams["n_sets"] = take(np.int64, n)
+    streams["set_lens"] = take_sized(np.int64)
+    streams["set_ids"] = take_sized(np.int64)
+    streams["set_posteriors"] = take(np.float64, streams["set_lens"].size)
+    streams["set_abundances"] = take(np.float64, streams["set_ids"].size)
     return streams
