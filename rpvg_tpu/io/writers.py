@@ -250,40 +250,57 @@ class HaplotypeAbundanceEstimatesWriter:
         )
 
     def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
-        n_paths = len(estimates.paths)
-        hap_probs = np.zeros(n_paths)
-        read_counts = np.zeros(n_paths)
-
-        abundance_it = iter(estimates.abundances)
-        for group_set, posterior in zip(estimates.path_group_sets, estimates.posteriors):
-            hap_probs[group_set[0]] += posterior
-            read_counts[group_set[0]] += next(abundance_it)
-            for j in range(1, len(group_set)):
-                if group_set[j] != group_set[j - 1]:
-                    hap_probs[group_set[j]] += posterior
-                read_counts[group_set[j]] += next(abundance_it)
-
-        effs = np.array([p.effective_length for p in estimates.paths], dtype=np.float64)
-        cid = str(cluster_id)
+        # Buffer only references; the group-set marginalisation and all
+        # numeric work run in ONE vectorised pass at finish.
         if not hasattr(self, "_rows"):
             self._rows = []
-            self._effs = []
-            self._haps = []
-            self._counts = []
+            self._buf = []
+            self._total_paths = 0
+        cid = str(cluster_id)
         for info in estimates.paths:
             self._rows.append(f"{info.name}\t{cid}\t{info.length}")
-        self._effs.append(effs)
-        self._haps.append(hap_probs)
-        self._counts.append(read_counts)
+        self._buf.append((self._total_paths, estimates))
+        self._total_paths += len(estimates.paths)
         self.noise_count += estimates.noise_count
 
     def finish(self, unaligned_read_count: int) -> None:
         # Buffered columns formatted in one vectorised pass (see
-        # AbundanceEstimatesWriter.finish).
+        # AbundanceEstimatesWriter.finish).  Marginalisation semantics
+        # per set: every slot's abundance adds to its path; the
+        # posterior adds once per distinct path (slots are sorted, so
+        # "first or different from previous" marks distinct).
         if getattr(self, "_rows", None):
-            effs = np.concatenate(self._effs)
-            hap_probs = np.concatenate(self._haps)
-            read_counts = np.concatenate(self._counts)
+            buf = self._buf
+            effs = np.fromiter(
+                (p.effective_length for _, est in buf for p in est.paths),
+                np.float64, self._total_paths,
+            )
+            ab_idx = np.fromiter(
+                (
+                    base + p
+                    for base, est in buf
+                    for gs in est.path_group_sets
+                    for p in gs
+                ),
+                np.int64,
+            )
+            ab_vals = np.fromiter(
+                (a for _, est in buf for a in est.abundances), np.float64,
+                ab_idx.size,
+            )
+            hap_pairs = [
+                (base + p, post)
+                for base, est in buf
+                for gs, post in zip(est.path_group_sets, est.posteriors)
+                for j, p in enumerate(gs)
+                if j == 0 or p != gs[j - 1]
+            ]
+            read_counts = np.zeros(self._total_paths)
+            np.add.at(read_counts, ab_idx, ab_vals)
+            hap_probs = np.zeros(self._total_paths)
+            if hap_pairs:
+                hp = np.asarray(hap_pairs, dtype=np.float64)
+                np.add.at(hap_probs, hp[:, 0].astype(np.int64), hp[:, 1])
             with np.errstate(divide="ignore", invalid="ignore"):
                 tpms = np.where(
                     effs > 0,
@@ -325,26 +342,56 @@ class JointHaplotypeAbundanceEstimatesWriter:
         self.handle.write("\t".join(header) + "\n")
 
     def add_estimates(self, cluster_id: int, estimates: PathClusterEstimates) -> None:
+        # Buffer per-set references; numeric formatting happens in one
+        # vectorised pass at finish.
+        if not hasattr(self, "_buf"):
+            self._buf = []  # (names, cid, posterior, counts, effs)
         abundance_it = iter(estimates.abundances)
+        cid = str(cluster_id)
         for group_set, posterior in zip(estimates.path_group_sets, estimates.posteriors):
             slot_counts = [next(abundance_it) for _ in group_set]
             if posterior < self.min_posterior:
                 continue
-            names = [estimates.paths[p].name for p in group_set]
-            names += ["."] * (self.ploidy - len(group_set))
-            row = names + [str(cluster_id), fmt(posterior)]
-            for path, count in zip(group_set, slot_counts):
-                info = estimates.paths[path]
-                tpm = 0.0
-                if info.effective_length > 0:
-                    tpm = count / info.effective_length / self.total_transcript_count * 1e6
-                row += [fmt(count), fmt(tpm)]
-            for _ in range(self.ploidy - len(group_set)):
-                row += ["0", "0"]
-            self.handle.write("\t".join(row) + "\n")
+            infos = [estimates.paths[p] for p in group_set]
+            self._buf.append(
+                (
+                    [info.name for info in infos],
+                    cid,
+                    posterior,
+                    slot_counts,
+                    [info.effective_length for info in infos],
+                )
+            )
         self.noise_counts += estimates.noise_count / self.noise_counts.size
 
     def finish(self, unaligned_read_count: int) -> None:
+        buf = getattr(self, "_buf", [])
+        if buf:
+            posts = fmt_array(np.fromiter((b[2] for b in buf), np.float64, len(buf)))
+            counts = np.fromiter(
+                (c for b in buf for c in b[3]), np.float64
+            )
+            effs = np.fromiter((e for b in buf for e in b[4]), np.float64, counts.size)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                tpms = np.where(
+                    effs > 0, counts / effs / self.total_transcript_count * 1e6, 0.0
+                )
+            count_s = fmt_array(counts)
+            tpm_s = fmt_array(tpms)
+            pad = self.ploidy
+            pieces = []
+            k = 0
+            for (names, cid, _, slot_counts, _), post_s in zip(buf, posts):
+                row = names + ["."] * (pad - len(names)) + [cid, post_s]
+                for _ in slot_counts:
+                    row.append(count_s[k])
+                    row.append(tpm_s[k])
+                    k += 1
+                for _ in range(pad - len(slot_counts)):
+                    row += ["0", "0"]
+                pieces.append("\t".join(row))
+            pieces.append("")
+            self.handle.write("\n".join(pieces))
         row = ["Unknown"] * self.ploidy + ["0", "0"]
         for noise in self.noise_counts:
             row += [fmt(noise + unaligned_read_count / self.noise_counts.size), "0"]
