@@ -167,10 +167,12 @@ def run_batched_em(
     # small clusters to the native host kernel and let them run WHILE
     # the big buckets' transfers/kernels are in flight (device chunks
     # are dispatched asynchronously below, gathered at the end).
+    # The default cutoff is tuned for a high-latency (tunnelled) link;
+    # PCIe/ICI-attached hosts can lower it to use the device more.
     # RPVG_TPU_HYBRID_EM_AREA=0 sends everything to the device.
     host_idx: List[int] = []
     if on_tpu and native_em_available():
-        area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 16384))
+        area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 65536))
         if area_cutoff > 0:
             host_idx = [
                 idx
