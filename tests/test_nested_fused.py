@@ -150,3 +150,37 @@ def test_fused_gibbs_matches_staged():
             assert sa.path_ids == sb.path_ids
             assert sa.noise_samples == sb.noise_samples
             assert sa.abundance_samples == sb.abundance_samples
+
+
+@pytest.mark.skipif(not native_em_available(), reason="native library unavailable")
+def test_fused_deferred_tasks_match_full_native(monkeypatch):
+    # Force a tiny em_area_cutoff so most tasks defer to run_batched_em
+    # (the TPU hybrid path) and slots combine through the Python
+    # fallback: results must equal the all-native fused run exactly
+    # (run_batched_em routes to the same native EM kernel on CPU).
+    import rpvg_tpu.native as native_mod
+
+    rng = np.random.default_rng(31)
+    clusters = _random_population(rng, 15)
+    estimator = NestedPathAbundanceEstimator(
+        group_size=2, min_hap_prob=0.001, infer_collapsed=True,
+        use_group_post_gibbs=False,
+    )
+
+    full = _run(clusters, estimator, "fused")
+
+    original = native_mod.nested_diploid_infer
+
+    def tiny_cutoff(*args, **kwargs):
+        kwargs["em_area_cutoff"] = 8  # nearly everything defers
+        return original(*args, **kwargs)
+
+    monkeypatch.setattr(native_mod, "nested_diploid_infer", tiny_cutoff)
+    deferred = _run(clusters, estimator, "fused")
+
+    for a, b in zip(full, deferred):
+        assert a.noise_count == b.noise_count
+        assert a.path_group_sets == b.path_group_sets
+        np.testing.assert_array_equal(
+            np.asarray(a.abundances), np.asarray(b.abundances)
+        )
