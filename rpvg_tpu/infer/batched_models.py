@@ -444,7 +444,7 @@ def _batched_haplotype_transcripts_fused(
 
     em_area_cutoff = 0
     if jax.default_backend() == "tpu":
-        em_area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 65536))
+        em_area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 262144))
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device
 

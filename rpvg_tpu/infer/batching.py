@@ -172,7 +172,7 @@ def run_batched_em(
     # RPVG_TPU_HYBRID_EM_AREA=0 sends everything to the device.
     host_idx: List[int] = []
     if on_tpu and native_em_available():
-        area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 65536))
+        area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 262144))
         if area_cutoff > 0:
             host_idx = [
                 idx
