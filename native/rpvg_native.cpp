@@ -3314,3 +3314,39 @@ uint8_t* rpvg_nested_diploid_infer(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Output row formatting (reference threaded_output_writer.cpp:6 —
+// ostream precision 8, which prints like printf %.8g): assemble
+// '<prefix>\t<num>\t<num>...\n' rows from a prefix byte blob and
+// numeric columns in one call, so the Python writers do no per-value
+// formatting.
+
+extern "C" {
+
+uint8_t* rpvg_format_rows(const uint8_t* prefix_blob,
+                          const int64_t* prefix_offsets, int64_t n_rows,
+                          const double* cols_concat, int64_t n_cols,
+                          int32_t digits, int64_t* out_len) {
+  std::string out;
+  out.reserve(static_cast<size_t>(n_rows) * (32 + 16 * n_cols));
+  char buf[64];
+  for (int64_t r = 0; r < n_rows; ++r) {
+    out.append(reinterpret_cast<const char*>(prefix_blob) + prefix_offsets[r],
+               prefix_offsets[r + 1] - prefix_offsets[r]);
+    for (int64_t c = 0; c < n_cols; ++c) {
+      out.push_back('\t');
+      const double v = cols_concat[c * n_rows + r];
+      const int len = std::snprintf(buf, sizeof(buf), "%.*g",
+                                    static_cast<int>(digits), v);
+      out.append(buf, len);
+    }
+    out.push_back('\n');
+  }
+  auto* res = static_cast<uint8_t*>(std::malloc(out.size()));
+  std::memcpy(res, out.data(), out.size());
+  *out_len = static_cast<int64_t>(out.size());
+  return res;
+}
+
+}  // extern "C"

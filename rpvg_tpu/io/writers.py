@@ -45,6 +45,22 @@ def fmt_array(values: np.ndarray, digits: int = OUT_PRECISION_DIGITS) -> np.ndar
     return np.char.mod(f"%.{digits}g", np.asarray(values, dtype=np.float64))
 
 
+def format_rows(
+    prefixes: Sequence[str],
+    columns: Sequence[np.ndarray],
+    digits: int = OUT_PRECISION_DIGITS,
+) -> Optional[str]:
+    """'<prefix>\\t<num>...\\n' rows with every numeric cell %.<digits>g
+    formatted — one native call (rpvg_format_rows) when the C++ library
+    is present, else None (callers keep their numpy fallback).  snprintf
+    %g and numpy's %g produce identical digit strings."""
+    try:
+        from ..native import format_rows_native
+    except Exception:
+        return None
+    return format_rows_native(prefixes, columns, digits)
+
+
 def _open(path: str) -> TextIO:
     if path.endswith(".gz"):
         return gzip.open(path, "wt")
@@ -223,13 +239,14 @@ class AbundanceEstimatesWriter:
                 tpms = np.where(
                     effs > 0, counts / effs / self.total_transcript_count * 1e6, 0.0
                 )
-            eff_s, count_s, tpm_s = fmt_array(effs), fmt_array(counts), fmt_array(tpms)
-            self.handle.write(
-                "".join(
+            text = format_rows(self._rows, [effs, counts, tpms])
+            if text is None:
+                eff_s, count_s, tpm_s = fmt_array(effs), fmt_array(counts), fmt_array(tpms)
+                text = "".join(
                     f"{head}\t{e}\t{c}\t{t}\n"
                     for head, e, c, t in zip(self._rows, eff_s, count_s, tpm_s)
                 )
-            )
+            self.handle.write(text)
         self.handle.write(
             f"Unknown\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
         )
@@ -307,18 +324,19 @@ class HaplotypeAbundanceEstimatesWriter:
                     read_counts / effs / self.total_transcript_count * 1e6,
                     0.0,
                 )
-            eff_s = fmt_array(effs)
-            hap_s = fmt_array(hap_probs)
-            count_s = fmt_array(read_counts)
-            tpm_s = fmt_array(tpms)
-            self.handle.write(
-                "".join(
+            text = format_rows(self._rows, [effs, hap_probs, read_counts, tpms])
+            if text is None:
+                eff_s = fmt_array(effs)
+                hap_s = fmt_array(hap_probs)
+                count_s = fmt_array(read_counts)
+                tpm_s = fmt_array(tpms)
+                text = "".join(
                     f"{head}\t{e}\t{h}\t{c}\t{t}\n"
                     for head, e, h, c, t in zip(
                         self._rows, eff_s, hap_s, count_s, tpm_s
                     )
                 )
-            )
+            self.handle.write(text)
         self.handle.write(
             f"Unknown\t0\t0\t0\t0\t{fmt(self.noise_count + unaligned_read_count)}\t0\n"
         )

@@ -958,3 +958,47 @@ def nested_diploid_infer(
     streams["set_posteriors"] = take(np.float64, streams["set_lens"].size)
     streams["set_abundances"] = take(np.float64, streams["set_ids"].size)
     return streams
+
+
+def format_rows_native(prefixes, columns, digits: int = 8):
+    """Assemble '<prefix>\\t<g-formatted num>...\\n' output rows in C++
+    (native rpvg_format_rows); returns the text or None when the
+    library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_fmt_rows_configured", False):
+        lib.rpvg_format_rows.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rpvg_format_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._fmt_rows_configured = True
+
+    n = len(prefixes)
+    joined = "".join(prefixes).encode()
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(
+        np.fromiter((len(p.encode()) if not p.isascii() else len(p) for p in prefixes), np.int64, n),
+        out=offsets[1:],
+    )
+    blob = np.frombuffer(joined, dtype=np.uint8)
+    cols = np.ascontiguousarray(
+        np.stack([np.asarray(c, dtype=np.float64) for c in columns])
+        if columns else np.empty((0, n), dtype=np.float64)
+    )
+    out_len = ctypes.c_int64()
+    out_ptr = lib.rpvg_format_rows(
+        blob.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n,
+        cols.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        len(columns),
+        int(digits),
+        ctypes.byref(out_len),
+    )
+    try:
+        return ctypes.string_at(out_ptr, out_len.value).decode()
+    finally:
+        lib.rpvg_buffer_free(out_ptr)
