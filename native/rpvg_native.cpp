@@ -3350,3 +3350,193 @@ uint8_t* rpvg_format_rows(const uint8_t* prefix_blob,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Fused `strains` inference (reference MinimumPathAbundanceEstimator,
+// src/path_abundance_estimator.cpp:217-340): per cluster, the greedy
+// weighted minimum path cover, the cover sub-matrix collapse and EM run
+// in one threaded native call.  Cover weights use log-probability sums
+// accumulated in the same row order as the Python spec; the greedy
+// argmax replicates its strict first-max semantics (IEEE inf/nan
+// division behaviour included).
+
+extern "C" {
+
+// Columnar output:
+//   i64 n_slots, i64 cover_total,
+//   i64 n_cover[n_slots], f64 total[n_slots], f64 noise[n_slots],
+//   i64 kept[n_slots],
+//   i64 cover_ids[cover_total], f64 path_counts[cover_total],
+//   i64 mat_total, f64 mats[mat_total], i64 cnt_total, f64 cnts[cnt_total]
+uint8_t* rpvg_strains_infer(
+    const double* dense_concat, const double* noise_concat,
+    const double* counts_concat, const int64_t* dense_offsets,
+    const int64_t* row_offsets, const int64_t* n_rows, const int64_t* n_cols,
+    int64_t n_slots, double precision, int64_t max_em_its, double em_conv,
+    int32_t emit_matrices, int32_t n_threads, int64_t* out_len) {
+  const double eps100 = std::numeric_limits<double>::epsilon() * 100;
+
+  struct SlotOut {
+    int64_t n_cover = 0;
+    double total = 0.0;
+    double noise_count = 0.0;
+    int64_t kept = 0;
+    std::vector<int64_t> cover;
+    std::vector<double> path_counts;
+    std::vector<double> mat;
+    std::vector<double> cnt;
+  };
+  std::vector<SlotOut> slots(n_slots);
+
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<uint8_t> cov;
+    std::vector<double> w, un, tmat, tcnt, abund, fresh;
+    std::vector<int64_t> picked, spec;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_slots) return;
+      SlotOut& out = slots[b];
+      const int64_t R = n_rows[b];
+      const int64_t C = n_cols[b];
+      const double* dense = dense_concat + dense_offsets[b];
+      const double* noise = noise_concat + row_offsets[b];
+      const double* counts = counts_concat + row_offsets[b];
+
+      // Cover matrix, weights (-sum log p * count over covering rows,
+      // noise~1 rows excluded) and coverable counts.
+      cov.assign(R * C, 0);
+      w.assign(C, 0.0);
+      un.assign(R, 0.0);
+      for (int64_t r = 0; r < R; ++r) {
+        double cc = counts[r];
+        const double nz = noise[r];
+        if (nz == 1.0 || std::abs(nz - 1.0) < std::abs(std::min(nz, 1.0)) * eps100) {
+          cc = 0.0;
+        }
+        un[r] = cc;
+        const double* row = dense + r * C;
+        for (int64_t c = 0; c < C; ++c) {
+          const bool covered = row[c] > 0.0;
+          cov[r * C + c] = covered;
+          if (cc != 0.0 && covered) w[c] += std::log(row[c]) * cc;
+        }
+      }
+      for (int64_t c = 0; c < C; ++c) w[c] = -w[c];
+
+      // Greedy cover, strict first-max per round (spec mincover.py).
+      picked.clear();
+      if (C == 1) {
+        picked.push_back(0);
+      } else {
+        for (;;) {
+          double un_max = 0.0;
+          for (int64_t r = 0; r < R; ++r) un_max = std::max(un_max, un[r]);
+          if (!(un_max > 0.0)) break;
+          int64_t best = -1;
+          double best_score = 0.0;
+          for (int64_t c = 0; c < C; ++c) {
+            double s = 0.0;
+            for (int64_t r = 0; r < R; ++r) {
+              if (cov[r * C + c]) s += un[r];
+            }
+            const double score = s / w[c];
+            if (score > best_score) {
+              best_score = score;
+              best = c;
+            }
+          }
+          if (best < 0) break;  // defensive: uncoverable mass
+          picked.push_back(best);
+          for (int64_t r = 0; r < R; ++r) {
+            if (cov[r * C + best]) un[r] = 0.0;
+          }
+        }
+        std::sort(picked.begin(), picked.end());
+      }
+      if (picked.empty()) continue;
+
+      // Cover sub-matrix (singleton gather + noise scaling + collapse,
+      // the same kernel the nested model uses) then EM + folding.
+      const int64_t n_cover = static_cast<int64_t>(picked.size());
+      spec.clear();
+      for (int64_t pid : picked) {
+        spec.push_back(1);
+        spec.push_back(pid);
+      }
+      const int64_t width = n_cover + 1;
+      tmat.assign(R * width, 0.0);
+      tcnt.assign(R, 0.0);
+      const int64_t kept = subset_collapse_job(dense, noise, counts, R, C,
+                                               spec.data(), n_cover, precision,
+                                               tmat.data(), tcnt.data());
+      double total = 0.0;
+      for (int64_t r = 0; r < kept; ++r) total += tcnt[r];
+
+      em_fixed_point_one(tmat.data(), tcnt.data(), kept, width, max_em_its,
+                         em_conv, abund, fresh);
+      out.path_counts.assign(n_cover, 0.0);
+      em_postprocess_one(abund.data(), width, total, out.path_counts.data(),
+                         &out.noise_count);
+      out.n_cover = n_cover;
+      out.total = total;
+      out.kept = kept;
+      out.cover.assign(picked.begin(), picked.end());
+      if (emit_matrices) {
+        out.mat.assign(tmat.begin(), tmat.begin() + kept * width);
+        out.cnt.assign(tcnt.begin(), tcnt.begin() + kept);
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_slots <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t cover_total = 0, mat_total = 0, cnt_total = 0;
+  for (const auto& s : slots) {
+    cover_total += s.n_cover;
+    mat_total += static_cast<int64_t>(s.mat.size());
+    cnt_total += static_cast<int64_t>(s.cnt.size());
+  }
+  const size_t total_bytes = 16 + n_slots * 32 + cover_total * 16 + 16 +
+                             mat_total * 8 + cnt_total * 8;
+  auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
+  size_t off = 0;
+  auto put_i64 = [&](int64_t v) { std::memcpy(buf + off, &v, 8); off += 8; };
+  auto put_f64 = [&](double v) { std::memcpy(buf + off, &v, 8); off += 8; };
+  put_i64(n_slots);
+  put_i64(cover_total);
+  for (const auto& s : slots) put_i64(s.n_cover);
+  for (const auto& s : slots) put_f64(s.total);
+  for (const auto& s : slots) put_f64(s.noise_count);
+  for (const auto& s : slots) put_i64(s.kept);
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.cover.data(), s.cover.size() * 8);
+    off += s.cover.size() * 8;
+  }
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.path_counts.data(), s.path_counts.size() * 8);
+    off += s.path_counts.size() * 8;
+  }
+  put_i64(mat_total);
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.mat.data(), s.mat.size() * 8);
+    off += s.mat.size() * 8;
+  }
+  put_i64(cnt_total);
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.cnt.data(), s.cnt.size() * 8);
+    off += s.cnt.size() * 8;
+  }
+  *out_len = static_cast<int64_t>(off);
+  return buf;
+}
+
+}  // extern "C"

@@ -913,13 +913,113 @@ def supports_batched_strains(estimator, num_gibbs_samples: int) -> bool:
     return isinstance(estimator, MinimumPathAbundanceEstimator)
 
 
+def _batched_strains_fused(estimator, cluster_data, rng_seed, ranks) -> bool:
+    """One-call native execution of the strains host half; returns False
+    when the native library is unavailable so the staged path runs."""
+    from ..native import strains_infer
+    from .matrices import cluster_matrix
+    from .readcount_gibbs import run_batched_gibbs
+
+    meta: List[int] = []
+    dense_clusters = []
+    for ci, (est, cluster_probs) in enumerate(cluster_data):
+        est.reset(len(est.paths), 1)
+        if not cluster_probs:
+            continue
+        dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
+        meta.append(ci)
+
+    emit = estimator.num_gibbs_samples > 0
+    streams = strains_infer(
+        dense_clusters,
+        estimator.prob_precision,
+        estimator.max_em_its,
+        estimator.max_rel_em_conv,
+        emit_matrices=emit,
+    )
+    if streams is None:
+        return False
+
+    n_cover = streams["n_cover"]
+    cover_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+    np.cumsum(n_cover, out=cover_bounds[1:])
+    kept = streams["kept"]
+    if emit:
+        mat_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+        np.cumsum(kept * (n_cover + 1), out=mat_bounds[1:])
+        cnt_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+        np.cumsum(kept, out=cnt_bounds[1:])
+
+    covered_slots = [s for s in range(len(meta)) if n_cover[s] > 0]
+    for slot in covered_slots:
+        ci = meta[slot]
+        est = cluster_data[ci][0]
+        est.total_count = float(streams["totals"][slot])
+        est.noise_count = float(streams["noise"][slot])
+        lo, hi = int(cover_bounds[slot]), int(cover_bounds[slot + 1])
+        abundances = est.abundances
+        for pid, v in zip(
+            streams["cover"][lo:hi].tolist(),
+            streams["path_counts"][lo:hi].tolist(),
+        ):
+            abundances[pid] += v
+
+    if emit and covered_slots:
+        rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
+        keys = cluster_gibbs_keys(
+            rng_seed, [rank_of(meta[s]) for s in covered_slots]
+        )
+        gibbs_inputs = []
+        for slot in covered_slots:
+            nc = int(n_cover[slot])
+            matrix = streams["mats"][mat_bounds[slot] : mat_bounds[slot + 1]].reshape(
+                int(kept[slot]), nc + 1
+            )
+            counts = streams["cnts"][cnt_bounds[slot] : cnt_bounds[slot + 1]]
+            lo, hi = int(cover_bounds[slot]), int(cover_bounds[slot + 1])
+            gibbs_inputs.append(
+                (
+                    matrix,
+                    counts,
+                    streams["path_counts"][lo:hi],
+                    float(streams["noise"][slot]),
+                    float(streams["totals"][slot]),
+                )
+            )
+        gibbs_results = run_batched_gibbs(
+            gibbs_inputs, keys, estimator.num_gibbs_samples,
+            estimator.gibbs_thin_its,
+        )
+        for slot, (noise_samples, path_samples) in zip(covered_slots, gibbs_results):
+            lo, hi = int(cover_bounds[slot]), int(cover_bounds[slot + 1])
+            _attach_gibbs_samples(
+                cluster_data[meta[slot]][0],
+                streams["cover"][lo:hi].tolist(),
+                noise_samples,
+                path_samples,
+            )
+    return True
+
+
 def batched_strains(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> None:
     """Batched `strains` inference: the greedy cover stays on the host
     (cheap, data-dependent), the per-cover EM runs in one bucketed
     batched sweep instead of per-cluster dispatches, followed by one
     bucketed Gibbs sweep when sampling.  Mutates the estimates in
-    cluster_data in place."""
+    cluster_data in place.  With the native library the whole host half
+    (cover weights, greedy cover, sub-matrix collapse, EM) fuses into
+    one threaded C++ call."""
+    import os
+
     from .readcount_gibbs import run_batched_gibbs
+
+    if os.environ.get("RPVG_TPU_FUSED_STRAINS", "1") != "0":
+        from .batching import native_em_available
+
+        if native_em_available() and _batched_strains_fused(
+            estimator, cluster_data, rng_seed, ranks
+        ):
+            return
 
     tasks = []
     meta = []

@@ -1002,3 +1002,99 @@ def format_rows_native(prefixes, columns, digits: int = 8):
         return ctypes.string_at(out_ptr, out_len.value).decode()
     finally:
         lib.rpvg_buffer_free(out_ptr)
+
+
+def strains_infer(
+    dense_clusters,
+    prob_precision: float,
+    max_em_its: int,
+    max_rel_em_conv: float,
+    emit_matrices: bool = False,
+    n_threads: int = 0,
+):
+    """Fused `strains` inference (native rpvg_strains_infer): greedy
+    weighted minimum path cover, cover sub-matrix collapse and EM in one
+    threaded call.  Returns a dict of columnar streams (n_cover / total
+    / noise / kept per slot; cover ids + path counts CSR; task matrices
+    when emit_matrices) or None when the library is unavailable."""
+    import os
+
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_strains_configured", False):
+        lib.rpvg_strains_infer.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rpvg_strains_infer.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int64, ctypes.c_double,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._strains_configured = True
+
+    n = len(dense_clusters)
+    n_rows = np.fromiter((c[0].shape[0] for c in dense_clusters), np.int64, n)
+    n_cols = np.fromiter((c[0].shape[1] for c in dense_clusters), np.int64, n)
+    dense_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows * n_cols, out=dense_offsets[1:])
+    row_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_rows, out=row_offsets[1:])
+
+    empty_f = np.empty(0, dtype=np.float64)
+    dense_concat = (
+        np.concatenate([np.ascontiguousarray(c[0], dtype=np.float64).ravel() for c in dense_clusters])
+        if n else empty_f
+    )
+    noise_concat = (
+        np.concatenate([np.asarray(c[1], dtype=np.float64) for c in dense_clusters])
+        if n else empty_f
+    )
+    counts_concat = (
+        np.concatenate([np.asarray(c[2], dtype=np.float64) for c in dense_clusters])
+        if n else empty_f
+    )
+
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    out_len = ctypes.c_int64()
+    out_ptr = lib.rpvg_strains_infer(
+        as_f64(dense_concat), as_f64(noise_concat), as_f64(counts_concat),
+        as_i64(dense_offsets), as_i64(row_offsets), as_i64(n_rows), as_i64(n_cols),
+        n, float(prob_precision), int(max_em_its), float(max_rel_em_conv),
+        int(bool(emit_matrices)), int(n_threads), ctypes.byref(out_len),
+    )
+    try:
+        data = ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.rpvg_buffer_free(out_ptr)
+
+    (n_out, cover_total) = struct.unpack_from("<qq", data, 0)
+    assert n_out == n
+    offset = 16
+
+    def take(dtype, count):
+        nonlocal offset
+        arr = np.frombuffer(data, dtype=dtype, count=count, offset=offset)
+        offset += arr.nbytes
+        return arr
+
+    def take_sized(dtype):
+        nonlocal offset
+        (count,) = struct.unpack_from("<q", data, offset)
+        offset += 8
+        return take(dtype, count)
+
+    return {
+        "n_cover": take(np.int64, n),
+        "totals": take(np.float64, n),
+        "noise": take(np.float64, n),
+        "kept": take(np.int64, n),
+        "cover": take(np.int64, cover_total),
+        "path_counts": take(np.float64, cover_total),
+        "mats": take_sized(np.float64),
+        "cnts": take_sized(np.float64),
+    }

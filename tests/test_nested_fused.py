@@ -184,3 +184,79 @@ def test_fused_deferred_tasks_match_full_native(monkeypatch):
         np.testing.assert_array_equal(
             np.asarray(a.abundances), np.asarray(b.abundances)
         )
+
+
+def _strains_population(rng, n_clusters):
+    from rpvg_tpu.probabilities import PathInfo, ReadPathProbs
+
+    clusters = []
+    for c in range(n_clusters):
+        n_paths = int(rng.integers(1, 9))
+        paths = [
+            PathInfo(name=f"s{c}_p{p}", group_id=p, source_count=1,
+                     source_ids=frozenset([p]), length=150,
+                     effective_length=float(rng.integers(60, 140)))
+            for p in range(n_paths)
+        ]
+        rpps = []
+        for _ in range(int(rng.integers(2, 10))):
+            k = int(rng.integers(1, n_paths + 1))
+            ids = sorted(rng.choice(n_paths, size=k, replace=False).tolist())
+            rpp = ReadPathProbs(int(rng.integers(1, 25)), 1e-8)
+            rpp.noise_prob = float(rng.uniform(1e-4, 0.05))
+            rpp.path_probs = [(float(rng.uniform(0.1, 0.95)) / k, ids)]
+            rpps.append(rpp)
+        # Occasionally a pure-noise row (noise ~ 1): excluded from cover.
+        if rng.random() < 0.3:
+            rpp = ReadPathProbs(3, 1e-8)
+            rpp.noise_prob = 1.0
+            rpp.path_probs = []
+            rpps.append(rpp)
+        clusters.append((paths, rpps))
+    clusters.append(([PathInfo(name="empty")], []))
+    return clusters
+
+
+@pytest.mark.skipif(not native_em_available(), reason="native library unavailable")
+@pytest.mark.parametrize("gibbs", [0, 6])
+def test_fused_strains_matches_staged(gibbs):
+    from rpvg_tpu.infer.batched_models import batched_strains
+    from rpvg_tpu.infer.estimators import MinimumPathAbundanceEstimator
+
+    rng = np.random.default_rng(41)
+    clusters = _strains_population(rng, 30)
+    estimator = MinimumPathAbundanceEstimator(num_gibbs_samples=gibbs)
+
+    def run(mode):
+        data = []
+        for paths, rpps in clusters:
+            est = PathClusterEstimates()
+            est.paths = paths
+            data.append((est, rpps))
+        saved = os.environ.get("RPVG_TPU_FUSED_STRAINS")
+        os.environ["RPVG_TPU_FUSED_STRAINS"] = "1" if mode == "fused" else "0"
+        try:
+            batched_strains(estimator, data, rng_seed=11)
+        finally:
+            if saved is None:
+                os.environ.pop("RPVG_TPU_FUSED_STRAINS", None)
+            else:
+                os.environ["RPVG_TPU_FUSED_STRAINS"] = saved
+        return [est for est, _ in data]
+
+    fused = run("fused")
+    staged = run("staged")
+
+    for a, b in zip(staged, fused):
+        assert a.total_count == b.total_count
+        # The greedy cover replays the spec's strict first-max; weights
+        # differ only by libm-vs-numpy log ulps, so identical covers and
+        # EM results are expected (tolerances guard pathological ties).
+        np.testing.assert_allclose(a.noise_count, b.noise_count, rtol=1e-12)
+        np.testing.assert_allclose(
+            np.asarray(a.abundances), np.asarray(b.abundances),
+            rtol=1e-9, atol=1e-12,
+        )
+        assert len(a.gibbs_read_count_samples) == len(b.gibbs_read_count_samples)
+        for sa, sb in zip(a.gibbs_read_count_samples, b.gibbs_read_count_samples):
+            assert sa.path_ids == sb.path_ids
