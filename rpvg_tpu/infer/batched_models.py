@@ -133,23 +133,48 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
 
     from .posteriors import path_group_posteriors_gibbs_batched
 
+    from .matrices import cluster_matrix, native_subset_collapse_multi
+
     rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
     jobs = []  # (ci, gi, group)
-    inputs = []
     cluster_groups: Dict[int, List[List[int]]] = {}
+    dense_clusters = []
+    slot_of_ci: Dict[int, int] = {}
+    group_jobs = []
+    group_counts_of = []
     for ci, (est, cluster_probs) in enumerate(cluster_data):
         est.reset(0, 0)
         if not cluster_probs:
             continue
         path_groups = estimator.find_path_groups(est.paths)
         cluster_groups[ci] = path_groups
+        slot_of_ci[ci] = len(dense_clusters)
+        dense_clusters.append(cluster_matrix(cluster_probs, len(est.paths)))
         for gi, group in enumerate(path_groups):
-            probs, noise, counts = estimator._subset_matrix(
-                cluster_probs, group, len(est.paths)
-            )
-            group_counts = [est.paths[i].source_count for i in group]
-            inputs.append((probs, noise, counts, group_counts))
+            flat = np.empty(2 * len(group), dtype=np.int64)
+            flat[0::2] = 1
+            flat[1::2] = group
+            group_jobs.append((slot_of_ci[ci], (flat, len(group))))
+            group_counts_of.append([est.paths[i].source_count for i in group])
             jobs.append((ci, gi, group))
+
+    # One threaded native call builds every (cluster, transcript-group)
+    # matrix (the per-job Python loop was the config's hotspot).
+    multi = native_subset_collapse_multi(
+        dense_clusters, group_jobs, estimator.prob_precision
+    )
+    if multi is not None:
+        inputs = [
+            (full[:, :-1], full[:, -1], counts, gc)
+            for (full, counts), gc in zip(multi, group_counts_of)
+        ]
+    else:
+        inputs = [
+            estimator._subset_matrix(
+                cluster_data[ci][1], group, len(cluster_data[ci][0].paths)
+            ) + (gc,)
+            for (ci, _, group), gc in zip(jobs, group_counts_of)
+        ]
 
     if estimator.use_group_post_gibbs:
         cis = sorted(cluster_groups)
@@ -178,31 +203,79 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
     all_tasks: List[Tuple[int, dict]] = []
     key_base_of: Dict[int, int] = {}
     np_rng_of: Dict[int, np.random.Generator] = {}
+    inc = 1.0 / num_samples
     for ci in cluster_groups:
         est, cluster_probs = cluster_data[ci]
         np_rng = np.random.default_rng((rng_seed, rank_of(ci)))
-        subset_samples: List[List[int]] = [[] for _ in range(num_samples)]
-        for group, (groups_g, posteriors) in per_cluster_jobs.get(ci, []):
+        # Distinct transcript-group choices repeat across the ~1/p
+        # samples, and disjoint groups make the choice tuple determine
+        # the subset — so dedup the choice matrix first and expand only
+        # unique rows (first-seen order; per-key mass accumulated by the
+        # same repeated additions the per-sample loop performs).
+        jobs_ci = per_cluster_jobs.get(ci, [])
+        choice_cols = []
+        mapped_of_job = []
+        for group, (groups_g, posteriors) in jobs_ci:
             posteriors = np.asarray(posteriors, dtype=np.float64)
             posteriors = posteriors / posteriors.sum()
-            choices = np_rng.choice(len(groups_g), size=num_samples, p=posteriors)
-            for sample_idx, choice in enumerate(choices):
-                for local_idx in sorted(groups_g[choice]):
-                    subset_samples[sample_idx].append(group[local_idx])
+            choice_cols.append(
+                np_rng.choice(len(groups_g), size=num_samples, p=posteriors)
+            )
+            mapped_of_job.append(
+                [[group[l] for l in sorted(g)] for g in groups_g]
+            )
 
         subset_probs: Dict[tuple, float] = {}
-        for subset in subset_samples:
-            key = tuple(sorted(subset))
-            subset_probs[key] = subset_probs.get(key, 0.0) + 1.0 / num_samples
+        if choice_cols:
+            row_counts: Dict[tuple, int] = {}
+            for t in zip(*(c.tolist() for c in choice_cols)):
+                row_counts[t] = row_counts.get(t, 0) + 1
+            for t, cnt in row_counts.items():
+                subset: List[int] = []
+                for j, choice in enumerate(t):
+                    subset.extend(mapped_of_job[j][choice])
+                key = tuple(sorted(subset))
+                acc = subset_probs.get(key, 0.0)
+                for _ in range(cnt):
+                    acc += inc
+                subset_probs[key] = acc
+        else:
+            acc = 0.0
+            for _ in range(num_samples):
+                acc += inc
+            subset_probs[()] = acc
 
         est.total_count = total_read_count(cluster_probs)
-        tasks = estimator.prepare_subset_tasks(est, cluster_probs, subset_probs)
+        tasks = estimator.prepare_subset_specs(subset_probs)
         cluster_tasks[ci] = tasks
         all_tasks.extend((ci, task) for task in tasks)
         key_base_of[ci] = (
             len(per_cluster_jobs.get(ci, [])) if estimator.use_group_post_gibbs else 0
         )
         np_rng_of[ci] = np_rng
+
+    # Fill every task matrix in one threaded native call (per-cluster
+    # Python fallback without the library).
+    fill_jobs = []
+    for ci, task in all_tasks:
+        collapsed = task["collapsed"]
+        flat = np.empty(2 * len(collapsed), dtype=np.int64)
+        flat[0::2] = 1
+        flat[1::2] = collapsed
+        fill_jobs.append((slot_of_ci[ci], (flat, len(collapsed))))
+    multi_fill = native_subset_collapse_multi(
+        dense_clusters, fill_jobs, estimator.prob_precision
+    )
+    if multi_fill is not None:
+        for (_, task), (sub_full, sub_counts) in zip(all_tasks, multi_fill):
+            task["matrix"] = sub_full
+            task["counts"] = sub_counts
+    else:
+        for ci, tasks in cluster_tasks.items():
+            if tasks:
+                estimator.fill_subset_matrices(
+                    cluster_data[ci][1], len(cluster_data[ci][0].paths), tasks
+                )
 
     _nested_em_and_gibbs(
         estimator, cluster_data, cluster_tasks, all_tasks, rng_seed,
