@@ -3540,3 +3540,80 @@ uint8_t* rpvg_strains_infer(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Gibbs pair-sample dedup: normalise each sampled diplotype (min,max),
+// count occurrences and emit unique pairs in lexicographic order with
+// counts — the C++ twin of np.sort(axis=1) + np.unique(axis=0,
+// return_counts=True) over the sampler output.
+
+extern "C" {
+
+// Output: i64 n_slots, i64 n_unique[n_slots], i64 uniq_total,
+//         i32 pairs[2*uniq_total], i64 counts[uniq_total]
+uint8_t* rpvg_pair_dedup_ragged(const int32_t* samples,
+                                const int64_t* out_offsets, int64_t n_slots,
+                                int32_t n_threads, int64_t* out_len) {
+  std::vector<std::vector<int64_t>> keys_of(n_slots);
+  std::vector<std::vector<int64_t>> counts_of(n_slots);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::unordered_map<int64_t, int64_t> m;
+    std::vector<int64_t> keys;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_slots) return;
+      m.clear();
+      const int32_t* p = samples + out_offsets[b];
+      const int64_t n_pairs = (out_offsets[b + 1] - out_offsets[b]) / 2;
+      for (int64_t s = 0; s < n_pairs; ++s) {
+        int64_t a = p[2 * s];
+        int64_t c = p[2 * s + 1];
+        if (a > c) std::swap(a, c);
+        ++m[(a << 32) | c];
+      }
+      keys.clear();
+      keys.reserve(m.size());
+      for (const auto& kv : m) keys.push_back(kv.first);
+      std::sort(keys.begin(), keys.end());
+      keys_of[b] = keys;
+      counts_of[b].clear();
+      for (int64_t k : keys) counts_of[b].push_back(m[k]);
+    }
+  };
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_slots <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t uniq_total = 0;
+  for (const auto& k : keys_of) uniq_total += static_cast<int64_t>(k.size());
+  const size_t total_bytes = 16 + n_slots * 8 + uniq_total * 16;
+  auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
+  size_t off = 0;
+  auto put_i64 = [&](int64_t v) { std::memcpy(buf + off, &v, 8); off += 8; };
+  put_i64(n_slots);
+  for (const auto& k : keys_of) put_i64(static_cast<int64_t>(k.size()));
+  put_i64(uniq_total);
+  for (const auto& k : keys_of) {
+    for (int64_t key : k) {
+      const int32_t pair[2] = {static_cast<int32_t>(key >> 32),
+                               static_cast<int32_t>(key & 0xffffffff)};
+      std::memcpy(buf + off, pair, 8);
+      off += 8;
+    }
+  }
+  for (const auto& c : counts_of) {
+    std::memcpy(buf + off, c.data(), c.size() * 8);
+    off += c.size() * 8;
+  }
+  *out_len = static_cast<int64_t>(off);
+  return buf;
+}
+
+}  // extern "C"

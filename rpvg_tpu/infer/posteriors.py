@@ -679,13 +679,47 @@ def _posterior_gibbs_native(cluster_inputs, rng_keys):
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
     )
 
+    # Normalise + dedup the sampled diplotypes natively (the twin of
+    # np.sort(axis=1) + np.unique(axis=0, return_counts=True), which
+    # dominated this configuration's host time).
+    if not getattr(lib, "_pair_dedup_configured", False):
+        lib.rpvg_pair_dedup_ragged.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rpvg_pair_dedup_ragged.argtypes = [
+            ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._pair_dedup_configured = True
+    import struct as _struct
+
+    dd_len = ctypes.c_int64()
+    dd_ptr = lib.rpvg_pair_dedup_ragged(
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        as_i64(out_offsets), n, int(min(16, os.cpu_count() or 1)),
+        ctypes.byref(dd_len),
+    )
+    try:
+        data = ctypes.string_at(dd_ptr, dd_len.value)
+    finally:
+        lib.rpvg_buffer_free(dd_ptr)
+    (n_out,) = _struct.unpack_from("<q", data, 0)
+    assert n_out == n
+    n_unique = np.frombuffer(data, dtype=np.int64, count=n, offset=8)
+    offset = 8 + 8 * n
+    (uniq_total,) = _struct.unpack_from("<q", data, offset)
+    offset += 8
+    pairs_all = np.frombuffer(
+        data, dtype=np.int32, count=2 * uniq_total, offset=offset
+    ).reshape(-1, 2)
+    offset += 8 * uniq_total
+    counts_all = np.frombuffer(data, dtype=np.int64, count=uniq_total, offset=offset)
+    bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(n_unique, out=bounds[1:])
+
     results = []
     for i in range(n):
-        samples = out[out_offsets[i] : out_offsets[i + 1]].reshape(-1, 2)
-        samples = np.sort(samples, axis=1)
-        unique, sample_counts = np.unique(samples, axis=0, return_counts=True)
-        groups = [list(map(int, row)) for row in unique]
-        results.append((groups, sample_counts / float(chains[i] * its[i])))
+        lo, hi = int(bounds[i]), int(bounds[i + 1])
+        groups = pairs_all[lo:hi].tolist()
+        results.append((groups, counts_all[lo:hi] / float(chains[i] * its[i])))
     return results
 
 
