@@ -227,13 +227,44 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
 
         subset_probs: Dict[tuple, float] = {}
         if choice_cols:
-            row_counts: Dict[tuple, int] = {}
-            for t in zip(*(c.tolist() for c in choice_cols)):
-                row_counts[t] = row_counts.get(t, 0) + 1
-            for t, cnt in row_counts.items():
+            # Pack each sample's per-group choices into one integer and
+            # dedup with a 1-D unique; first-seen order (and the
+            # per-key repeated additions) replicate the per-sample loop.
+            sizes = [len(groups_g) for _, (groups_g, _) in jobs_ci]
+            space = 1
+            for s in sizes:
+                space *= s
+            if space <= 2**62:
+                packed = np.zeros(num_samples, dtype=np.int64)
+                stride = 1
+                for col, s in zip(choice_cols, sizes):
+                    packed += col.astype(np.int64) * stride
+                    stride *= s
+                uniq, first_idx, counts = np.unique(
+                    packed, return_index=True, return_counts=True
+                )
+                rows = [
+                    (int(uniq[u]), int(counts[u]))
+                    for u in np.argsort(first_idx, kind="stable")
+                ]
+                decode = True
+            else:  # pragma: no cover - pathological group counts
+                from collections import Counter
+
+                rows = list(
+                    Counter(zip(*(c.tolist() for c in choice_cols))).items()
+                )
+                decode = False
+            for packed_key, cnt in rows:
                 subset: List[int] = []
-                for j, choice in enumerate(t):
-                    subset.extend(mapped_of_job[j][choice])
+                if decode:
+                    rem = packed_key
+                    for j, s in enumerate(sizes):
+                        subset.extend(mapped_of_job[j][rem % s])
+                        rem //= s
+                else:
+                    for j, choice in enumerate(packed_key):
+                        subset.extend(mapped_of_job[j][choice])
                 key = tuple(sorted(subset))
                 acc = subset_probs.get(key, 0.0)
                 for _ in range(cnt):
