@@ -674,13 +674,6 @@ def _batched_haplotype_transcripts_fused(
             )
             chain_of = {ci: chains[i] for i, ci in enumerate(key_ranks)}
 
-            def _pow2(n):
-                size = 1
-                while size < n:
-                    size *= 2
-                return size
-
-            shared_pad = _pow2(max(job[3] for job in jobs))
             inputs = []
             keys = []
             for slot, key_idx, t, _ in jobs:
@@ -696,10 +689,13 @@ def _batched_haplotype_transcripts_fused(
                     )
                 )
                 keys.append(chain_of[meta[slot]][key_idx])
+            # Exact per-job draw counts: a shorter sequential stream is
+            # the longer one's prefix, so no padded draws are needed.
             for (slot, _, t, n_here), (noise_samples, path_samples) in zip(
                 jobs,
                 run_batched_gibbs(
-                    inputs, keys, shared_pad, estimator.gibbs_thin_its
+                    inputs, keys, [job[3] for job in jobs],
+                    estimator.gibbs_thin_its,
                 ),
             ):
                 _attach_gibbs_samples(

@@ -166,7 +166,13 @@ def run_native_gibbs(cluster_inputs, rng_keys, num_samples, thin_its, gamma=1.0)
         return []
     n_rows = np.array([item[0].shape[0] for item in cluster_inputs], dtype=np.int64)
     n_cols = np.array([item[0].shape[1] for item in cluster_inputs], dtype=np.int64)
-    samples_arr = np.full(n, int(num_samples), dtype=np.int64)
+    # num_samples: one count per job, or a scalar for all — sequential
+    # mt19937 streams make a shorter run the exact prefix of a longer
+    # one, so per-job exact counts save the padded draws.
+    if np.ndim(num_samples) == 0:
+        samples_arr = np.full(n, int(num_samples), dtype=np.int64)
+    else:
+        samples_arr = np.asarray(num_samples, dtype=np.int64)
     mat_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_rows * n_cols, out=mat_offsets[1:])
     row_offsets = np.zeros(n + 1, dtype=np.int64)
@@ -214,7 +220,7 @@ def run_native_gibbs(cluster_inputs, rng_keys, num_samples, thin_its, gamma=1.0)
     results = []
     for i, item in enumerate(cluster_inputs):
         C = int(n_cols[i])
-        fracs = out[out_offsets[i] : out_offsets[i + 1]].reshape(num_samples, C)
+        fracs = out[out_offsets[i] : out_offsets[i + 1]].reshape(int(samples_arr[i]), C)
         results.append(_fold_low_abundance(fracs, item[4]))
     return results
 
@@ -261,6 +267,18 @@ def run_batched_gibbs(
     """
     if _native_gibbs_enabled():
         return run_native_gibbs(cluster_inputs, rng_keys, num_samples, thin_its, gamma)
+
+    per_job = None
+    if np.ndim(num_samples) != 0:
+        # JAX path: counter-based draws make the padded run's prefix
+        # bitwise equal to the exact-size run, so sample the max and
+        # slice per job.
+        per_job = [int(s) for s in num_samples]
+        num_samples = max(per_job, default=0)
+        size = 1  # pow2 pad keeps the jit shape population small
+        while size < num_samples:
+            size *= 2
+        num_samples = size
 
     import jax as _jax
 
@@ -326,6 +344,9 @@ def run_batched_gibbs(
                 low = cluster_fracs[:, :-1] < MIN_GIBBS_ABUNDANCE
                 noise_samples += np.where(low, path_samples, 0.0).sum(axis=1)
                 path_samples[low] = 0.0
+                if per_job is not None:
+                    noise_samples = noise_samples[: per_job[idx]]
+                    path_samples = path_samples[: per_job[idx]]
                 results[idx] = (noise_samples, path_samples)
 
     return results
