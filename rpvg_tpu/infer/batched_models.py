@@ -32,7 +32,7 @@ from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 
-from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD, MIN_EM_ABUNDANCE
+from ..constants import HAPLOTYPES_MIN_REL_LIKELIHOOD
 from .batching import em_postprocess, run_batched_em
 from .estimators import (
     MinimumPathAbundanceEstimator,

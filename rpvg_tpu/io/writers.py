@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import gzip
 import math
-from typing import Dict, List, Optional, Sequence, TextIO, Tuple
+from typing import Dict, List, Optional, Sequence, TextIO
 
 import numpy as np
 
