@@ -3337,6 +3337,10 @@ uint8_t* rpvg_format_rows(const uint8_t* prefix_blob,
     for (int64_t c = 0; c < n_cols; ++c) {
       out.push_back('\t');
       const double v = cols_concat[c * n_rows + r];
+      if (v != v) {
+        out.append("nan", 3);  // glibc prints signed "-nan"; numpy/fmt don't
+        continue;
+      }
       const int len = std::snprintf(buf, sizeof(buf), "%.*g",
                                     static_cast<int>(digits), v);
       out.append(buf, len);

@@ -46,3 +46,24 @@ def test_fmt_matches_live_cpp_output(tmp_path):
         [str(binary)], capture_output=True, text=True, check=True
     ).stdout.split()
     assert [fmt(v) for v in VALUES] == cpp_output
+
+
+def test_format_rows_matches_fmt_special_values():
+    # The native row formatter must normalise signed nan like fmt/numpy
+    # (glibc snprintf would print "-nan") and agree on inf/exponents.
+    import numpy as np
+
+    from rpvg_tpu.io.writers import fmt, format_rows
+
+    neg_nan = np.frombuffer(
+        np.uint64(0xFFF8000000000000).tobytes(), dtype=np.float64
+    )[0]
+    vals = np.array([neg_nan, float("nan"), float("inf"), -float("inf"),
+                     0.0, 1.2345678e-12, 9.87654321e11])
+    text = format_rows(["p"] * vals.size, [vals])
+    if text is None:
+        import pytest
+
+        pytest.skip("native library unavailable")
+    got = [line.split("\t")[1] for line in text.strip().split("\n")]
+    assert got == [fmt(float(v)) for v in vals]
