@@ -1954,6 +1954,92 @@ uint8_t* rpvg_build_cluster_matrices(
   return out;
 }
 
+// '-b' probability-writer rows (reference threaded_output_writer.cpp:
+// 40-95): the same per-cluster ReadPathProbs rows the matrix builder
+// derives, formatted as text — "count noise prob:ids..." lines — so
+// the probability writer runs off the fast columnar path.  Python adds
+// the '#' delimiter and the path header line.
+uint8_t* rpvg_format_prob_rows_multi(
+    void* handle, const uint8_t* entries_blob, const int64_t* blob_offsets,
+    const int64_t* entry_counts, int64_t n_clusters,
+    const int64_t* path_ids_concat, const int64_t* path_offsets,
+    const double* eff_lengths_concat, const int32_t* group_of_concat,
+    const int64_t* n_groups, const double* log_source_counts_concat,
+    const double* frag_log_probs, int64_t frag_table_size,
+    int32_t is_single_end, double min_noise_prob, double prob_precision,
+    int32_t digits, int32_t n_threads, int64_t* out_len) {
+  const Index& idx = *static_cast<Index*>(handle);
+
+  std::vector<std::string> texts(n_clusters);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    char buf[64];
+    for (;;) {
+      int64_t c = next.fetch_add(1);
+      if (c >= n_clusters) return;
+      int64_t n_paths = path_offsets[c + 1] - path_offsets[c];
+
+      std::vector<RppRow> merged = build_cluster_rows(
+          idx, entries_blob + blob_offsets[c],
+          blob_offsets[c + 1] - blob_offsets[c], entry_counts[c],
+          path_ids_concat + path_offsets[c], n_paths,
+          eff_lengths_concat + path_offsets[c],
+          group_of_concat + path_offsets[c], n_groups[c],
+          log_source_counts_concat + path_offsets[c], frag_log_probs,
+          frag_table_size, is_single_end, min_noise_prob, prob_precision);
+
+      std::string& out = texts[c];
+      for (const RppRow& row : merged) {
+        out.append(std::to_string(row.read_count));
+        out.push_back(' ');
+        int len = std::snprintf(buf, sizeof(buf), "%.*g",
+                                static_cast<int>(digits), row.noise_prob);
+        out.append(buf, len);
+        for (const auto& [prob, ids] : row.path_probs) {
+          out.push_back(' ');
+          len = std::snprintf(buf, sizeof(buf), "%.*g",
+                              static_cast<int>(digits), prob);
+          out.append(buf, len);
+          out.push_back(':');
+          for (size_t i = 0; i < ids.size(); ++i) {
+            if (i) out.push_back(',');
+            out.append(std::to_string(ids[i]));
+          }
+        }
+        out.push_back('\n');
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  size_t total = 8 + n_clusters * 8;
+  for (const auto& t : texts) total += t.size();
+  auto* out = static_cast<uint8_t*>(std::malloc(total));
+  size_t off = 0;
+  std::memcpy(out + off, &n_clusters, 8);
+  off += 8;
+  for (const auto& t : texts) {
+    const int64_t len = static_cast<int64_t>(t.size());
+    std::memcpy(out + off, &len, 8);
+    off += 8;
+  }
+  for (const auto& t : texts) {
+    std::memcpy(out + off, t.data(), t.size());
+    off += t.size();
+  }
+  *out_len = static_cast<int64_t>(off);
+  return out;
+}
+
 }  // extern "C"
 
 extern "C" {

@@ -87,8 +87,24 @@ class ProbabilityClusterWriter:
         if block:
             self.handle.write(block)
 
+    def add_block(self, block: str) -> None:
+        """Write a pre-formatted cluster block (native '-b' fast path)."""
+        if block:
+            self.handle.write(block)
+
     def close(self):
         self.handle.close()
+
+
+def probability_block_header(cluster_paths: Sequence[PathInfo]) -> str:
+    """The '#' delimiter + path header line of a probability block."""
+    return (
+        "#\n"
+        + " ".join(
+            f"{p.name},{p.length},{fmt(p.effective_length)}" for p in cluster_paths
+        )
+        + "\n"
+    )
 
 
 def format_probability_cluster_block(

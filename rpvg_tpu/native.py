@@ -686,6 +686,118 @@ class NativeFinder:
             results.append((probs, noise, counts))
         return results
 
+    def format_prob_rows(
+        self,
+        cluster_blobs,
+        cluster_entry_counts,
+        cluster_path_ids,
+        cluster_eff_lengths,
+        cluster_group_of,
+        cluster_n_groups,
+        cluster_log_source_counts,
+        frag_log_probs,
+        is_single_end: bool,
+        min_noise_prob: float,
+        prob_precision: float,
+        digits: int,
+        n_threads: int = 1,
+    ):
+        """'-b' probability rows for every cluster as text (native
+        rpvg_format_prob_rows_multi) — the same ReadPathProbs rows the
+        matrix builder derives, formatted 'count noise prob:ids...';
+        same input marshalling as build_cluster_matrices.  Returns one
+        text string per cluster (no '#'/header — callers add those)."""
+        if not getattr(self._lib, "_fmt_prob_configured", False):
+            self._lib.rpvg_format_prob_rows_multi.restype = ctypes.POINTER(ctypes.c_uint8)
+            self._lib.rpvg_format_prob_rows_multi.argtypes = [
+                ctypes.c_void_p,
+                ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+                ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+                ctypes.c_int32, ctypes.c_double, ctypes.c_double,
+                ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+            ]
+            self._lib._fmt_prob_configured = True
+
+        if isinstance(cluster_blobs, tuple):
+            blob_arr, blob_offsets = cluster_blobs
+            blob_arr = np.ascontiguousarray(blob_arr, dtype=np.uint8)
+            blob_offsets = np.ascontiguousarray(blob_offsets, dtype=np.int64)
+            n_clusters = blob_offsets.size - 1
+            in_buf = blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+        else:
+            n_clusters = len(cluster_blobs)
+            entries_blob = b"".join(cluster_blobs)
+            blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+            np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
+            in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
+        entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
+
+        path_sizes = [ids.size for ids in cluster_path_ids]
+        path_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+        np.cumsum(path_sizes, out=path_offsets[1:])
+        path_ids_concat = np.ascontiguousarray(
+            np.concatenate(cluster_path_ids), dtype=np.int64
+        )
+        eff_concat = np.ascontiguousarray(
+            np.concatenate(cluster_eff_lengths), dtype=np.float64
+        )
+        group_of_concat = np.concatenate(
+            [
+                g if g is not None else np.full(n, -1, dtype=np.int32)
+                for g, n in zip(cluster_group_of, path_sizes)
+            ]
+        ).astype(np.int32, copy=False)
+        log_src_concat = np.concatenate(
+            [
+                s if s is not None else np.zeros(n, dtype=np.float64)
+                for s, n in zip(cluster_log_source_counts, path_sizes)
+            ]
+        ).astype(np.float64, copy=False)
+        n_groups_arr = np.asarray(cluster_n_groups, dtype=np.int64)
+        frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
+
+        out_len = ctypes.c_int64()
+        out_ptr = self._lib.rpvg_format_prob_rows_multi(
+            self._handle,
+            in_buf,
+            blob_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            entry_counts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_clusters,
+            path_ids_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            path_offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            eff_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            group_of_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            n_groups_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            log_src_concat.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            frag_log_probs.size,
+            int(is_single_end),
+            float(min_noise_prob),
+            float(prob_precision),
+            int(digits),
+            int(max(1, n_threads)),
+            ctypes.byref(out_len),
+        )
+        try:
+            data = ctypes.string_at(out_ptr, out_len.value)
+        finally:
+            self._lib.rpvg_buffer_free(out_ptr)
+
+        (n_out,) = struct.unpack_from("<q", data, 0)
+        assert n_out == n_clusters
+        lens = np.frombuffer(data, dtype=np.int64, count=n_clusters, offset=8)
+        offset = 8 + 8 * n_clusters
+        texts = []
+        for c in range(n_clusters):
+            ln = int(lens[c])
+            texts.append(data[offset : offset + ln].decode())
+            offset += ln
+        return texts
+
     def build_cluster_probs(
         self,
         entry_blobs: bytes,

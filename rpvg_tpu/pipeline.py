@@ -503,6 +503,7 @@ def build_cluster_matrices_columnar(
     frag_log_probs: np.ndarray,
     all_lengths: np.ndarray,
     all_eff_lengths: Optional[np.ndarray],
+    prob_digits: Optional[int] = None,
 ):
     """Columnar-input twin of build_cluster_matrices_batched: per-cluster
     blobs come from ONE vectorised byte gather over the native dump (the
@@ -523,10 +524,21 @@ def build_cluster_matrices_columnar(
         config, paths_index, frag_length_dist, cluster_path_id_lists,
         haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
     )
-    return _run_native_matrix_build(
+    results = _run_native_matrix_build(
         config, finder, (blob_arr, blob_offsets), entry_counts, meta,
         frag_log_probs,
     )
+    if prob_digits is None:
+        return results, None
+    # '-b': the same native row derivation, formatted as writer text.
+    _, pid_arrays, effs, groups, n_groups_list, log_srcs = meta
+    texts = finder.format_prob_rows(
+        (blob_arr, blob_offsets), entry_counts, pid_arrays, effs, groups,
+        n_groups_list, log_srcs, frag_log_probs, config.is_single_end(),
+        config.min_noise_prob, config.prob_precision, prob_digits,
+        n_threads=config.threads,
+    )
+    return results, texts
 
 
 def build_cluster_probs(
@@ -987,10 +999,10 @@ def run_inference_phases(
         # no per-entry consumers; otherwise materialise the legacy index.
         if (
             batched_supported
-            and not config.write_probs
             and finder is not None
             and hasattr(finder, "build_cluster_matrices")
             and frag_log_probs is not None
+            and (not config.write_probs or hasattr(finder, "format_prob_rows"))
         ):
             cols = fragment_index.columnar
         else:
@@ -1082,9 +1094,17 @@ def run_inference_phases(
             entry[2] is not None for fl in per_cluster for entry in fl
         )
     )
+    prob_digits = None
+    if config.write_probs:
+        prob_digits = max(
+            writers.OUT_PRECISION_DIGITS,
+            math.ceil(-math.log10(config.prob_precision)),
+        )
+
     cluster_data = []
+    prob_texts = None
     if cols is not None:
-        matrix_results = build_cluster_matrices_columnar(
+        matrix_results, prob_texts = build_cluster_matrices_columnar(
             config,
             paths_index,
             frag_length_dist,
@@ -1097,6 +1117,7 @@ def run_inference_phases(
             frag_log_probs,
             all_lengths,
             all_eff_lengths,
+            prob_digits=prob_digits,
         )
         cluster_data = [
             (owned_ranks[i], paths, dense)
@@ -1185,16 +1206,23 @@ def run_inference_phases(
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
 
-    prob_digits = None
-    if config.write_probs and prob_collector is not None:
-        prob_digits = max(
-            writers.OUT_PRECISION_DIGITS,
-            math.ceil(-math.log10(config.prob_precision)),
-        )
-    for (rank, paths, cluster_probs), result in zip(cluster_data, results):
-        if prob_writer is not None:
+    for i, ((rank, paths, cluster_probs), result) in enumerate(
+        zip(cluster_data, results)
+    ):
+        if prob_texts is not None:
+            # Native '-b' fast path: rows pre-formatted, header here.
+            block = (
+                writers.probability_block_header(paths) + prob_texts[i]
+                if prob_texts[i]
+                else ""
+            )
+            if prob_writer is not None:
+                prob_writer.add_block(block)
+            elif prob_collector is not None and block:
+                prob_collector.append((rank, block))
+        elif prob_writer is not None:
             prob_writer.add_cluster(cluster_probs, paths)
-        elif prob_digits is not None:
+        elif prob_digits is not None and prob_collector is not None:
             block = writers.format_probability_cluster_block(
                 cluster_probs, paths, prob_digits
             )
