@@ -108,3 +108,36 @@ def test_columnar_entry_list_roundtrip(dataset):
     end = int(cols.raw_bounds[-1])
     assert blob.tobytes() == cols.data[start:end]
     assert lens.sum() == end - start
+
+
+def test_columnar_prob_writer_matches_materialized(dataset, tmp_path):
+    # -b through the columnar fast path (native-formatted blocks) must
+    # be byte-identical to the legacy per-cluster ReadPathProbs path.
+    import gzip
+
+    panel, aln, info, _ = dataset
+    config = _config(panel, aln, info, "", "haplotype-transcripts")
+    pre = resolve_pre_fragment_dist(config)
+    finder = build_finder(config, panel.paths_index, pre)
+    if not hasattr(finder, "format_prob_rows"):
+        pytest.skip("native engine unavailable")
+
+    index = collect_fragments(config, finder, pre, columnar=True)
+
+    out_a = str(tmp_path / "probs_columnar")
+    config_a = _config(panel, aln, info, out_a, "haplotype-transcripts",
+                       write_probs=True)
+    run_inference_phases(config_a, panel.paths_index, index, pre, finder=finder)
+
+    out_b = str(tmp_path / "probs_legacy")
+    config_b = _config(panel, aln, info, out_b, "haplotype-transcripts",
+                       write_probs=True)
+    run_inference_phases(
+        config_b, panel.paths_index, index.to_fragment_index(), pre, finder=finder
+    )
+
+    with gzip.open(out_a + "_probs.txt.gz", "rt") as fa, \
+            gzip.open(out_b + "_probs.txt.gz", "rt") as fb:
+        assert fa.read() == fb.read()
+    with open(out_a + ".txt") as fa, open(out_b + ".txt") as fb:
+        assert fa.read() == fb.read()
