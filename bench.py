@@ -227,7 +227,17 @@ def main() -> int:
     # Measure every available backend configuration and report the best
     # (this machine's accelerator sits behind a low-bandwidth tunnel, so
     # the host backend can win end-to-end despite slower kernels).
+    # The CPU child runs FIRST: the first child pays cold file/page
+    # caches for the dataset, a systematic bias against whichever
+    # backend goes first (both children run the same host pipeline).
     candidates = []
+    cpu_result, err = attempt({"RPVG_TPU_FORCE_CPU": "1"})
+    if cpu_result is None:
+        print(f"bench: CPU run failed: {err}", file=sys.stderr)
+    else:
+        cpu_result["backend"] = "cpu"
+        candidates.append(cpu_result)
+
     if healthy:
         device_result, err = attempt({})
         if device_result is None:
@@ -238,13 +248,6 @@ def main() -> int:
                 print(f"bench: device retry failed ({err})", file=sys.stderr)
         if device_result is not None:
             candidates.append(device_result)
-
-    cpu_result, err = attempt({"RPVG_TPU_FORCE_CPU": "1"})
-    if cpu_result is None:
-        print(f"bench: CPU run failed: {err}", file=sys.stderr)
-    else:
-        cpu_result["backend"] = "cpu"
-        candidates.append(cpu_result)
 
     import shutil
 
