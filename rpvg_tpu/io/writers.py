@@ -10,6 +10,9 @@ from __future__ import annotations
 
 import gzip
 import math
+import os
+import queue
+import threading
 from typing import Dict, List, Optional, Sequence, TextIO
 
 import numpy as np
@@ -61,12 +64,71 @@ def format_rows(
     return format_rows_native(prefixes, columns, digits)
 
 
-def _open(path: str) -> TextIO:
+class AsyncTextHandle:
+    """Dedicated writer thread behind a bounded queue — the reference's
+    ThreadedOutputWriter design (src/threaded_output_writer.cpp:8-37):
+    gzip compression and disk writes run off the compute path (zlib
+    releases the GIL while compressing).  `close()` drains and joins;
+    `close_async()` enqueues the shutdown and returns immediately so the
+    caller can overlap remaining compute, then `join()` before relying
+    on the file.  Kill switch: RPVG_TPU_SYNC_WRITERS=1 (see _open)."""
+
+    # Queue items are text chunks; capacity bounds memory the same way
+    # the reference bounds its queue at 5*threads stringstreams.
+    _MAX_CHUNKS = 64
+
+    def __init__(self, handle: TextIO):
+        self._handle = handle
+        self._queue: queue.Queue = queue.Queue(maxsize=self._MAX_CHUNKS)
+        self._exc: Optional[BaseException] = None
+        self._thread = threading.Thread(
+            target=self._drain, name="rpvg-writer", daemon=True
+        )
+        self._thread.start()
+
+    def _drain(self) -> None:
+        while True:
+            chunk = self._queue.get()
+            if chunk is None:
+                break
+            if self._exc is None:
+                try:
+                    self._handle.write(chunk)
+                except BaseException as exc:  # re-raised on the caller side
+                    self._exc = exc
+        try:
+            self._handle.close()
+        except BaseException as exc:
+            if self._exc is None:
+                self._exc = exc
+
+    def write(self, text: str) -> None:
+        if self._exc is not None:
+            raise self._exc
+        self._queue.put(text)
+
+    def close_async(self) -> None:
+        self._queue.put(None)
+
+    def join(self) -> None:
+        self._thread.join()
+        if self._exc is not None:
+            raise self._exc
+
+    def close(self) -> None:
+        self.close_async()
+        self.join()
+
+
+def _open(path: str, async_ok: bool = False):
     if path.endswith(".gz"):
         # Level 6 (zlib default): ~3x faster than gzip-module default 9
-        # for a few percent larger files; the reference compresses on a
-        # writer thread, ours is on the critical path.
-        return gzip.open(path, "wt", compresslevel=6)
+        # for a few percent larger files.  Compression runs on a writer
+        # thread (AsyncTextHandle) unless RPVG_TPU_SYNC_WRITERS=1.
+        handle = gzip.open(path, "wt", compresslevel=6)
+        if async_ok and os.environ.get("RPVG_TPU_SYNC_WRITERS") != "1":
+            return AsyncTextHandle(handle)
+        return handle
     return open(path, "w")
 
 
@@ -75,7 +137,7 @@ class ProbabilityClusterWriter:
     line then `count noise prob:ids...` rows (reference :40-95)."""
 
     def __init__(self, prefix: str, prob_precision: float):
-        self.handle = _open(prefix + ".txt.gz")
+        self.handle = _open(prefix + ".txt.gz", async_ok=True)
         self.digits = max(OUT_PRECISION_DIGITS, math.ceil(-math.log10(prob_precision)))
 
     def add_cluster(
@@ -94,6 +156,18 @@ class ProbabilityClusterWriter:
 
     def close(self):
         self.handle.close()
+
+    def close_async(self):
+        """Start shutting down without blocking; `join()` before relying
+        on the file (no-op split when the handle is synchronous)."""
+        if isinstance(self.handle, AsyncTextHandle):
+            self.handle.close_async()
+        else:
+            self.handle.close()
+
+    def join(self):
+        if isinstance(self.handle, AsyncTextHandle):
+            self.handle.join()
 
 
 def probability_block_header(cluster_paths: Sequence[PathInfo]) -> str:
@@ -138,7 +212,7 @@ class ReadCountGibbsSamplesWriter:
     row (reference :98-230)."""
 
     def __init__(self, prefix: str, num_gibbs_samples: int):
-        self.handle = _open(prefix + ".txt.gz")
+        self.handle = _open(prefix + ".txt.gz", async_ok=True)
         self.num_samples = num_gibbs_samples
         self.noise_counts = np.zeros(num_gibbs_samples, dtype=np.float64)
         header = ["Name", "ClusterID"] + [
@@ -188,6 +262,12 @@ class ReadCountGibbsSamplesWriter:
             self._vecs.append(vec)
 
     def finish(self, unaligned_read_count: int) -> None:
+        self.finish_async(unaligned_read_count)
+        self.join()
+
+    def finish_async(self, unaligned_read_count: int) -> None:
+        """Enqueue all remaining writes and the close, returning without
+        waiting for compression; `join()` before relying on the file."""
         # All sample values format in one native pass (unsampled slots
         # are zeros — %g prints them as '0', like the explicit fill).
         if getattr(self, "_prefixes", None):
@@ -205,7 +285,14 @@ class ReadCountGibbsSamplesWriter:
             fmt(c + unaligned_read_count) for c in self.noise_counts
         ]
         self.handle.write("\t".join(row) + "\n")
-        self.handle.close()
+        if isinstance(self.handle, AsyncTextHandle):
+            self.handle.close_async()
+        else:
+            self.handle.close()
+
+    def join(self) -> None:
+        if isinstance(self.handle, AsyncTextHandle):
+            self.handle.join()
 
 
 class JointHaplotypeEstimatesWriter:

@@ -1162,6 +1162,25 @@ def run_inference_phases(
         log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
         t_device = time.perf_counter()
 
+    # Native '-b' fast path: the pre-formatted blocks exist before any
+    # inference runs, so hand them to the writer thread NOW — gzip
+    # compression overlaps the whole device half (the reference likewise
+    # streams probability blocks to its writer thread from inside the
+    # inference loop, src/threaded_output_writer.cpp:40-95).
+    if prob_texts is not None:
+        for i, (rank, paths, _) in enumerate(cluster_data):
+            block = (
+                writers.probability_block_header(paths) + prob_texts[i]
+                if prob_texts[i]
+                else ""
+            )
+            if prob_writer is not None:
+                prob_writer.add_block(block)
+            elif prob_collector is not None and block:
+                prob_collector.append((rank, block))
+        if prob_writer is not None:
+            prob_writer.close_async()
+
     # Device half.  Common configurations execute batched across the
     # whole cluster population (O(buckets) kernel dispatches); the rest
     # dispatch per cluster through the estimator classes.
@@ -1206,28 +1225,16 @@ def run_inference_phases(
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
 
-    for i, ((rank, paths, cluster_probs), result) in enumerate(
-        zip(cluster_data, results)
-    ):
-        if prob_texts is not None:
-            # Native '-b' fast path: rows pre-formatted, header here.
-            block = (
-                writers.probability_block_header(paths) + prob_texts[i]
-                if prob_texts[i]
-                else ""
-            )
+    for (rank, paths, cluster_probs), result in zip(cluster_data, results):
+        if prob_texts is None:
             if prob_writer is not None:
-                prob_writer.add_block(block)
-            elif prob_collector is not None and block:
-                prob_collector.append((rank, block))
-        elif prob_writer is not None:
-            prob_writer.add_cluster(cluster_probs, paths)
-        elif prob_digits is not None and prob_collector is not None:
-            block = writers.format_probability_cluster_block(
-                cluster_probs, paths, prob_digits
-            )
-            if block:
-                prob_collector.append((rank, block))
+                prob_writer.add_cluster(cluster_probs, paths)
+            elif prob_digits is not None and prob_collector is not None:
+                block = writers.format_probability_cluster_block(
+                    cluster_probs, paths, prob_digits
+                )
+                if block:
+                    prob_collector.append((rank, block))
         if gibbs_writer is not None:
             gibbs_writer.add_samples(result.cluster_id, result.estimates)
             result.estimates.gibbs_read_count_samples = []
@@ -1238,16 +1245,24 @@ def run_inference_phases(
         f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
     )
 
-    if prob_writer is not None:
-        prob_writer.close()
+    # Writer-thread overlap: start the gzip shutdowns, write the plain
+    # estimate files, then join — compression of the probability/Gibbs
+    # tails runs concurrently with the estimate formatting.
+    if prob_writer is not None and prob_texts is None:
+        prob_writer.close_async()
     if gibbs_writer is not None:
-        gibbs_writer.finish(fragment_index.unaligned_count)
+        gibbs_writer.finish_async(fragment_index.unaligned_count)
 
     if not skip_outputs:
         t_out = time.perf_counter()
         write_outputs(config, results, fragment_index.unaligned_count)
         if os.environ.get("RPVG_TPU_PHASE_TIMING"):
             log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
+
+    if prob_writer is not None:
+        prob_writer.join()
+    if gibbs_writer is not None:
+        gibbs_writer.join()
 
     return {
         "num_fragment_lists": (

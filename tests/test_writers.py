@@ -67,3 +67,79 @@ def test_format_rows_matches_fmt_special_values():
         pytest.skip("native library unavailable")
     got = [line.split("\t")[1] for line in text.strip().split("\n")]
     assert got == [fmt(float(v)) for v in vals]
+
+
+def test_async_gz_writers_match_sync(tmp_path, monkeypatch):
+    # The dedicated writer thread (AsyncTextHandle — the reference's
+    # ThreadedOutputWriter design, src/threaded_output_writer.cpp:8-37)
+    # must produce decompressed text identical to the synchronous path.
+    import gzip
+
+    import numpy as np
+
+    from rpvg_tpu.infer.estimates import CountSamples, PathClusterEstimates
+    from rpvg_tpu.io.writers import (
+        AsyncTextHandle,
+        ProbabilityClusterWriter,
+        ReadCountGibbsSamplesWriter,
+    )
+    from rpvg_tpu.probabilities import PathInfo
+
+    paths = []
+    for i in range(3):
+        info = PathInfo(f"path_{i}")
+        info.length = 100 + i
+        info.effective_length = 90.5 + i
+        paths.append(info)
+
+    def gibbs_estimates():
+        est = PathClusterEstimates()
+        est.paths = paths
+        samples = CountSamples()
+        samples.path_ids = [0, 2]
+        samples.noise_samples = [1.0, 2.0]
+        samples.abundance_samples = [3.0, 4.0, 5.0, 6.0]
+        est.gibbs_read_count_samples = [samples]
+        est.total_count = 7.0
+        return est
+
+    outputs = {}
+    for mode in ("async", "sync"):
+        monkeypatch.setenv("RPVG_TPU_SYNC_WRITERS", "1" if mode == "sync" else "0")
+        prefix = str(tmp_path / mode)
+        pw = ProbabilityClusterWriter(prefix + "_probs", 1e-8)
+        assert isinstance(pw.handle, AsyncTextHandle) == (mode == "async")
+        for k in range(50):
+            pw.add_block(f"#\nblock {k}\n" * 20)
+        pw.close_async()
+        pw.join()
+        gw = ReadCountGibbsSamplesWriter(prefix + "_gibbs", 2)
+        gw.add_samples(1, gibbs_estimates())
+        gw.finish_async(unaligned_read_count=3)
+        gw.join()
+        with gzip.open(prefix + "_probs.txt.gz", "rt") as handle:
+            probs_text = handle.read()
+        with gzip.open(prefix + "_gibbs.txt.gz", "rt") as handle:
+            gibbs_text = handle.read()
+        outputs[mode] = (probs_text, gibbs_text)
+
+    assert outputs["async"] == outputs["sync"]
+    assert "Unknown" in outputs["async"][1]
+
+
+def test_async_handle_propagates_write_errors(tmp_path):
+    from rpvg_tpu.io.writers import AsyncTextHandle
+
+    class Boom:
+        def write(self, text):
+            raise OSError("disk full")
+
+        def close(self):
+            pass
+
+    handle = AsyncTextHandle(Boom())
+    with pytest.raises(OSError):
+        # The failure surfaces on a subsequent write or at join().
+        for _ in range(200):
+            handle.write("x")
+        handle.close()
