@@ -2747,8 +2747,27 @@ void rpvg_gibbs_ragged(const double* probs_concat, const double* counts_concat,
               row_sum += post[c];
             }
             if (row_sum <= 0.0) continue;
-            // Multinomial via sequential binomial splitting.
             int64_t remaining = static_cast<int64_t>(counts[r]);
+            if (remaining <= 4) {
+              // Small counts (the common case: most fragment rows are
+              // unique): a multinomial with k trials is k iid
+              // categorical draws — one uniform + one CDF walk each,
+              // instead of up to C binomial draws.  Identical
+              // distribution, different (cheaper) RNG consumption.
+              std::uniform_real_distribution<double> unif(0.0, row_sum);
+              for (int64_t k = 0; k < remaining; ++k) {
+                const double u = unif(rng);
+                double acc = 0.0;
+                int64_t hit = C - 1;  // fp-rounding fallback: last column
+                for (int64_t c = 0; c < C; ++c) {
+                  acc += post[c];
+                  if (u < acc) { hit = c; break; }
+                }
+                path_counts[hit] += 1.0;
+              }
+              continue;
+            }
+            // Multinomial via sequential binomial splitting.
             double remaining_p = row_sum;
             for (int64_t c = 0; c < C && remaining > 0; ++c) {
               double ratio = remaining_p > 0.0 ? post[c] / remaining_p : 0.0;
@@ -2766,11 +2785,29 @@ void rpvg_gibbs_ragged(const double* probs_concat, const double* counts_concat,
             }
           }
           double total = 0.0;
+          std::uniform_real_distribution<double> unit(0.0, 1.0);
           for (int64_t c = 0; c < C; ++c) {
-            std::gamma_distribution<double> gamma(path_counts[c] + gamma_shape,
-                                                  1.0);
-            path_counts[c] = gamma(rng);
-            total += path_counts[c];
+            // Dirichlet(counts + gamma) resample.  With gamma=1 and
+            // integer counts the shape is a small integer for most
+            // columns; Gamma(k) is then a sum of k exponentials —
+            // exact and several times cheaper than the general
+            // Marsaglia-Tsang sampler (this loop dominates the whole
+            // Gibbs phase: C draws x thin_its x samples x jobs).
+            const double shape = path_counts[c] + gamma_shape;
+            double draw;
+            if (gamma_shape == 1.0 && path_counts[c] <= 3.0) {
+              const int64_t k = static_cast<int64_t>(path_counts[c]) + 1;
+              double prod = 1.0;
+              for (int64_t i = 0; i < k; ++i) {
+                prod *= 1.0 - unit(rng);  // (0,1] -> finite log
+              }
+              draw = -std::log(prod);  // sum of k exponentials, one log
+            } else {
+              std::gamma_distribution<double> gamma(shape, 1.0);
+              draw = gamma(rng);
+            }
+            path_counts[c] = draw;
+            total += draw;
           }
           for (int64_t c = 0; c < C; ++c) fracs[c] = path_counts[c] / total;
         }
