@@ -2847,7 +2847,7 @@ void rpvg_posterior_gibbs_ragged(
     int64_t n_jobs, int32_t n_threads, int32_t* out_concat) {
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
-    std::vector<double> weights;
+    std::vector<std::vector<double>> cdf_cache;
     for (;;) {
       int64_t j = next.fetch_add(1);
       if (j >= n_jobs) return;
@@ -2855,24 +2855,31 @@ void rpvg_posterior_gibbs_ragged(
       const double* S = scores_concat + score_offsets[j];
       int32_t* out = out_concat + out_offsets[j];
       std::mt19937_64 rng(seeds[j]);
-      weights.resize(P);
+      // The conditionals are static (the score matrix never changes),
+      // so each visited row's normalised CDF is built once and reused —
+      // the reference's cached discrete_distributions
+      // (src/path_estimator.cpp:527-555).  One uniform + binary search
+      // per step instead of a P-exp row pass.
+      cdf_cache.assign(P, {});
 
       auto sample_row = [&](int64_t other) -> int64_t {
-        const double* row = S + other * P;
-        double max_ll = row[0];
-        for (int64_t p = 1; p < P; ++p) max_ll = std::max(max_ll, row[p]);
-        double total = 0.0;
-        for (int64_t p = 0; p < P; ++p) {
-          weights[p] = std::exp(row[p] - max_ll);
-          total += weights[p];
+        std::vector<double>& cdf = cdf_cache[other];
+        if (cdf.empty()) {
+          const double* row = S + other * P;
+          double max_ll = row[0];
+          for (int64_t p = 1; p < P; ++p) max_ll = std::max(max_ll, row[p]);
+          cdf.resize(P);
+          double acc = 0.0;
+          for (int64_t p = 0; p < P; ++p) {
+            acc += std::exp(row[p] - max_ll);
+            cdf[p] = acc;
+          }
         }
-        std::uniform_real_distribution<double> uni(0.0, total);
-        double u = uni(rng);
-        for (int64_t p = 0; p < P; ++p) {
-          u -= weights[p];
-          if (u <= 0.0) return p;
-        }
-        return P - 1;
+        std::uniform_real_distribution<double> uni(0.0, cdf.back());
+        const double u = uni(rng);
+        const int64_t p =
+            std::lower_bound(cdf.begin(), cdf.end(), u) - cdf.begin();
+        return p < P ? p : P - 1;  // fp-rounding fallback
       };
 
       for (int64_t c = 0; c < n_chains[j]; ++c) {
