@@ -130,11 +130,16 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
     each cluster's host RNG stream, then the shared EM+Gibbs tail runs.
     Bitwise identical to the per-cluster estimator."""
     import math
+    import os
+    import sys
+    import time
 
     from .posteriors import path_group_posteriors_gibbs_batched
 
     from .matrices import cluster_matrix, native_subset_collapse_multi
 
+    timing = bool(os.environ.get("RPVG_TPU_PHASE_TIMING"))
+    t0 = time.perf_counter()
     rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
     jobs = []  # (ci, gi, group)
     cluster_groups: Dict[int, List[List[int]]] = {}
@@ -176,6 +181,10 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             for (ci, _, group), gc in zip(jobs, group_counts_of)
         ]
 
+    if timing:
+        print(f"  [timing]   I group matrices ({len(jobs)} jobs): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+
     if estimator.use_group_post_gibbs:
         cis = sorted(cluster_groups)
         depth = max((len(cluster_groups[ci]) for ci in cis), default=0)
@@ -194,6 +203,10 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             inputs, estimator.group_size, estimator.min_hap_prob
         )
 
+    if timing:
+        print(f"  [timing]   I group posteriors: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
+
     per_cluster_jobs: Dict[int, List] = {}
     for (ci, gi, group), res in zip(jobs, results):
         per_cluster_jobs.setdefault(ci, []).append((group, res))
@@ -204,6 +217,12 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
     key_base_of: Dict[int, int] = {}
     np_rng_of: Dict[int, np.random.Generator] = {}
     inc = 1.0 / num_samples
+    # repeated_sums[k] = inc added k times to 0.0 (np.cumsum performs
+    # the same sequential float64 additions the per-sample loop does, so
+    # looking the total up is bitwise identical to adding in a loop).
+    repeated_sums = np.empty(num_samples + 1, dtype=np.float64)
+    repeated_sums[0] = 0.0
+    np.cumsum(np.full(num_samples, inc), out=repeated_sums[1:])
     for ci in cluster_groups:
         est, cluster_probs = cluster_data[ci]
         np_rng = np.random.default_rng((rng_seed, rank_of(ci)))
@@ -214,16 +233,42 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
         # same repeated additions the per-sample loop performs).
         jobs_ci = per_cluster_jobs.get(ci, [])
         choice_cols = []
-        mapped_of_job = []
-        for group, (groups_g, posteriors) in jobs_ci:
-            posteriors = np.asarray(posteriors, dtype=np.float64)
-            posteriors = posteriors / posteriors.sum()
-            choice_cols.append(
-                np_rng.choice(len(groups_g), size=num_samples, p=posteriors)
-            )
-            mapped_of_job.append(
-                [[group[l] for l in sorted(g)] for g in groups_g]
-            )
+        decode_cache: List[Dict[int, List[int]]] = []
+        # One uniform block per cluster replaces the per-job
+        # Generator.choice calls: choice(n, size, p) draws
+        # self.random(size) and searchsorts the normalised CDF, so a
+        # (jobs, samples) block consumed row-major is the identical
+        # stream and the searchsorted picks are bitwise identical
+        # (verified against numpy 2.x; per-call validation overhead
+        # dominated this loop).
+        if jobs_ci:
+            uniform_block = np_rng.random((len(jobs_ci), num_samples))
+        for j, (group, (groups_g, posteriors)) in enumerate(jobs_ci):
+            if len(groups_g) == 1:
+                # Single candidate: every sample picks group-set 0 (the
+                # job's uniform row was still drawn, keeping the stream
+                # aligned with the per-cluster estimator's choice call).
+                choice_cols.append(None)
+                decode_cache.append({})
+                continue
+            p = np.asarray(posteriors, dtype=np.float64)
+            p = p / p.sum()
+            cdf = p.cumsum()
+            cdf /= cdf[-1]
+            choice_cols.append(cdf.searchsorted(uniform_block[j], side="right"))
+            decode_cache.append({})
+
+        def mapped(j: int, choice: int) -> List[int]:
+            # Decode a chosen group-set lazily (only chosen indices are
+            # ever needed; eager decoding of every candidate group-set
+            # dominated this loop).
+            cache = decode_cache[j]
+            hit = cache.get(choice)
+            if hit is None:
+                group, (groups_g, _) = jobs_ci[j]
+                hit = [group[l] for l in sorted(groups_g[choice])]
+                cache[choice] = hit
+            return hit
 
         subset_probs: Dict[tuple, float] = {}
         if choice_cols:
@@ -234,11 +279,17 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             space = 1
             for s in sizes:
                 space *= s
-            if space <= 2**62:
+            if space == 1:
+                # Every job has one candidate group-set: all samples
+                # pick the same subset (packed would be all zeros).
+                rows = [(0, num_samples)]
+                decode = True
+            elif space <= 2**62:
                 packed = np.zeros(num_samples, dtype=np.int64)
                 stride = 1
                 for col, s in zip(choice_cols, sizes):
-                    packed += col.astype(np.int64) * stride
+                    if col is not None:  # None = all-zero column (s == 1)
+                        packed += col.astype(np.int64) * stride
                     stride *= s
                 uniq, first_idx, counts = np.unique(
                     packed, return_index=True, return_counts=True
@@ -252,7 +303,14 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
                 from collections import Counter
 
                 rows = list(
-                    Counter(zip(*(c.tolist() for c in choice_cols))).items()
+                    Counter(
+                        zip(
+                            *(
+                                c.tolist() if c is not None else [0] * num_samples
+                                for c in choice_cols
+                            )
+                        )
+                    ).items()
                 )
                 decode = False
             for packed_key, cnt in rows:
@@ -260,21 +318,25 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
                 if decode:
                     rem = packed_key
                     for j, s in enumerate(sizes):
-                        subset.extend(mapped_of_job[j][rem % s])
+                        subset.extend(mapped(j, rem % s))
                         rem //= s
                 else:
                     for j, choice in enumerate(packed_key):
-                        subset.extend(mapped_of_job[j][choice])
+                        subset.extend(mapped(j, choice))
                 key = tuple(sorted(subset))
-                acc = subset_probs.get(key, 0.0)
-                for _ in range(cnt):
-                    acc += inc
-                subset_probs[key] = acc
+                prev = subset_probs.get(key)
+                if prev is None:
+                    # inc added cnt times from 0.0, via the lookup table.
+                    subset_probs[key] = float(repeated_sums[cnt])
+                else:
+                    # Resumed accumulation (two choice tuples mapping to
+                    # the same sorted subset) must keep the loop's exact
+                    # addition order.
+                    for _ in range(cnt):
+                        prev += inc
+                    subset_probs[key] = prev
         else:
-            acc = 0.0
-            for _ in range(num_samples):
-                acc += inc
-            subset_probs[()] = acc
+            subset_probs[()] = float(repeated_sums[num_samples])
 
         est.total_count = total_read_count(cluster_probs)
         tasks = estimator.prepare_subset_specs(subset_probs)
@@ -284,6 +346,10 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
             len(per_cluster_jobs.get(ci, [])) if estimator.use_group_post_gibbs else 0
         )
         np_rng_of[ci] = np_rng
+
+    if timing:
+        print(f"  [timing]   I subset sampling: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
+        t0 = time.perf_counter()
 
     # Fill every task matrix in one threaded native call (per-cluster
     # Python fallback without the library).
@@ -307,6 +373,9 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
                 estimator.fill_subset_matrices(
                     cluster_data[ci][1], len(cluster_data[ci][0].paths), tasks
                 )
+
+    if timing:
+        print(f"  [timing]   I task fill ({len(all_tasks)} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
 
     _nested_em_and_gibbs(
         estimator, cluster_data, cluster_tasks, all_tasks, rng_seed,
