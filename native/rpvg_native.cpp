@@ -1437,10 +1437,24 @@ namespace {
 
 struct NativeFragmentIndex {
   std::unordered_map<std::string, uint64_t> entries;
+  // Per-worker dedup maps: workers accumulate across every projected
+  // block (fragment f of a block goes to worker f*T/N, so the final
+  // content is schedule-independent) and merge ONCE at dump time —
+  // the per-block merge re-hashed every fragment's key into the global
+  // map and dominated the fragment pass at scale.
+  std::vector<std::unordered_map<std::string, uint64_t>> worker_entries;
   std::vector<int64_t> histogram;
   int32_t pre_loc = 0;
   int32_t is_single_end = 0;
   uint64_t unaligned = 0;
+
+  void merge_workers() {
+    for (auto& local : worker_entries) {
+      for (auto& [key, count] : local) entries[key] += count;
+      local.clear();
+    }
+    worker_entries.clear();
+  }
 };
 
 constexpr int32_t FRAG_LENGTH_MIN_MAPQ = 30;
@@ -1459,6 +1473,7 @@ void serialize_path_list(Writer* w, const std::vector<AlignmentPathOut>& paths) 
 }
 
 void index_fragment(NativeFragmentIndex* fidx,
+                    std::unordered_map<std::string, uint64_t>* entries,
                     std::vector<AlignmentPathOut>&& paths) {
   if (paths.empty()) {
     ++fidx->unaligned;
@@ -1502,7 +1517,7 @@ void index_fragment(NativeFragmentIndex* fidx,
   serialize_path_list(&key_writer, paths);
   std::string key(reinterpret_cast<const char*>(key_writer.buf.data()),
                   key_writer.buf.size());
-  fidx->entries[key] += 1;
+  (*entries)[key] += 1;
 }
 
 }  // namespace
@@ -1560,6 +1575,11 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
   offsets[n_fragments] = scan.ptr;
 
   n_threads = std::min<int32_t>(n_threads, std::max(1, n_fragments));
+  // Dedup maps persist across blocks on the indexer (merged once at
+  // dump); only per-block histogram/unaligned counters are local.
+  if (static_cast<int32_t>(fidx->worker_entries.size()) < n_threads) {
+    fidx->worker_entries.resize(n_threads);
+  }
   std::vector<NativeFragmentIndex> locals(n_threads);
   for (auto& l : locals) {
     l.histogram.assign(fidx->histogram.size(), 0);
@@ -1567,7 +1587,8 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
     l.is_single_end = fidx->is_single_end;
   }
 
-  auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local) {
+  auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local,
+                           std::unordered_map<std::string, uint64_t>* entries) {
     Finder finder(idx, params, tables);
     Reader reader{offsets[begin], input + input_len};
     for (int32_t f = begin; f < end; ++f) {
@@ -1577,15 +1598,15 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
       AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
       if (is_paired) {
         AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
-        index_fragment(local, finder.find_paired(aln_1, aln_2));
+        index_fragment(local, entries, finder.find_paired(aln_1, aln_2));
       } else {
-        index_fragment(local, finder.find_single(aln_1));
+        index_fragment(local, entries, finder.find_single(aln_1));
       }
     }
   };
 
   if (n_threads == 1) {
-    process_range(0, n_fragments, &locals[0]);
+    process_range(0, n_fragments, &locals[0], &fidx->worker_entries[0]);
   } else {
     std::vector<std::thread> workers;
     for (int32_t t = 0; t < n_threads; ++t) {
@@ -1593,13 +1614,13 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
           static_cast<int64_t>(n_fragments) * t / n_threads);
       int32_t end = static_cast<int32_t>(
           static_cast<int64_t>(n_fragments) * (t + 1) / n_threads);
-      workers.emplace_back(process_range, begin, end, &locals[t]);
+      workers.emplace_back(process_range, begin, end, &locals[t],
+                           &fidx->worker_entries[t]);
     }
     for (auto& w : workers) w.join();
   }
 
   for (auto& local : locals) {
-    for (auto& [key, count] : local.entries) fidx->entries[key] += count;
     for (size_t i = 0; i < local.histogram.size(); ++i) {
       fidx->histogram[i] += local.histogram[i];
     }
@@ -2048,6 +2069,7 @@ extern "C" {
 // path-list block][u64 unaligned][i64 histogram...]
 uint8_t* rpvg_indexer_dump(void* indexer, int64_t* out_len) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
+  fidx->merge_workers();
   Writer w;
   size_t payload = 0;
   for (const auto& [key, count] : fidx->entries) payload += key.size() + 8;
@@ -2139,6 +2161,7 @@ extern "C" {
 uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
                                    int64_t* out_len) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
+  fidx->merge_workers();
   const Index& idx = *static_cast<Index*>(index_handle);
   const int64_t n = static_cast<int64_t>(fidx->entries.size());
 
