@@ -3774,3 +3774,210 @@ uint8_t* rpvg_pair_dedup_ragged(const int32_t* samples,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Columnar composition of the two haplotype-transcripts estimate files
+// (HaplotypeAbundanceEstimatesWriter / JointHaplotypeAbundanceEstimates
+// Writer, reference threaded_output_writer.cpp:346-432,434-546): the
+// fused nested kernel's set streams go straight to row text, bypassing
+// the per-cluster Python object walk.  Arithmetic replicates the
+// Python writers' numpy expressions op-for-op (sequential adds in slot
+// order; tpm = count / eff / total * 1e6) so the composed text is
+// byte-identical to the object writers.
+
+namespace compose {
+
+inline void put_g(std::string* out, double v, int digits) {
+  char buf[64];
+  if (v != v) {
+    out->append("nan", 3);  // normalise signed nan like numpy/fmt
+    return;
+  }
+  const int len = std::snprintf(buf, sizeof(buf), "%.*g", digits, v);
+  out->append(buf, len);
+}
+
+inline void put_i64(std::string* out, int64_t v) {
+  char buf[32];
+  const int len = std::snprintf(buf, sizeof(buf), "%lld",
+                                static_cast<long long>(v));
+  out->append(buf, len);
+}
+
+inline void put_name(std::string* out, const uint8_t* names_fixed,
+                     int64_t width, int64_t row) {
+  const uint8_t* base = names_fixed + row * width;
+  int64_t len = 0;
+  while (len < width && base[len] != 0) ++len;
+  out->append(reinterpret_cast<const char*>(base), len);
+}
+
+}  // namespace compose
+
+extern "C" {
+
+// Sequential twin of pipeline.compute_tpm_normalizer (reference
+// src/main.cpp:1029-1057): total += abundance / eff over every set
+// slot in (cluster, set, slot) order, skipping eff <= 0.
+double rpvg_tpm_normalizer(const double* effs, const int64_t* n_paths,
+                           const int64_t* n_sets, const int64_t* set_lens,
+                           const int64_t* set_ids,
+                           const double* set_abundances, int64_t n_clusters) {
+  double total = 0.0;
+  int64_t row_base = 0, set_base = 0, slot_base = 0;
+  for (int64_t c = 0; c < n_clusters; ++c) {
+    for (int64_t s = 0; s < n_sets[c]; ++s) {
+      const int64_t len = set_lens[set_base + s];
+      for (int64_t j = 0; j < len; ++j) {
+        const double ab = set_abundances[slot_base + j];
+        const double eff = effs[row_base + set_ids[slot_base + j]];
+        if (eff > 0.0) total += ab / eff;
+      }
+      slot_base += len;
+    }
+    set_base += n_sets[c];
+    row_base += n_paths[c];
+  }
+  return total;
+}
+
+// Compose row text for <prefix>.txt (per-path marginalised) and
+// <prefix>_joint.txt (per-set) in one threaded pass.  names_fixed is a
+// row-major fixed-width (NUL-padded) name table over all path rows in
+// cluster order; set_ids are cluster-local path indices.
+void rpvg_compose_hapjoint_rows(
+    const uint8_t* names_fixed, int64_t name_width, const int64_t* lengths,
+    const double* effs, const int64_t* cids, const int64_t* n_paths,
+    const int64_t* n_sets, const int64_t* set_lens,
+    const double* set_posteriors, const int64_t* set_ids,
+    const double* set_abundances, int64_t n_clusters, int64_t ploidy,
+    double min_posterior, double total_transcript_count, int32_t digits,
+    int32_t n_threads, uint8_t** out_hap, int64_t* out_hap_len,
+    uint8_t** out_joint, int64_t* out_joint_len) {
+  // Per-cluster bases (prefix sums) so workers are independent.
+  std::vector<int64_t> row_base(n_clusters + 1), set_base(n_clusters + 1),
+      slot_base(n_clusters + 1);
+  {
+    int64_t rows = 0, sets = 0, slots = 0;
+    for (int64_t c = 0; c < n_clusters; ++c) {
+      row_base[c] = rows;
+      set_base[c] = sets;
+      slot_base[c] = slots;
+      rows += n_paths[c];
+      sets += n_sets[c];
+      for (int64_t s = 0; s < n_sets[c]; ++s) slots += set_lens[set_base[c] + s];
+    }
+    row_base[n_clusters] = rows;
+    set_base[n_clusters] = sets;
+    slot_base[n_clusters] = slots;
+  }
+
+  std::vector<std::string> hap_chunks(n_clusters), joint_chunks(n_clusters);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<double> read_counts, hap_probs;
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      if (c >= n_clusters) return;
+      const int64_t P = n_paths[c];
+      const int64_t rb = row_base[c];
+      std::string& hap = hap_chunks[c];
+      std::string& joint = joint_chunks[c];
+
+      read_counts.assign(P, 0.0);
+      hap_probs.assign(P, 0.0);
+
+      int64_t slot = slot_base[c];
+      for (int64_t s = set_base[c]; s < set_base[c] + n_sets[c]; ++s) {
+        const int64_t len = set_lens[s];
+        const double post = set_posteriors[s];
+        // Marginalise: every slot's abundance adds to its path; the
+        // posterior adds once per distinct path (slots sorted, so
+        // "first or different from previous" marks distinct).
+        for (int64_t j = 0; j < len; ++j) {
+          const int64_t p = set_ids[slot + j];
+          read_counts[p] += set_abundances[slot + j];
+          if (j == 0 || p != set_ids[slot + j - 1]) hap_probs[p] += post;
+        }
+        // Joint row (min-posterior filter applies after the abundance
+        // iterator was consumed, like the Python writer).
+        if (post >= min_posterior) {
+          for (int64_t j = 0; j < len; ++j) {
+            compose::put_name(&joint, names_fixed, name_width,
+                              rb + set_ids[slot + j]);
+            joint.push_back('\t');
+          }
+          for (int64_t j = len; j < ploidy; ++j) joint.append(".\t", 2);
+          compose::put_i64(&joint, cids[c]);
+          joint.push_back('\t');
+          compose::put_g(&joint, post, digits);
+          for (int64_t j = 0; j < len; ++j) {
+            const double count = set_abundances[slot + j];
+            const double eff = effs[rb + set_ids[slot + j]];
+            const double tpm =
+                eff > 0.0 ? count / eff / total_transcript_count * 1e6 : 0.0;
+            joint.push_back('\t');
+            compose::put_g(&joint, count, digits);
+            joint.push_back('\t');
+            compose::put_g(&joint, tpm, digits);
+          }
+          for (int64_t j = len; j < ploidy; ++j) joint.append("\t0\t0", 4);
+          joint.push_back('\n');
+        }
+        slot += len;
+      }
+
+      for (int64_t p = 0; p < P; ++p) {
+        const double eff = effs[rb + p];
+        const double tpm = eff > 0.0
+            ? read_counts[p] / eff / total_transcript_count * 1e6
+            : 0.0;
+        compose::put_name(&hap, names_fixed, name_width, rb + p);
+        hap.push_back('\t');
+        compose::put_i64(&hap, cids[c]);
+        hap.push_back('\t');
+        compose::put_i64(&hap, lengths[rb + p]);
+        hap.push_back('\t');
+        compose::put_g(&hap, eff, digits);
+        hap.push_back('\t');
+        compose::put_g(&hap, hap_probs[p], digits);
+        hap.push_back('\t');
+        compose::put_g(&hap, read_counts[p], digits);
+        hap.push_back('\t');
+        compose::put_g(&hap, tpm, digits);
+        hap.push_back('\n');
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  size_t hap_total = 0, joint_total = 0;
+  for (int64_t c = 0; c < n_clusters; ++c) {
+    hap_total += hap_chunks[c].size();
+    joint_total += joint_chunks[c].size();
+  }
+  auto* hap_buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(hap_total, 1)));
+  auto* joint_buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(joint_total, 1)));
+  size_t ho = 0, jo = 0;
+  for (int64_t c = 0; c < n_clusters; ++c) {
+    std::memcpy(hap_buf + ho, hap_chunks[c].data(), hap_chunks[c].size());
+    ho += hap_chunks[c].size();
+    std::memcpy(joint_buf + jo, joint_chunks[c].data(), joint_chunks[c].size());
+    jo += joint_chunks[c].size();
+  }
+  *out_hap = hap_buf;
+  *out_hap_len = static_cast<int64_t>(hap_total);
+  *out_joint = joint_buf;
+  *out_joint_len = static_cast<int64_t>(joint_total);
+}
+
+}  // extern "C"

@@ -414,6 +414,10 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
     timing = bool(os.environ.get("RPVG_TPU_PHASE_TIMING"))
     t0 = time.perf_counter()
 
+    # Cleared here; the fused path re-stashes its columnar set streams
+    # for the native output composer when every slot combined natively.
+    estimator._columnar_outputs = None
+
     # Fused native path for the diploid non-Gibbs configuration: the
     # whole grouped-matrix -> posterior -> subset-selection -> collapse
     # -> EM chain runs in one threaded C++ call (bitwise identical to
@@ -864,6 +868,20 @@ def _batched_haplotype_transcripts_fused(
             est.abundances.extend(path_abundances)
 
         est.noise_count += (1.0 - sum_hap_prob) * est.total_count
+
+    if combined.size and combined.all():
+        # Every slot combined natively: stash the columnar set streams
+        # so the output phase can compose the estimate files in C++
+        # (pipeline._write_hapjoint_columnar) without walking the
+        # per-cluster Python objects.
+        estimator._columnar_outputs = {
+            "meta": meta,
+            "n_sets": n_sets,
+            "set_lens": set_lens,
+            "set_ids": set_ids_all,
+            "set_posteriors": set_post_all,
+            "set_abundances": set_ab_all,
+        }
 
     if timing:
         print(f"  [timing]   fused combine ({T} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)

@@ -1210,3 +1210,127 @@ def strains_infer(
         "mats": take_sized(np.float64),
         "cnts": take_sized(np.float64),
     }
+
+
+def compose_hapjoint_rows(
+    names, lengths, effs, cids, n_paths, n_sets, set_lens, set_posteriors,
+    set_ids, set_abundances, ploidy, min_posterior,
+    total_transcript_count, threads, digits: int = 8,
+):
+    """Compose the haplotype-transcripts estimate rows (<prefix>.txt and
+    <prefix>_joint.txt bodies) natively from the fused kernel's columnar
+    set streams; returns (hap_text, joint_text) or None when the library
+    is unavailable.  Byte-identical to the object writers
+    (io/writers.py HaplotypeAbundance/JointHaplotypeAbundance)."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_compose_configured", False):
+        lib.rpvg_compose_hapjoint_rows.restype = None
+        lib.rpvg_compose_hapjoint_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rpvg_tpm_normalizer.restype = ctypes.c_double
+        lib.rpvg_tpm_normalizer.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        lib._compose_configured = True
+
+    # Fixed-width NUL-padded name table (np encodes in C).
+    names_fixed = np.array(names, dtype="S")
+    name_width = names_fixed.dtype.itemsize
+    names_blob = names_fixed.tobytes()
+
+    def i64(a):
+        return np.ascontiguousarray(np.asarray(a, dtype=np.int64))
+
+    def f64(a):
+        return np.ascontiguousarray(np.asarray(a, dtype=np.float64))
+
+    lengths = i64(lengths)
+    effs = f64(effs)
+    cids = i64(cids)
+    n_paths = i64(n_paths)
+    n_sets = i64(n_sets)
+    set_lens = i64(set_lens)
+    set_posteriors = f64(set_posteriors)
+    set_ids = i64(set_ids)
+    set_abundances = f64(set_abundances)
+
+    out_hap = ctypes.POINTER(ctypes.c_uint8)()
+    out_hap_len = ctypes.c_int64()
+    out_joint = ctypes.POINTER(ctypes.c_uint8)()
+    out_joint_len = ctypes.c_int64()
+    lib.rpvg_compose_hapjoint_rows(
+        ctypes.cast(ctypes.c_char_p(names_blob), ctypes.POINTER(ctypes.c_uint8)),
+        int(name_width),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        effs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_sets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        set_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        set_posteriors.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        set_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        set_abundances.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        int(len(cids)), int(ploidy), float(min_posterior),
+        float(total_transcript_count), int(digits), int(threads),
+        ctypes.byref(out_hap), ctypes.byref(out_hap_len),
+        ctypes.byref(out_joint), ctypes.byref(out_joint_len),
+    )
+    try:
+        hap_text = ctypes.string_at(out_hap, out_hap_len.value).decode()
+    finally:
+        lib.rpvg_buffer_free(out_hap)
+    try:
+        joint_text = ctypes.string_at(out_joint, out_joint_len.value).decode()
+    finally:
+        lib.rpvg_buffer_free(out_joint)
+    return hap_text, joint_text
+
+
+def tpm_normalizer_columnar(effs, n_paths, n_sets, set_lens, set_ids, set_abundances):
+    """Sequential twin of pipeline.compute_tpm_normalizer over columnar
+    set streams; returns the float total or None without the library."""
+    lib = load_library()
+    if lib is None or not hasattr(lib, "rpvg_tpm_normalizer"):
+        return None
+    # argtypes configured by compose_hapjoint_rows's block if needed
+    if not getattr(lib, "_compose_configured", False):
+        lib.rpvg_tpm_normalizer.restype = ctypes.c_double
+        lib.rpvg_tpm_normalizer.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+    effs = np.ascontiguousarray(np.asarray(effs, dtype=np.float64))
+    n_paths = np.ascontiguousarray(np.asarray(n_paths, dtype=np.int64))
+    n_sets = np.ascontiguousarray(np.asarray(n_sets, dtype=np.int64))
+    set_lens = np.ascontiguousarray(np.asarray(set_lens, dtype=np.int64))
+    set_ids = np.ascontiguousarray(np.asarray(set_ids, dtype=np.int64))
+    set_abundances = np.ascontiguousarray(np.asarray(set_abundances, dtype=np.float64))
+    return float(
+        lib.rpvg_tpm_normalizer(
+            effs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            n_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n_sets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            set_lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            set_ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            set_abundances.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            int(len(n_paths)),
+        )
+    )

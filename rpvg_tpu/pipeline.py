@@ -1255,7 +1255,10 @@ def run_inference_phases(
 
     if not skip_outputs:
         t_out = time.perf_counter()
-        write_outputs(config, results, fragment_index.unaligned_count)
+        write_outputs(
+            config, results, fragment_index.unaligned_count,
+            columnar=getattr(estimator, "_columnar_outputs", None),
+        )
         if os.environ.get("RPVG_TPU_PHASE_TIMING"):
             log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
 
@@ -1294,8 +1297,101 @@ def compute_tpm_normalizer(results: Sequence[ClusterResult]) -> float:
     return total
 
 
+def _write_hapjoint_columnar(
+    config: PipelineConfig,
+    results: Sequence[ClusterResult],
+    unaligned_read_count: int,
+    columnar: Dict,
+) -> bool:
+    """Native composition of the haplotype-transcripts estimate files
+    from the fused kernel's columnar set streams (byte-identical to the
+    object writers; regression-pinned by tests).  Returns False to fall
+    back to the object writers."""
+    from .native import compose_hapjoint_rows, tpm_normalizer_columnar
+
+    # Every result contributes path rows (clusters with no probability
+    # rows still list their paths with zero counts, like the object
+    # writer); only `meta` clusters have set streams.
+    meta = columnar["meta"]
+    names: List[str] = []
+    lengths: List[int] = []
+    effs: List[float] = []
+    cids: List[int] = []
+    n_paths: List[int] = []
+    n_sets = np.zeros(len(results), dtype=np.int64)
+    n_sets[np.asarray(meta, dtype=np.int64)] = np.asarray(
+        columnar["n_sets"], dtype=np.int64
+    )
+    for result in results:
+        est = result.estimates
+        cids.append(result.cluster_id)
+        n_paths.append(len(est.paths))
+        for info in est.paths:
+            names.append(info.name)
+            lengths.append(info.length)
+            effs.append(info.effective_length)
+    if not names:
+        return False
+    try:
+        names_ok = all(name.isascii() for name in names)
+    except AttributeError:  # pragma: no cover
+        names_ok = False
+    if not names_ok:
+        return False
+
+    total = tpm_normalizer_columnar(
+        effs, n_paths, n_sets, columnar["set_lens"],
+        columnar["set_ids"], columnar["set_abundances"],
+    )
+    if total is None:
+        return False
+
+    composed = compose_hapjoint_rows(
+        names, lengths, effs, cids, n_paths,
+        n_sets, columnar["set_lens"], columnar["set_posteriors"],
+        columnar["set_ids"], columnar["set_abundances"],
+        ploidy=config.ploidy, min_posterior=config.prob_precision,
+        total_transcript_count=total, threads=config.threads,
+    )
+    if composed is None:
+        return False
+    hap_text, joint_text = composed
+
+    # Noise accumulation in the writers' exact order over ALL results.
+    hap_noise = 0.0
+    joint_noise = 0.0
+    for result in results:
+        hap_noise += result.estimates.noise_count
+        joint_noise += result.estimates.noise_count / config.ploidy
+
+    fmt = writers.fmt
+    with open(config.output_prefix + ".txt", "w") as handle:
+        handle.write(
+            "Name\tClusterID\tLength\tEffectiveLength\tHaplotypeProbability\tReadCount\tTPM\n"
+        )
+        handle.write(hap_text)
+        handle.write(
+            f"Unknown\t0\t0\t0\t0\t{fmt(hap_noise + unaligned_read_count)}\t0\n"
+        )
+    header = [f"Name_{i + 1}" for i in range(config.ploidy)]
+    header += ["ClusterID", "HaplotypingProbability"]
+    for i in range(config.ploidy):
+        header += [f"ReadCount_{i + 1}", f"TPM_{i + 1}"]
+    unknown = ["Unknown"] * config.ploidy + ["0", "0"]
+    for _ in range(config.ploidy):
+        unknown += [fmt(joint_noise + unaligned_read_count / config.ploidy), "0"]
+    with open(config.output_prefix + "_joint.txt", "w") as handle:
+        handle.write("\t".join(header) + "\n")
+        handle.write(joint_text)
+        handle.write("\t".join(unknown) + "\n")
+    return True
+
+
 def write_outputs(
-    config: PipelineConfig, results: Sequence[ClusterResult], unaligned_read_count: int
+    config: PipelineConfig,
+    results: Sequence[ClusterResult],
+    unaligned_read_count: int,
+    columnar: Optional[Dict] = None,
 ) -> None:
     if config.inference_model == "haplotypes":
         writer = writers.JointHaplotypeEstimatesWriter(
@@ -1304,6 +1400,14 @@ def write_outputs(
         for result in results:
             writer.add_estimates(result.cluster_id, result.estimates)
         writer.close()
+        return
+
+    if (
+        config.inference_model == "haplotype-transcripts"
+        and columnar is not None
+        and os.environ.get("RPVG_TPU_COMPOSE_OUT", "1") != "0"
+        and _write_hapjoint_columnar(config, results, unaligned_read_count, columnar)
+    ):
         return
 
     total_transcript_count = compute_tpm_normalizer(results)

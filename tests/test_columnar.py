@@ -141,3 +141,26 @@ def test_columnar_prob_writer_matches_materialized(dataset, tmp_path):
         assert fa.read() == fb.read()
     with open(out_a + ".txt") as fa, open(out_b + ".txt") as fb:
         assert fa.read() == fb.read()
+
+
+def test_columnar_estimate_writers_match_objects(dataset, tmp_path, monkeypatch):
+    # The native output composer (rpvg_compose_hapjoint_rows, fed by the
+    # fused kernel's set streams) must be byte-identical to the object
+    # writers for both haplotype-transcripts estimate files.
+    panel, aln, info, _ = dataset
+
+    def run(prefix, compose):
+        monkeypatch.setenv("RPVG_TPU_COMPOSE_OUT", "1" if compose else "0")
+        config = _config(panel, aln, info, prefix, "haplotype-transcripts")
+        pre = resolve_pre_fragment_dist(config)
+        finder = build_finder(config, panel.paths_index, pre)
+        index = collect_fragments(config, finder, pre, columnar=True)
+        run_inference_phases(config, panel.paths_index, index, pre, finder=finder)
+
+    out_a = str(tmp_path / "composed")
+    out_b = str(tmp_path / "objects")
+    run(out_a, True)
+    run(out_b, False)
+    for suffix in (".txt", "_joint.txt"):
+        with open(out_a + suffix) as fa, open(out_b + suffix) as fb:
+            assert fa.read() == fb.read(), suffix
