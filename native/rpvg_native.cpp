@@ -2159,54 +2159,86 @@ extern "C" {
 //   (u64 count + path-list block per entry),
 //   u64 unaligned, i64 histogram...
 uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
-                                   int64_t* out_len) {
+                                   int64_t* out_len, int32_t n_threads) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
   fidx->merge_workers();
   const Index& idx = *static_cast<Index*>(index_handle);
   const int64_t n = static_cast<int64_t>(fidx->entries.size());
 
-  std::vector<uint64_t> counts;
-  std::vector<int64_t> anchors;
-  std::vector<int32_t> n_ids;
-  std::vector<int64_t> all_ids;
-  std::vector<int64_t> raw_lens;
-  counts.reserve(n);
-  anchors.reserve(n);
-  n_ids.reserve(n);
-  raw_lens.reserve(n);
+  // Entry order = map iteration order (deterministic for a given input
+  // sequence); collect pointers so the locate pass can run threaded
+  // over contiguous ranges without touching the order.
+  std::vector<std::pair<const std::string*, uint64_t>> entry_list;
+  entry_list.reserve(n);
+  for (const auto& [key, count] : fidx->entries) {
+    entry_list.emplace_back(&key, count);
+  }
+
+  std::vector<uint64_t> counts(n);
+  std::vector<int64_t> anchors(n);
+  std::vector<int32_t> n_ids(n);
+  std::vector<int64_t> raw_lens(n);
+  const int32_t threads =
+      std::max(1, std::min<int32_t>(n_threads, std::max<int64_t>(1, n)));
+  std::vector<std::vector<int64_t>> ids_of_range(threads);
   size_t raw_total = 0;
 
-  std::vector<int64_t> located;
-  std::vector<int64_t> ids;
-  for (const auto& [key, count] : fidx->entries) {
-    const uint8_t* p = reinterpret_cast<const uint8_t*>(key.data());
-    int32_t n_paths;
-    std::memcpy(&n_paths, p, 4);
-    const uint8_t* cur = p + 4;
+  auto process_range = [&](int32_t t) {
+    const int64_t begin = n * t / threads;
+    const int64_t end = n * (t + 1) / threads;
+    std::vector<int64_t>& range_ids = ids_of_range[t];
+    std::vector<int64_t> located;
+    std::vector<int64_t> ids;
+    for (int64_t e = begin; e < end; ++e) {
+      const std::string& key = *entry_list[e].first;
+      const uint8_t* p = reinterpret_cast<const uint8_t*>(key.data());
+      int32_t n_paths;
+      std::memcpy(&n_paths, p, 4);
+      const uint8_t* cur = p + 4;
 
-    int64_t anchor = -1;
-    ids.clear();
-    for (int32_t i = 0; i < n_paths; ++i) {
-      int32_t n_pos;
-      std::memcpy(&n_pos, cur + 8, 4);
-      const int64_t* positions = reinterpret_cast<const int64_t*>(cur + 12);
-      if (n_pos > 0) {
-        locate_path_ids(idx, positions, n_pos, &located);
-        if (anchor < 0) anchor = located.front();
-        ids.insert(ids.end(), located.begin(), located.end());
+      int64_t anchor = -1;
+      ids.clear();
+      for (int32_t i = 0; i < n_paths; ++i) {
+        int32_t n_pos;
+        std::memcpy(&n_pos, cur + 8, 4);
+        const int64_t* positions = reinterpret_cast<const int64_t*>(cur + 12);
+        if (n_pos > 0) {
+          locate_path_ids(idx, positions, n_pos, &located);
+          if (anchor < 0) anchor = located.front();
+          ids.insert(ids.end(), located.begin(), located.end());
+        }
+        cur += 12 + 8 * static_cast<int64_t>(n_pos) + 17;
       }
-      cur += 12 + 8 * static_cast<int64_t>(n_pos) + 17;
-    }
-    std::sort(ids.begin(), ids.end());
-    ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
+      std::sort(ids.begin(), ids.end());
+      ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
 
-    counts.push_back(count);
-    anchors.push_back(anchor);
-    n_ids.push_back(static_cast<int32_t>(ids.size()));
-    all_ids.insert(all_ids.end(), ids.begin(), ids.end());
-    raw_lens.push_back(static_cast<int64_t>(8 + key.size()));
-    raw_total += 8 + key.size();
+      counts[e] = entry_list[e].second;
+      anchors[e] = anchor;
+      n_ids[e] = static_cast<int32_t>(ids.size());
+      range_ids.insert(range_ids.end(), ids.begin(), ids.end());
+      raw_lens[e] = static_cast<int64_t>(8 + key.size());
+    }
+  };
+
+  if (threads == 1) {
+    process_range(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(process_range, t);
+    for (auto& th : pool) th.join();
   }
+
+  std::vector<int64_t> all_ids;
+  {
+    size_t ids_total = 0;
+    for (const auto& range_ids : ids_of_range) ids_total += range_ids.size();
+    all_ids.reserve(ids_total);
+    for (const auto& range_ids : ids_of_range) {
+      all_ids.insert(all_ids.end(), range_ids.begin(), range_ids.end());
+    }
+  }
+  for (int64_t e = 0; e < n; ++e) raw_total += raw_lens[e];
 
   Writer w;
   w.buf.reserve(8 + n * 28 + all_ids.size() * 8 + 8 + raw_total + 16 +
@@ -2223,13 +2255,9 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   w.put<int64_t>(static_cast<int64_t>(all_ids.size()));
   put_block(all_ids.data(), all_ids.size() * 8);
   put_block(raw_lens.data(), n * 8);
-  {
-    int64_t e = 0;
-    for (const auto& [key, count] : fidx->entries) {
-      w.put<uint64_t>(counts[e]);
-      put_block(key.data(), key.size());
-      ++e;
-    }
+  for (int64_t e = 0; e < n; ++e) {
+    w.put<uint64_t>(counts[e]);
+    put_block(entry_list[e].first->data(), entry_list[e].first->size());
   }
   w.put<uint64_t>(fidx->unaligned);
   for (int64_t h : fidx->histogram) w.put<int64_t>(h);

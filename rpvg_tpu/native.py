@@ -88,6 +88,7 @@ def load_library() -> Optional[ctypes.CDLL]:
     lib.rpvg_indexer_dump_located.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_indexer_dump_located.argtypes = [
         ctypes.c_void_p, ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
     ]
     lib.rpvg_build_cluster_matrices.restype = ctypes.POINTER(ctypes.c_uint8)
     lib.rpvg_build_cluster_matrices.argtypes = [
@@ -537,7 +538,8 @@ class NativeFinder:
         with NO per-entry Python objects."""
         out_len = ctypes.c_int64()
         out_ptr = self._lib.rpvg_indexer_dump_located(
-            indexer, self._handle, ctypes.byref(out_len)
+            indexer, self._handle, ctypes.byref(out_len),
+            int(self._iparams[7]),
         )
         try:
             data = ctypes.string_at(out_ptr, out_len.value)
