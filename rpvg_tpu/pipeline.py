@@ -1184,6 +1184,16 @@ def run_inference_phases(
     # Device half.  Common configurations execute batched across the
     # whole cluster population (O(buckets) kernel dispatches); the rest
     # dispatch per cluster through the estimator classes.
+    # RPVG_TPU_JAX_PROFILE=<dir> wraps this phase in a jax.profiler
+    # trace (viewable in TensorBoard/Perfetto) — the TPU-era analogue of
+    # the reference's per-phase stderr timers (src/main.cpp:640-649).
+    profile_dir = os.environ.get("RPVG_TPU_JAX_PROFILE")
+    profile_ctx = None
+    if profile_dir:
+        import jax.profiler
+
+        profile_ctx = jax.profiler.trace(profile_dir)
+        profile_ctx.__enter__()
     results: List[ClusterResult] = []
     if batched_supported:
         batch_data = []
@@ -1221,6 +1231,9 @@ def run_inference_phases(
             rng = ClusterRNG(config.rng_seed, rank)
             estimator.estimate(estimates, cluster_probs, rng)
             results.append(ClusterResult(rank + 1, estimates))
+
+    if profile_ctx is not None:
+        profile_ctx.__exit__(None, None, None)
 
     if os.environ.get("RPVG_TPU_PHASE_TIMING"):
         log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
