@@ -4009,3 +4009,35 @@ void rpvg_compose_hapjoint_rows(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Raw-entry byte gather (speed path behind ColumnarFragments.gather_blob):
+// copy n entries' byte ranges into a contiguous blob.  The numpy fancy-
+// index equivalent materialises an int64 index array 8x the payload.
+
+extern "C" {
+
+void rpvg_gather_blob(const uint8_t* data, const int64_t* starts,
+                      const int64_t* lens, const int64_t* out_starts,
+                      int64_t n, uint8_t* out, int32_t n_threads) {
+  const int32_t threads =
+      std::max(1, std::min<int32_t>(n_threads, std::max<int64_t>(1, n)));
+  auto copy_range = [&](int32_t t) {
+    const int64_t begin = n * t / threads;
+    const int64_t end = n * (t + 1) / threads;
+    for (int64_t e = begin; e < end; ++e) {
+      std::memcpy(out + out_starts[e], data + starts[e],
+                  static_cast<size_t>(lens[e]));
+    }
+  };
+  if (threads == 1) {
+    copy_range(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(copy_range, t);
+    for (auto& th : pool) th.join();
+  }
+}
+
+}  // extern "C"

@@ -246,7 +246,7 @@ class ColumnarFragments:
 
     __slots__ = (
         "data", "counts", "anchors", "id_bounds", "all_ids", "raw_bounds",
-        "histogram", "unaligned", "_data_arr",
+        "histogram", "unaligned", "_data_arr", "n_threads",
     )
 
     def __init__(self, data, counts, anchors, id_bounds, all_ids, raw_bounds,
@@ -271,14 +271,36 @@ class ColumnarFragments:
 
     def gather_blob(self, entry_order: np.ndarray):
         """Concatenated raw entry bytes for `entry_order` (uint8 array)
-        plus each entry's byte length — one vectorised gather."""
-        starts = self.raw_bounds[entry_order]
-        lens = self.raw_bounds[entry_order + 1] - starts
+        plus each entry's byte length — one threaded native gather
+        (numpy fancy-index fallback)."""
+        starts = np.ascontiguousarray(self.raw_bounds[entry_order])
+        lens = np.ascontiguousarray(self.raw_bounds[entry_order + 1] - starts)
         total = int(lens.sum())
         if total == 0:
             return np.empty(0, dtype=np.uint8), lens
         out_starts = np.zeros(entry_order.size, dtype=np.int64)
         np.cumsum(lens[:-1], out=out_starts[1:])
+        lib = load_library()
+        if lib is not None:
+            if not getattr(lib, "_gather_configured", False):
+                lib.rpvg_gather_blob.restype = None
+                lib.rpvg_gather_blob.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.POINTER(ctypes.c_int64),
+                    ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+                    ctypes.c_int64, ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32,
+                ]
+                lib._gather_configured = True
+            out = np.empty(total, dtype=np.uint8)
+            lib.rpvg_gather_blob(
+                self.data_array().ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                lens.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                out_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                int(entry_order.size),
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                int(getattr(self, "n_threads", 4)),
+            )
+            return out, lens
         idx = np.arange(total, dtype=np.int64)
         idx += np.repeat(starts - out_starts, lens)
         return self.data_array()[idx], lens
@@ -571,10 +593,12 @@ class NativeFinder:
         (unaligned,) = struct.unpack_from("<Q", data, offset)
         offset += 8
         histogram = np.frombuffer(data, dtype=np.int64, count=hist_size, offset=offset).copy()
-        return ColumnarFragments(
+        cols = ColumnarFragments(
             data, counts, anchors, id_bounds, all_ids, raw_bounds,
             histogram, int(unaligned),
         )
+        cols.n_threads = int(self._iparams[7])
+        return cols
 
     def dump_indexer_located(self, indexer, hist_size: int):
         """Like :meth:`dump_indexer` but entries carry pre-located path
