@@ -624,6 +624,9 @@ def _batched_haplotype_transcripts_fused(
         em_area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 262144))
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device
+    elif os.environ.get("RPVG_TPU_FORCE_HYBRID_EM_AREA"):
+        # Test hook: exercise the device-deferred path on any backend.
+        em_area_cutoff = int(os.environ["RPVG_TPU_FORCE_HYBRID_EM_AREA"])
 
     emit_matrices = estimator.num_gibbs_samples > 0
     streams = nested_diploid_infer(
@@ -869,13 +872,16 @@ def _batched_haplotype_transcripts_fused(
 
         est.noise_count += (1.0 - sum_hap_prob) * est.total_count
 
-    if combined.size and combined.all():
-        # Every slot combined natively: stash the columnar set streams
-        # so the output phase can compose the estimate files in C++
-        # (pipeline._write_hapjoint_columnar) without walking the
-        # per-cluster Python objects.
+    if combined.size:
+        # Stash the columnar set streams so the output phase can compose
+        # the estimate files in C++ (pipeline._write_hapjoint_columnar)
+        # without walking the per-cluster Python objects.  Slots whose
+        # EM deferred to the device combined in Python above (stream
+        # sets empty) — the writer splices those few clusters' sets from
+        # their estimates.
         estimator._columnar_outputs = {
             "meta": meta,
+            "combined": combined,
             "n_sets": n_sets,
             "set_lens": set_lens,
             "set_ids": set_ids_all,

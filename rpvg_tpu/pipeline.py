@@ -1324,17 +1324,60 @@ def _write_hapjoint_columnar(
 
     # Every result contributes path rows (clusters with no probability
     # rows still list their paths with zero counts, like the object
-    # writer); only `meta` clusters have set streams.
+    # writer); only `meta` clusters have set streams.  Slots whose EM
+    # deferred to the device (hybrid accelerator runs) combined in
+    # Python — splice those few clusters' sets from their estimates.
     meta = columnar["meta"]
+    meta_arr = np.asarray(meta, dtype=np.int64)
+    combined_mask = np.asarray(columnar["combined"], dtype=bool)
+    n_sets_stream = np.asarray(columnar["n_sets"], dtype=np.int64)
+    set_lens = columnar["set_lens"]
+    set_posteriors = columnar["set_posteriors"]
+    set_ids = columnar["set_ids"]
+    set_abundances = columnar["set_abundances"]
+    n_sets = np.zeros(len(results), dtype=np.int64)
+    n_sets[meta_arr] = n_sets_stream
+    if not combined_mask.all():
+        set_bounds = np.zeros(len(meta) + 1, dtype=np.int64)
+        np.cumsum(n_sets_stream, out=set_bounds[1:])
+        slot_bounds = np.zeros(len(set_lens) + 1, dtype=np.int64)
+        np.cumsum(set_lens, out=slot_bounds[1:])
+        lens_segs, post_segs, ids_segs, ab_segs = [], [], [], []
+        cursor_set = 0
+        for i in np.flatnonzero(~combined_mask):
+            cut = int(set_bounds[i])
+            lens_segs.append(set_lens[cursor_set:cut])
+            post_segs.append(set_posteriors[cursor_set:cut])
+            ids_segs.append(set_ids[slot_bounds[cursor_set]:slot_bounds[cut]])
+            ab_segs.append(
+                set_abundances[slot_bounds[cursor_set]:slot_bounds[cut]]
+            )
+            cursor_set = cut
+            est = results[meta[i]].estimates
+            sets = est.path_group_sets
+            n_sets[meta[i]] = len(sets)
+            lens_segs.append(
+                np.fromiter((len(gs) for gs in sets), np.int64, len(sets))
+            )
+            post_segs.append(np.asarray(est.posteriors, dtype=np.float64))
+            ids_segs.append(
+                np.fromiter((p for gs in sets for p in gs), np.int64)
+            )
+            ab_segs.append(np.asarray(est.abundances, dtype=np.float64))
+        lens_segs.append(set_lens[cursor_set:])
+        post_segs.append(set_posteriors[cursor_set:])
+        ids_segs.append(set_ids[slot_bounds[cursor_set]:])
+        ab_segs.append(set_abundances[slot_bounds[cursor_set]:])
+        set_lens = np.concatenate(lens_segs)
+        set_posteriors = np.concatenate(post_segs)
+        set_ids = np.concatenate(ids_segs)
+        set_abundances = np.concatenate(ab_segs)
+
     names: List[str] = []
     lengths: List[int] = []
     effs: List[float] = []
     cids: List[int] = []
     n_paths: List[int] = []
-    n_sets = np.zeros(len(results), dtype=np.int64)
-    n_sets[np.asarray(meta, dtype=np.int64)] = np.asarray(
-        columnar["n_sets"], dtype=np.int64
-    )
     for result in results:
         est = result.estimates
         cids.append(result.cluster_id)
@@ -1353,16 +1396,14 @@ def _write_hapjoint_columnar(
         return False
 
     total = tpm_normalizer_columnar(
-        effs, n_paths, n_sets, columnar["set_lens"],
-        columnar["set_ids"], columnar["set_abundances"],
+        effs, n_paths, n_sets, set_lens, set_ids, set_abundances,
     )
     if total is None:
         return False
 
     composed = compose_hapjoint_rows(
         names, lengths, effs, cids, n_paths,
-        n_sets, columnar["set_lens"], columnar["set_posteriors"],
-        columnar["set_ids"], columnar["set_abundances"],
+        n_sets, set_lens, set_posteriors, set_ids, set_abundances,
         ploidy=config.ploidy, min_posterior=config.prob_precision,
         total_transcript_count=total, threads=config.threads,
     )

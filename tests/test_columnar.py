@@ -164,3 +164,29 @@ def test_columnar_estimate_writers_match_objects(dataset, tmp_path, monkeypatch)
     for suffix in (".txt", "_joint.txt"):
         with open(out_a + suffix) as fa, open(out_b + suffix) as fb:
             assert fa.read() == fb.read(), suffix
+
+
+def test_columnar_estimate_writers_match_objects_hybrid(dataset, tmp_path, monkeypatch):
+    # Hybrid accelerator runs defer large subset-EM matrices to the
+    # device; the composer splices those clusters' sets from their
+    # estimates.  Forced here via the test hook on the CPU backend.
+    panel, aln, info, _ = dataset
+    # Cutoff 8 defers ~16 of the ~103 slots on this dataset (probed),
+    # giving a genuinely mixed combined/deferred population.
+    monkeypatch.setenv("RPVG_TPU_FORCE_HYBRID_EM_AREA", "8")
+
+    def run(prefix, compose):
+        monkeypatch.setenv("RPVG_TPU_COMPOSE_OUT", "1" if compose else "0")
+        config = _config(panel, aln, info, prefix, "haplotype-transcripts")
+        pre = resolve_pre_fragment_dist(config)
+        finder = build_finder(config, panel.paths_index, pre)
+        index = collect_fragments(config, finder, pre, columnar=True)
+        run_inference_phases(config, panel.paths_index, index, pre, finder=finder)
+
+    out_a = str(tmp_path / "composed_hybrid")
+    out_b = str(tmp_path / "objects_hybrid")
+    run(out_a, True)
+    run(out_b, False)
+    for suffix in (".txt", "_joint.txt"):
+        with open(out_a + suffix) as fa, open(out_b + suffix) as fb:
+            assert fa.read() == fb.read(), suffix
