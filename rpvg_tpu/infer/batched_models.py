@@ -806,14 +806,15 @@ def _batched_haplotype_transcripts_fused(
         est.total_count = total_count
 
         if combined[slot]:
+            from .estimates import GroupSetViews
+
             lo, hi = int(set_bounds[slot]), int(set_bounds[slot + 1])
             id_lo, id_hi = int(len_bounds[lo]), int(len_bounds[hi])
-            est.path_group_sets = [
-                set_ids_all[len_bounds[s] : len_bounds[s + 1]].tolist()
-                for s in range(lo, hi)
-            ]
-            est.posteriors = set_post_all[lo:hi].tolist()
-            est.abundances = set_ab_all[id_lo:id_hi].tolist()
+            # Zero-copy views over the kernel's streams (list-equivalent
+            # for consumers; the composer reads the streams directly).
+            est.path_group_sets = GroupSetViews(set_ids_all, len_bounds, lo, hi)
+            est.posteriors = set_post_all[lo:hi]
+            est.abundances = set_ab_all[id_lo:id_hi]
             est.noise_count = float(streams["slot_noise"][slot])
             continue
 

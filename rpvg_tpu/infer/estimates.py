@@ -7,6 +7,7 @@ from dataclasses import dataclass, field
 from itertools import combinations_with_replacement
 from typing import List
 
+import numpy as np
 
 from ..probabilities import PathInfo
 
@@ -48,3 +49,51 @@ class PathClusterEstimates:
             ]
             self.posteriors = [0.0] * len(self.path_group_sets)
             self.abundances = [0.0] * (len(self.path_group_sets) * group_size)
+
+
+class GroupSetViews:
+    """Zero-copy sequence of path group sets over the fused kernel's
+    flat set-id stream: element i is a numpy slice (ascending path
+    indices).  Behaves like the equivalent list of lists for len/iter/
+    indexing/equality, so estimator consumers and differential tests
+    are unaffected while the combine loop skips materialising ~n_sets
+    Python lists per cluster."""
+
+    __slots__ = ("_ids", "_bounds", "_lo", "_n")
+
+    def __init__(self, ids, bounds, lo: int, hi: int):
+        self._ids = ids
+        self._bounds = bounds
+        self._lo = lo
+        self._n = hi - lo
+
+    def __len__(self) -> int:
+        return self._n
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return [self[j] for j in range(*i.indices(self._n))]
+        if i < 0:
+            i += self._n
+        if not 0 <= i < self._n:
+            raise IndexError(i)
+        s = self._lo + i
+        return self._ids[self._bounds[s] : self._bounds[s + 1]]
+
+    def __iter__(self):
+        for i in range(self._n):
+            yield self[i]
+
+    def __eq__(self, other):
+        try:
+            if len(other) != self._n:
+                return False
+            return all(
+                len(a) == len(b) and bool((np.asarray(a) == np.asarray(b)).all())
+                for a, b in zip(self, other)
+            )
+        except TypeError:
+            return NotImplemented
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"GroupSetViews({[list(map(int, g)) for g in self]})"
