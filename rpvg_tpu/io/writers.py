@@ -73,9 +73,13 @@ class AsyncTextHandle:
     caller can overlap remaining compute, then `join()` before relying
     on the file.  Kill switch: RPVG_TPU_SYNC_WRITERS=1 (see _open)."""
 
-    # Queue items are text chunks; capacity bounds memory the same way
-    # the reference bounds its queue at 5*threads stringstreams.
-    _MAX_CHUNKS = 64
+    # Queue items are text chunks (typically one cluster block, ~1KB).
+    # The capacity must comfortably exceed the block count of a large
+    # run — a tight bound would stall the producer on gzip back-pressure
+    # exactly where the overlap matters (blocks are enqueued BEFORE the
+    # device half).  2^20 chunks of cluster-block size bounds buffered
+    # text in the low GBs worst-case; real runs buffer megabytes.
+    _MAX_CHUNKS = 1 << 20
 
     def __init__(self, handle: TextIO):
         self._handle = handle
