@@ -2910,26 +2910,42 @@ void rpvg_posterior_gibbs_ragged(
       // so each visited row's normalised CDF is built once and reused —
       // the reference's cached discrete_distributions
       // (src/path_estimator.cpp:527-555).  One uniform + binary search
-      // per step instead of a P-exp row pass.
+      // per step instead of a P-exp row pass.  The cache is bounded
+      // (~32MB of CDFs per job); rows beyond the cap compute into a
+      // scratch buffer instead of growing the cache without limit.
+      const int64_t max_cached_rows =
+          std::max<int64_t>(1, (32ll << 20) / (8 * std::max<int64_t>(P, 1)));
+      int64_t cached_rows = 0;
       cdf_cache.assign(P, {});
+      std::vector<double> scratch;
+
+      auto fill_cdf = [&](int64_t other, std::vector<double>& cdf) {
+        const double* row = S + other * P;
+        double max_ll = row[0];
+        for (int64_t p = 1; p < P; ++p) max_ll = std::max(max_ll, row[p]);
+        cdf.resize(P);
+        double acc = 0.0;
+        for (int64_t p = 0; p < P; ++p) {
+          acc += std::exp(row[p] - max_ll);
+          cdf[p] = acc;
+        }
+      };
 
       auto sample_row = [&](int64_t other) -> int64_t {
-        std::vector<double>& cdf = cdf_cache[other];
-        if (cdf.empty()) {
-          const double* row = S + other * P;
-          double max_ll = row[0];
-          for (int64_t p = 1; p < P; ++p) max_ll = std::max(max_ll, row[p]);
-          cdf.resize(P);
-          double acc = 0.0;
-          for (int64_t p = 0; p < P; ++p) {
-            acc += std::exp(row[p] - max_ll);
-            cdf[p] = acc;
+        std::vector<double>* cdf = &cdf_cache[other];
+        if (cdf->empty()) {
+          if (cached_rows < max_cached_rows) {
+            fill_cdf(other, *cdf);
+            ++cached_rows;
+          } else {
+            fill_cdf(other, scratch);
+            cdf = &scratch;
           }
         }
-        std::uniform_real_distribution<double> uni(0.0, cdf.back());
+        std::uniform_real_distribution<double> uni(0.0, cdf->back());
         const double u = uni(rng);
         const int64_t p =
-            std::lower_bound(cdf.begin(), cdf.end(), u) - cdf.begin();
+            std::lower_bound(cdf->begin(), cdf->end(), u) - cdf->begin();
         return p < P ? p : P - 1;  // fp-rounding fallback
       };
 

@@ -252,6 +252,12 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
                 decode_cache.append({})
                 continue
             p = np.asarray(posteriors, dtype=np.float64)
+            # Generator.choice's input validation, kept explicitly: a
+            # degenerate posterior must fail loudly, not mis-sample.
+            if not np.isfinite(p).all() or (p < 0).any():
+                raise ValueError(
+                    "group posteriors contain NaN/inf or negative entries"
+                )
             p = p / p.sum()
             cdf = p.cumsum()
             cdf /= cdf[-1]

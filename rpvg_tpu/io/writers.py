@@ -124,6 +124,20 @@ class AsyncTextHandle:
         self.join()
 
 
+def _handle_close_async(handle) -> None:
+    """Start closing a writer handle without blocking (plain handles
+    close immediately; AsyncTextHandle enqueues its shutdown)."""
+    if isinstance(handle, AsyncTextHandle):
+        handle.close_async()
+    else:
+        handle.close()
+
+
+def _handle_join(handle) -> None:
+    if isinstance(handle, AsyncTextHandle):
+        handle.join()
+
+
 def _open(path: str, async_ok: bool = False):
     if path.endswith(".gz"):
         # Level 6 (zlib default): ~3x faster than gzip-module default 9
@@ -164,14 +178,10 @@ class ProbabilityClusterWriter:
     def close_async(self):
         """Start shutting down without blocking; `join()` before relying
         on the file (no-op split when the handle is synchronous)."""
-        if isinstance(self.handle, AsyncTextHandle):
-            self.handle.close_async()
-        else:
-            self.handle.close()
+        _handle_close_async(self.handle)
 
     def join(self):
-        if isinstance(self.handle, AsyncTextHandle):
-            self.handle.join()
+        _handle_join(self.handle)
 
 
 def probability_block_header(cluster_paths: Sequence[PathInfo]) -> str:
@@ -289,14 +299,14 @@ class ReadCountGibbsSamplesWriter:
             fmt(c + unaligned_read_count) for c in self.noise_counts
         ]
         self.handle.write("\t".join(row) + "\n")
-        if isinstance(self.handle, AsyncTextHandle):
-            self.handle.close_async()
-        else:
-            self.handle.close()
+        _handle_close_async(self.handle)
+
+    def close_async(self) -> None:
+        """Shutdown without the finish() rows (error-path cleanup)."""
+        _handle_close_async(self.handle)
 
     def join(self) -> None:
-        if isinstance(self.handle, AsyncTextHandle):
-            self.handle.join()
+        _handle_join(self.handle)
 
 
 class JointHaplotypeEstimatesWriter:

@@ -1238,16 +1238,10 @@ def strains_infer(
     }
 
 
-def compose_hapjoint_rows(
-    names, lengths, effs, cids, n_paths, n_sets, set_lens, set_posteriors,
-    set_ids, set_abundances, ploidy, min_posterior,
-    total_transcript_count, threads, digits: int = 8,
-):
-    """Compose the haplotype-transcripts estimate rows (<prefix>.txt and
-    <prefix>_joint.txt bodies) natively from the fused kernel's columnar
-    set streams; returns (hap_text, joint_text) or None when the library
-    is unavailable.  Byte-identical to the object writers
-    (io/writers.py HaplotypeAbundance/JointHaplotypeAbundance)."""
+def _load_compose_lib():
+    """Load the library with the output-composer signatures configured
+    (shared by compose_hapjoint_rows and tpm_normalizer_columnar so the
+    argtypes live in exactly one place)."""
     lib = load_library()
     if lib is None:
         return None
@@ -1274,6 +1268,22 @@ def compose_hapjoint_rows(
             ctypes.c_int64,
         ]
         lib._compose_configured = True
+    return lib
+
+
+def compose_hapjoint_rows(
+    names, lengths, effs, cids, n_paths, n_sets, set_lens, set_posteriors,
+    set_ids, set_abundances, ploidy, min_posterior,
+    total_transcript_count, threads, digits: int = 8,
+):
+    """Compose the haplotype-transcripts estimate rows (<prefix>.txt and
+    <prefix>_joint.txt bodies) natively from the fused kernel's columnar
+    set streams; returns (hap_text, joint_text) or None when the library
+    is unavailable.  Byte-identical to the object writers
+    (io/writers.py HaplotypeAbundance/JointHaplotypeAbundance)."""
+    lib = _load_compose_lib()
+    if lib is None:
+        return None
 
     # Fixed-width NUL-padded name table (np encodes in C).
     names_fixed = np.array(names, dtype="S")
@@ -1331,18 +1341,9 @@ def compose_hapjoint_rows(
 def tpm_normalizer_columnar(effs, n_paths, n_sets, set_lens, set_ids, set_abundances):
     """Sequential twin of pipeline.compute_tpm_normalizer over columnar
     set streams; returns the float total or None without the library."""
-    lib = load_library()
-    if lib is None or not hasattr(lib, "rpvg_tpm_normalizer"):
+    lib = _load_compose_lib()
+    if lib is None:
         return None
-    # argtypes configured by compose_hapjoint_rows's block if needed
-    if not getattr(lib, "_compose_configured", False):
-        lib.rpvg_tpm_normalizer.restype = ctypes.c_double
-        lib.rpvg_tpm_normalizer.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
-            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-        ]
     effs = np.ascontiguousarray(np.asarray(effs, dtype=np.float64))
     n_paths = np.ascontiguousarray(np.asarray(n_paths, dtype=np.int64))
     n_sets = np.ascontiguousarray(np.asarray(n_sets, dtype=np.int64))

@@ -1077,209 +1077,226 @@ def run_inference_phases(
             config.output_prefix + "_gibbs", config.num_gibbs_samples
         )
 
-    t_phase = time.perf_counter()
+    try:
+        t_phase = time.perf_counter()
 
-    # Host half: per-cluster path metadata + deduplicated probabilities.
-    # With the native engine and a batched device driver, every cluster's
-    # dense matrix is built by one multithreaded native call; otherwise
-    # ReadPathProbs objects are built per cluster (also needed when the
-    # probability writer must see the sparse rows).
-    matrix_mode = cols is not None or (
-        batched_supported
-        and not config.write_probs
-        and finder is not None
-        and hasattr(finder, "build_cluster_matrices")
-        and frag_log_probs is not None
-        and all(
-            entry[2] is not None for fl in per_cluster for entry in fl
+        # Host half: per-cluster path metadata + deduplicated probabilities.
+        # With the native engine and a batched device driver, every cluster's
+        # dense matrix is built by one multithreaded native call; otherwise
+        # ReadPathProbs objects are built per cluster (also needed when the
+        # probability writer must see the sparse rows).
+        matrix_mode = cols is not None or (
+            batched_supported
+            and not config.write_probs
+            and finder is not None
+            and hasattr(finder, "build_cluster_matrices")
+            and frag_log_probs is not None
+            and all(
+                entry[2] is not None for fl in per_cluster for entry in fl
+            )
         )
-    )
-    prob_digits = None
-    if config.write_probs:
-        prob_digits = max(
-            writers.OUT_PRECISION_DIGITS,
-            math.ceil(-math.log10(config.prob_precision)),
-        )
+        prob_digits = None
+        if config.write_probs:
+            prob_digits = max(
+                writers.OUT_PRECISION_DIGITS,
+                math.ceil(-math.log10(config.prob_precision)),
+            )
 
-    cluster_data = []
-    prob_texts = None
-    if cols is not None:
-        matrix_results, prob_texts = build_cluster_matrices_columnar(
-            config,
-            paths_index,
-            frag_length_dist,
-            [clusters.cluster_to_paths[ci] for ci in order],
-            cols,
-            [entry_idx_per_cluster[ci] for ci in order],
-            haplotype_info,
-            collapse_haps,
-            finder,
-            frag_log_probs,
-            all_lengths,
-            all_eff_lengths,
-            prob_digits=prob_digits,
-        )
-        cluster_data = [
-            (owned_ranks[i], paths, dense)
-            for i, (paths, dense) in enumerate(matrix_results)
-        ]
-    elif matrix_mode:
-        matrix_results = build_cluster_matrices_batched(
-            config,
-            paths_index,
-            frag_length_dist,
-            [clusters.cluster_to_paths[ci] for ci in order],
-            [per_cluster[ci] for ci in order],
-            haplotype_info,
-            collapse_haps,
-            finder,
-            frag_log_probs,
-            all_lengths,
-            all_eff_lengths,
-        )
-        cluster_data = [
-            (owned_ranks[i], paths, dense)
-            for i, (paths, dense) in enumerate(matrix_results)
-        ]
-    else:
-        for i, cluster_idx in enumerate(order):
-            paths, cluster_probs = build_cluster_probs(
+        cluster_data = []
+        prob_texts = None
+        if cols is not None:
+            matrix_results, prob_texts = build_cluster_matrices_columnar(
                 config,
                 paths_index,
                 frag_length_dist,
-                clusters.cluster_to_paths[cluster_idx],
-                per_cluster[cluster_idx],
+                [clusters.cluster_to_paths[ci] for ci in order],
+                cols,
+                [entry_idx_per_cluster[ci] for ci in order],
                 haplotype_info,
                 collapse_haps,
-                finder=finder,
-                frag_log_probs=frag_log_probs,
-                all_lengths=all_lengths,
-                all_eff_lengths=all_eff_lengths,
+                finder,
+                frag_log_probs,
+                all_lengths,
+                all_eff_lengths,
+                prob_digits=prob_digits,
             )
-            cluster_data.append((owned_ranks[i], paths, cluster_probs))
-
-    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
-        log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
-        t_device = time.perf_counter()
-
-    # Native '-b' fast path: the pre-formatted blocks exist before any
-    # inference runs, so hand them to the writer thread NOW — gzip
-    # compression overlaps the whole device half (the reference likewise
-    # streams probability blocks to its writer thread from inside the
-    # inference loop, src/threaded_output_writer.cpp:40-95).
-    if prob_texts is not None:
-        for i, (rank, paths, _) in enumerate(cluster_data):
-            block = (
-                writers.probability_block_header(paths) + prob_texts[i]
-                if prob_texts[i]
-                else ""
+            cluster_data = [
+                (owned_ranks[i], paths, dense)
+                for i, (paths, dense) in enumerate(matrix_results)
+            ]
+        elif matrix_mode:
+            matrix_results = build_cluster_matrices_batched(
+                config,
+                paths_index,
+                frag_length_dist,
+                [clusters.cluster_to_paths[ci] for ci in order],
+                [per_cluster[ci] for ci in order],
+                haplotype_info,
+                collapse_haps,
+                finder,
+                frag_log_probs,
+                all_lengths,
+                all_eff_lengths,
             )
-            if prob_writer is not None:
-                prob_writer.add_block(block)
-            elif prob_collector is not None and block:
-                prob_collector.append((rank, block))
-        if prob_writer is not None:
-            prob_writer.close_async()
-
-    # Device half.  Common configurations execute batched across the
-    # whole cluster population (O(buckets) kernel dispatches); the rest
-    # dispatch per cluster through the estimator classes.
-    # RPVG_TPU_JAX_PROFILE=<dir> wraps this phase in a jax.profiler
-    # trace (viewable in TensorBoard/Perfetto) — the TPU-era analogue of
-    # the reference's per-phase stderr timers (src/main.cpp:640-649).
-    profile_dir = os.environ.get("RPVG_TPU_JAX_PROFILE")
-    profile_ctx = None
-    if profile_dir:
-        import jax.profiler
-
-        profile_ctx = jax.profiler.trace(profile_dir)
-        profile_ctx.__enter__()
-    results: List[ClusterResult] = []
-    if batched_supported:
-        batch_data = []
-        batch_ranks = []
-        for rank, paths, cluster_probs in cluster_data:
-            estimates = PathClusterEstimates()
-            estimates.paths = paths
-            batch_data.append((estimates, cluster_probs))
-            batch_ranks.append(rank)
-        if supports_batched_nested(estimator, config.num_gibbs_samples):
-            if estimator.infer_collapsed:
-                batched_haplotype_transcripts(
-                    estimator, batch_data, config.rng_seed, batch_ranks
-                )
-            else:
-                from .infer.batched_models import (
-                    batched_haplotype_transcripts_independent,
-                )
-
-                batched_haplotype_transcripts_independent(
-                    estimator, batch_data, config.rng_seed, batch_ranks
-                )
-        elif supports_batched_strains(estimator, config.num_gibbs_samples):
-            batched_strains(estimator, batch_data, config.rng_seed, batch_ranks)
-        elif supports_batched_transcripts(estimator):
-            batched_transcripts(estimator, batch_data, config.rng_seed, batch_ranks)
+            cluster_data = [
+                (owned_ranks[i], paths, dense)
+                for i, (paths, dense) in enumerate(matrix_results)
+            ]
         else:
-            batched_haplotypes(estimator, batch_data, config.rng_seed, batch_ranks)
-        for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
-            results.append(ClusterResult(rank + 1, estimates))
-    else:
-        for rank, paths, cluster_probs in cluster_data:
-            estimates = PathClusterEstimates()
-            estimates.paths = paths
-            rng = ClusterRNG(config.rng_seed, rank)
-            estimator.estimate(estimates, cluster_probs, rng)
-            results.append(ClusterResult(rank + 1, estimates))
-
-    if profile_ctx is not None:
-        profile_ctx.__exit__(None, None, None)
-
-    if os.environ.get("RPVG_TPU_PHASE_TIMING"):
-        log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
-
-    for (rank, paths, cluster_probs), result in zip(cluster_data, results):
-        if prob_texts is None:
-            if prob_writer is not None:
-                prob_writer.add_cluster(cluster_probs, paths)
-            elif prob_digits is not None and prob_collector is not None:
-                block = writers.format_probability_cluster_block(
-                    cluster_probs, paths, prob_digits
+            for i, cluster_idx in enumerate(order):
+                paths, cluster_probs = build_cluster_probs(
+                    config,
+                    paths_index,
+                    frag_length_dist,
+                    clusters.cluster_to_paths[cluster_idx],
+                    per_cluster[cluster_idx],
+                    haplotype_info,
+                    collapse_haps,
+                    finder=finder,
+                    frag_log_probs=frag_log_probs,
+                    all_lengths=all_lengths,
+                    all_eff_lengths=all_eff_lengths,
                 )
-                if block:
-                    prob_collector.append((rank, block))
-        if gibbs_writer is not None:
-            gibbs_writer.add_samples(result.cluster_id, result.estimates)
-            result.estimates.gibbs_read_count_samples = []
+                cluster_data.append((owned_ranks[i], paths, cluster_probs))
 
-    log(
-        f"Inferred path posterior probabilities"
-        f"{' and abundances' if config.inference_model != 'haplotypes' else ''} "
-        f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
-    )
-
-    # Writer-thread overlap: start the gzip shutdowns, write the plain
-    # estimate files, then join — compression of the probability/Gibbs
-    # tails runs concurrently with the estimate formatting.
-    if prob_writer is not None and prob_texts is None:
-        prob_writer.close_async()
-    if gibbs_writer is not None:
-        gibbs_writer.finish_async(fragment_index.unaligned_count)
-
-    if not skip_outputs:
-        t_out = time.perf_counter()
-        write_outputs(
-            config, results, fragment_index.unaligned_count,
-            columnar=getattr(estimator, "_columnar_outputs", None),
-        )
         if os.environ.get("RPVG_TPU_PHASE_TIMING"):
-            log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
+            log(f"  [timing] cluster probability construction: {time.perf_counter() - t_phase:.2f}s")
+            t_device = time.perf_counter()
 
-    if prob_writer is not None:
-        prob_writer.join()
-    if gibbs_writer is not None:
-        gibbs_writer.join()
+        # Native '-b' fast path: the pre-formatted blocks exist before any
+        # inference runs, so hand them to the writer thread NOW — gzip
+        # compression overlaps the whole device half (the reference likewise
+        # streams probability blocks to its writer thread from inside the
+        # inference loop, src/threaded_output_writer.cpp:40-95).
+        if prob_texts is not None:
+            for i, (rank, paths, _) in enumerate(cluster_data):
+                block = (
+                    writers.probability_block_header(paths) + prob_texts[i]
+                    if prob_texts[i]
+                    else ""
+                )
+                if prob_writer is not None:
+                    prob_writer.add_block(block)
+                elif prob_collector is not None and block:
+                    prob_collector.append((rank, block))
+            if prob_writer is not None:
+                prob_writer.close_async()
 
+        # Device half.  Common configurations execute batched across the
+        # whole cluster population (O(buckets) kernel dispatches); the rest
+        # dispatch per cluster through the estimator classes.
+        # RPVG_TPU_JAX_PROFILE=<dir> wraps this phase in a jax.profiler
+        # trace (viewable in TensorBoard/Perfetto) — the TPU-era analogue of
+        # the reference's per-phase stderr timers (src/main.cpp:640-649).
+        profile_dir = os.environ.get("RPVG_TPU_JAX_PROFILE")
+        profile_ctx = None
+        if profile_dir:
+            import jax.profiler
+
+            profile_ctx = jax.profiler.trace(profile_dir)
+            profile_ctx.__enter__()
+        results: List[ClusterResult] = []
+        try:
+            if batched_supported:
+                batch_data = []
+                batch_ranks = []
+                for rank, paths, cluster_probs in cluster_data:
+                    estimates = PathClusterEstimates()
+                    estimates.paths = paths
+                    batch_data.append((estimates, cluster_probs))
+                    batch_ranks.append(rank)
+                if supports_batched_nested(estimator, config.num_gibbs_samples):
+                    if estimator.infer_collapsed:
+                        batched_haplotype_transcripts(
+                            estimator, batch_data, config.rng_seed, batch_ranks
+                        )
+                    else:
+                        from .infer.batched_models import (
+                            batched_haplotype_transcripts_independent,
+                        )
+
+                        batched_haplotype_transcripts_independent(
+                            estimator, batch_data, config.rng_seed, batch_ranks
+                        )
+                elif supports_batched_strains(estimator, config.num_gibbs_samples):
+                    batched_strains(estimator, batch_data, config.rng_seed, batch_ranks)
+                elif supports_batched_transcripts(estimator):
+                    batched_transcripts(estimator, batch_data, config.rng_seed, batch_ranks)
+                else:
+                    batched_haplotypes(estimator, batch_data, config.rng_seed, batch_ranks)
+                for (rank, _, _), (estimates, _) in zip(cluster_data, batch_data):
+                    results.append(ClusterResult(rank + 1, estimates))
+            else:
+                for rank, paths, cluster_probs in cluster_data:
+                    estimates = PathClusterEstimates()
+                    estimates.paths = paths
+                    rng = ClusterRNG(config.rng_seed, rank)
+                    estimator.estimate(estimates, cluster_probs, rng)
+                    results.append(ClusterResult(rank + 1, estimates))
+
+        finally:
+            # The trace must finalise even when the device half raises
+            # (a dangling session corrupts the profile and blocks retries).
+            if profile_ctx is not None:
+                profile_ctx.__exit__(None, None, None)
+
+        if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+            log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")
+
+        for (rank, paths, cluster_probs), result in zip(cluster_data, results):
+            if prob_texts is None:
+                if prob_writer is not None:
+                    prob_writer.add_cluster(cluster_probs, paths)
+                elif prob_digits is not None and prob_collector is not None:
+                    block = writers.format_probability_cluster_block(
+                        cluster_probs, paths, prob_digits
+                    )
+                    if block:
+                        prob_collector.append((rank, block))
+            if gibbs_writer is not None:
+                gibbs_writer.add_samples(result.cluster_id, result.estimates)
+                result.estimates.gibbs_read_count_samples = []
+
+        log(
+            f"Inferred path posterior probabilities"
+            f"{' and abundances' if config.inference_model != 'haplotypes' else ''} "
+            f"({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)"
+        )
+
+        # Writer-thread overlap: start the gzip shutdowns, write the plain
+        # estimate files, then join — compression of the probability/Gibbs
+        # tails runs concurrently with the estimate formatting.
+        if prob_writer is not None and prob_texts is None:
+            prob_writer.close_async()
+        if gibbs_writer is not None:
+            gibbs_writer.finish_async(fragment_index.unaligned_count)
+
+        if not skip_outputs:
+            t_out = time.perf_counter()
+            write_outputs(
+                config, results, fragment_index.unaligned_count,
+                columnar=getattr(estimator, "_columnar_outputs", None),
+            )
+            if os.environ.get("RPVG_TPU_PHASE_TIMING"):
+                log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
+
+        if prob_writer is not None:
+            prob_writer.join()
+        if gibbs_writer is not None:
+            gibbs_writer.join()
+
+    finally:
+        # Writer threads must always shut down — a failed run would
+        # otherwise leak the drain thread and an open gzip handle
+        # (idempotent; the success path has already joined them).
+        for writer in (prob_writer, gibbs_writer):
+            if writer is None:
+                continue
+            try:
+                writer.close_async()
+                writer.join()
+            except Exception:
+                pass
     return {
         "num_fragment_lists": (
             fragment_index.num_entries()
