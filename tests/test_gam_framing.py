@@ -50,3 +50,45 @@ def test_proto_schema_compile_and_decode(tmp_path):
 
     records = list(stream_gam_dicts(path, str(proto), is_multipath=False))
     assert records == [{"sequence": "ACGT", "score": 7}]
+
+
+def test_truncated_rpa_fails_loudly(tmp_path):
+    # A truncated .rpa container must raise, not silently drop
+    # fragments (the reference's protobuf stream errors out likewise).
+    import pytest
+
+    from rpvg_tpu.io import rpa
+
+    path = str(tmp_path / "t.rpa")
+    with open(path, "wb") as handle:
+        handle.write(b"RPA1")  # magic only, no header/blocks
+    with pytest.raises(Exception):
+        reader = rpa.RpaReader(path)
+        list(reader.blocks())
+
+
+def test_non_rpa_file_rejected(tmp_path):
+    import pytest
+
+    from rpvg_tpu.io import rpa
+
+    path = str(tmp_path / "t.rpa")
+    with open(path, "wb") as handle:
+        handle.write(b"\x1f\x8b garbage that is not an rpa container")
+    with pytest.raises(Exception):
+        rpa.RpaReader(path)
+
+
+def test_truncated_gbwt_fails_loudly(tmp_path):
+    import pytest
+
+    from rpvg_tpu.io.gbwt_file import GBWTFile, build_gbwt
+
+    gbwt = build_gbwt([[2, 4, 6], [2, 6], [4, 6, 8]])
+    path = str(tmp_path / "p.gbwt")
+    gbwt.write(path)
+    data = open(path, "rb").read()
+    with open(path, "wb") as handle:
+        handle.write(data[: len(data) // 2])
+    with pytest.raises(Exception):
+        GBWTFile.read(path)
