@@ -4057,3 +4057,92 @@ void rpvg_gather_blob(const uint8_t* data, const int64_t* starts,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------
+// Columnar composition of AbundanceEstimatesWriter rows (reference
+// threaded_output_writer.cpp:283-343) for the transcripts/strains
+// models: after reset(P, 1) every group set is the singleton of its
+// path, so a row is (name, cid, length, eff, count, tpm) per path.
+
+extern "C" {
+
+void rpvg_compose_abundance_rows(
+    const uint8_t* names_fixed, int64_t name_width, const int64_t* lengths,
+    const double* effs, const double* abundances, const int64_t* cids,
+    const int64_t* n_paths, int64_t n_clusters,
+    double total_transcript_count, int32_t digits, int32_t n_threads,
+    uint8_t** out, int64_t* out_len) {
+  std::vector<int64_t> row_base(n_clusters + 1);
+  {
+    int64_t rows = 0;
+    for (int64_t c = 0; c < n_clusters; ++c) {
+      row_base[c] = rows;
+      rows += n_paths[c];
+    }
+    row_base[n_clusters] = rows;
+  }
+
+  std::vector<std::string> chunks(n_clusters);
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      if (c >= n_clusters) return;
+      std::string& text = chunks[c];
+      const int64_t rb = row_base[c];
+      for (int64_t p = 0; p < n_paths[c]; ++p) {
+        const double eff = effs[rb + p];
+        const double count = abundances[rb + p];
+        const double tpm = eff > 0.0
+            ? count / eff / total_transcript_count * 1e6
+            : 0.0;
+        compose::put_name(&text, names_fixed, name_width, rb + p);
+        text.push_back('\t');
+        compose::put_i64(&text, cids[c]);
+        text.push_back('\t');
+        compose::put_i64(&text, lengths[rb + p]);
+        text.push_back('\t');
+        compose::put_g(&text, eff, digits);
+        text.push_back('\t');
+        compose::put_g(&text, count, digits);
+        text.push_back('\t');
+        compose::put_g(&text, tpm, digits);
+        text.push_back('\n');
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n_clusters <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  size_t total = 0;
+  for (int64_t c = 0; c < n_clusters; ++c) total += chunks[c].size();
+  auto* buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(total, 1)));
+  size_t off = 0;
+  for (int64_t c = 0; c < n_clusters; ++c) {
+    std::memcpy(buf + off, chunks[c].data(), chunks[c].size());
+    off += chunks[c].size();
+  }
+  *out = buf;
+  *out_len = static_cast<int64_t>(total);
+}
+
+// Sequential per-path TPM normaliser twin for singleton-set models
+// (same addition order as compute_tpm_normalizer over singletons).
+double rpvg_tpm_normalizer_perpath(const double* effs,
+                                   const double* abundances, int64_t n) {
+  double total = 0.0;
+  for (int64_t i = 0; i < n; ++i) {
+    if (effs[i] > 0.0) total += abundances[i] / effs[i];
+  }
+  return total;
+}
+
+}  // extern "C"

@@ -887,6 +887,7 @@ def _batched_haplotype_transcripts_fused(
         # sets empty) — the writer splices those few clusters' sets from
         # their estimates.
         estimator._columnar_outputs = {
+            "kind": "sets",
             "meta": meta,
             "combined": combined,
             "n_sets": n_sets,
@@ -1090,6 +1091,14 @@ def batched_transcripts(estimator, cluster_data, rng_seed: int = 0, ranks=None) 
         est.abundances = list(map(float, abundances))
         est.noise_count = noise_count
 
+    # Per-path abundance streams for the native output composer
+    # (singleton group sets after reset(P, 1): one row per path).
+    estimator._columnar_outputs = {
+        "kind": "perpath",
+        "meta": meta,
+        "ab": [abundances for abundances, _ in em_results],
+    }
+
     if estimator.num_gibbs_samples > 0:
         rank_of = (lambda ci: ci) if ranks is None else ranks.__getitem__
         keys = cluster_gibbs_keys(rng_seed, [rank_of(ci) for ci in meta])
@@ -1198,6 +1207,19 @@ def _batched_strains_fused(estimator, cluster_data, rng_seed, ranks) -> bool:
                 noise_samples,
                 path_samples,
             )
+
+    estimator._columnar_outputs = {
+        "kind": "cover",
+        "meta": [meta[s] for s in covered_slots],
+        "covers": [
+            streams["cover"][cover_bounds[s] : cover_bounds[s + 1]]
+            for s in covered_slots
+        ],
+        "ab": [
+            streams["path_counts"][cover_bounds[s] : cover_bounds[s + 1]]
+            for s in covered_slots
+        ],
+    }
     return True
 
 
@@ -1256,3 +1278,10 @@ def batched_strains(estimator, cluster_data, rng_seed: int = 0, ranks=None) -> N
 
     for ci, task, (abundances, noise_count) in zip(meta, tasks, em_results):
         estimator.apply_cover_result(cluster_data[ci][0], task, abundances, noise_count)
+
+    estimator._columnar_outputs = {
+        "kind": "cover",
+        "meta": meta,
+        "covers": [task["min_cover"] for task in tasks],
+        "ab": [abundances for abundances, _ in em_results],
+    }

@@ -1361,3 +1361,83 @@ def tpm_normalizer_columnar(effs, n_paths, n_sets, set_lens, set_ids, set_abunda
             int(len(n_paths)),
         )
     )
+
+
+def compose_abundance_rows(
+    names, lengths, effs, abundances, cids, n_paths,
+    total_transcript_count, threads, digits: int = 8,
+):
+    """Compose AbundanceEstimatesWriter row text (transcripts/strains
+    models: singleton group sets, one row per path) natively; returns
+    the text or None when the library is unavailable."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_compose_ab_configured", False):
+        lib.rpvg_compose_abundance_rows.restype = None
+        lib.rpvg_compose_abundance_rows.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.rpvg_tpm_normalizer_perpath.restype = ctypes.c_double
+        lib.rpvg_tpm_normalizer_perpath.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+        lib._compose_ab_configured = True
+
+    names_fixed = np.array(names, dtype="S")
+    name_width = names_fixed.dtype.itemsize
+    names_blob = names_fixed.tobytes()
+    lengths = np.ascontiguousarray(np.asarray(lengths, dtype=np.int64))
+    effs = np.ascontiguousarray(np.asarray(effs, dtype=np.float64))
+    abundances = np.ascontiguousarray(np.asarray(abundances, dtype=np.float64))
+    cids = np.ascontiguousarray(np.asarray(cids, dtype=np.int64))
+    n_paths = np.ascontiguousarray(np.asarray(n_paths, dtype=np.int64))
+
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    out_len = ctypes.c_int64()
+    lib.rpvg_compose_abundance_rows(
+        ctypes.cast(ctypes.c_char_p(names_blob), ctypes.POINTER(ctypes.c_uint8)),
+        int(name_width),
+        lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        effs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        abundances.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        cids.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        n_paths.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        int(len(cids)), float(total_transcript_count), int(digits),
+        int(threads),
+        ctypes.byref(out), ctypes.byref(out_len),
+    )
+    try:
+        return ctypes.string_at(out, out_len.value).decode()
+    finally:
+        lib.rpvg_buffer_free(out)
+
+
+def tpm_normalizer_perpath(effs, abundances):
+    """Sequential per-path normaliser twin (singleton-set models);
+    returns the float total or None without the library."""
+    lib = load_library()
+    if lib is None:
+        return None
+    if not getattr(lib, "_compose_ab_configured", False):
+        lib.rpvg_tpm_normalizer_perpath.restype = ctypes.c_double
+        lib.rpvg_tpm_normalizer_perpath.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int64,
+        ]
+    effs = np.ascontiguousarray(np.asarray(effs, dtype=np.float64))
+    abundances = np.ascontiguousarray(np.asarray(abundances, dtype=np.float64))
+    return float(
+        lib.rpvg_tpm_normalizer_perpath(
+            effs.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            abundances.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+            int(effs.size),
+        )
+    )

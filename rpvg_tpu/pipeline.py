@@ -1458,6 +1458,70 @@ def _write_hapjoint_columnar(
     return True
 
 
+def _write_abundance_columnar(
+    config: PipelineConfig,
+    results: Sequence[ClusterResult],
+    unaligned_read_count: int,
+    columnar: Dict,
+) -> bool:
+    """Native composition of the transcripts/strains estimate file from
+    per-path abundance streams (singleton group sets after reset(P, 1);
+    byte-identical to AbundanceEstimatesWriter, regression-pinned)."""
+    from .native import compose_abundance_rows, tpm_normalizer_perpath
+
+    names: List[str] = []
+    lengths: List[int] = []
+    effs: List[float] = []
+    cids: List[int] = []
+    n_paths: List[int] = []
+    noise_total = 0.0
+    for result in results:
+        est = result.estimates
+        cids.append(result.cluster_id)
+        n_paths.append(len(est.paths))
+        noise_total += est.noise_count
+        for info in est.paths:
+            names.append(info.name)
+            lengths.append(info.length)
+            effs.append(info.effective_length)
+    if not names or not all(name.isascii() for name in names):
+        return False
+
+    row_base = np.zeros(len(results) + 1, dtype=np.int64)
+    np.cumsum(np.asarray(n_paths, dtype=np.int64), out=row_base[1:])
+    abundances = np.zeros(int(row_base[-1]), dtype=np.float64)
+    meta = columnar["meta"]
+    if columnar["kind"] == "perpath":
+        for ci, ab in zip(meta, columnar["ab"]):
+            abundances[row_base[ci] : row_base[ci] + len(ab)] = ab
+    else:  # cover: scatter per-cover abundances into the path rows
+        for ci, cover, ab in zip(meta, columnar["covers"], columnar["ab"]):
+            np.add.at(
+                abundances,
+                row_base[ci] + np.asarray(cover, dtype=np.int64),
+                np.asarray(ab, dtype=np.float64),
+            )
+
+    eff_arr = np.asarray(effs, dtype=np.float64)
+    total = tpm_normalizer_perpath(eff_arr, abundances)
+    if total is None:
+        return False
+    text = compose_abundance_rows(
+        names, lengths, eff_arr, abundances, cids, n_paths,
+        total_transcript_count=total, threads=config.threads,
+    )
+    if text is None:
+        return False
+
+    with open(config.output_prefix + ".txt", "w") as handle:
+        handle.write("Name\tClusterID\tLength\tEffectiveLength\tReadCount\tTPM\n")
+        handle.write(text)
+        handle.write(
+            f"Unknown\t0\t0\t0\t{writers.fmt(noise_total + unaligned_read_count)}\t0\n"
+        )
+    return True
+
+
 def write_outputs(
     config: PipelineConfig,
     results: Sequence[ClusterResult],
@@ -1473,11 +1537,21 @@ def write_outputs(
         writer.close()
         return
 
+    compose_ok = columnar is not None and (
+        os.environ.get("RPVG_TPU_COMPOSE_OUT", "1") != "0"
+    )
     if (
         config.inference_model == "haplotype-transcripts"
-        and columnar is not None
-        and os.environ.get("RPVG_TPU_COMPOSE_OUT", "1") != "0"
+        and compose_ok
+        and columnar.get("kind") == "sets"
         and _write_hapjoint_columnar(config, results, unaligned_read_count, columnar)
+    ):
+        return
+    if (
+        config.inference_model in ("transcripts", "strains")
+        and compose_ok
+        and columnar.get("kind") in ("perpath", "cover")
+        and _write_abundance_columnar(config, results, unaligned_read_count, columnar)
     ):
         return
 

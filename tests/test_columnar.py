@@ -190,3 +190,33 @@ def test_columnar_estimate_writers_match_objects_hybrid(dataset, tmp_path, monke
     for suffix in (".txt", "_joint.txt"):
         with open(out_a + suffix) as fa, open(out_b + suffix) as fb:
             assert fa.read() == fb.read(), suffix
+
+
+@pytest.mark.parametrize("model", ["transcripts", "strains"])
+def test_columnar_abundance_writer_matches_objects(dataset, tmp_path, monkeypatch, model):
+    # The per-path abundance composer (rpvg_compose_abundance_rows) must
+    # be byte-identical to AbundanceEstimatesWriter for both singleton-
+    # set models, with the fused and staged strains engines.
+    panel, aln, info, _ = dataset
+
+    def run(prefix, compose, fused="1"):
+        monkeypatch.setenv("RPVG_TPU_COMPOSE_OUT", "1" if compose else "0")
+        monkeypatch.setenv("RPVG_TPU_FUSED_STRAINS", fused)
+        config = _config(panel, aln, info, prefix, model)
+        pre = resolve_pre_fragment_dist(config)
+        finder = build_finder(config, panel.paths_index, pre)
+        index = collect_fragments(config, finder, pre, columnar=True)
+        run_inference_phases(config, panel.paths_index, index, pre, finder=finder)
+
+    out_a = str(tmp_path / "composed")
+    out_b = str(tmp_path / "objects")
+    run(out_a, True)
+    run(out_b, False)
+    with open(out_a + ".txt") as fa, open(out_b + ".txt") as fb:
+        assert fa.read() == fb.read()
+
+    if model == "strains":
+        out_c = str(tmp_path / "composed_staged")
+        run(out_c, True, fused="0")
+        with open(out_a + ".txt") as fa, open(out_c + ".txt") as fc:
+            assert fa.read() == fc.read()
