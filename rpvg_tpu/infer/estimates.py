@@ -12,7 +12,7 @@ import numpy as np
 from ..probabilities import PathInfo
 
 
-@dataclass
+@dataclass(slots=True)
 class CountSamples:
     """Gibbs read-count samples for a path subset."""
 
@@ -22,7 +22,7 @@ class CountSamples:
     abundance_samples: List[float] = field(default_factory=list)
 
 
-@dataclass
+@dataclass(slots=True)
 class PathClusterEstimates:
     paths: List[PathInfo] = field(default_factory=list)
     path_group_sets: List[List[int]] = field(default_factory=list)
