@@ -1579,6 +1579,11 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
   // dump); only per-block histogram/unaligned counters are local.
   if (static_cast<int32_t>(fidx->worker_entries.size()) < n_threads) {
     fidx->worker_entries.resize(n_threads);
+    for (auto& local : fidx->worker_entries) {
+      // Pre-size for a large run's per-worker distinct-fragment count
+      // (rehashing re-hashes every key; 1<<16 buckets cost ~0.5MB).
+      local.reserve(1 << 16);
+    }
   }
   std::vector<NativeFragmentIndex> locals(n_threads);
   for (auto& l : locals) {
