@@ -143,3 +143,44 @@ def test_async_handle_propagates_write_errors(tmp_path):
         for _ in range(200):
             handle.write("x")
         handle.close()
+
+
+def test_pipeline_shuts_writer_threads_down_on_failure(tmp_path, monkeypatch):
+    # A failing device half must not leak the gzip writer thread or its
+    # handle (run_inference_phases' finally joins them).
+    import threading
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from rpvg_tpu import sim
+    from rpvg_tpu import pipeline as P
+
+    panel = sim.build_panel(num_transcripts=10, num_haplotypes=2,
+                            exons_per_transcript=2, exon_length=50,
+                            variant_sites=1, seed=4)
+    records, _ = sim.simulate_read_pairs(panel, 200, read_length=50,
+                                         frag_mean=120, frag_sd=12, seed=5)
+    aln = str(tmp_path / "aln.json")
+    sim.write_alignment_json(records, aln)
+
+    def boom(*args, **kwargs):
+        raise RuntimeError("injected device-half failure")
+
+    from rpvg_tpu.infer import batched_models
+
+    monkeypatch.setattr(batched_models, "batched_transcripts", boom)
+    config = P.PipelineConfig(
+        graph=panel.graph, paths=panel.paths_index, alignments=aln,
+        output_prefix=str(tmp_path / "out"), inference_model="transcripts",
+        rng_seed=1, score_not_qual=True, write_probs=True,
+        num_gibbs_samples=2,
+    )
+    before = {t.ident for t in threading.enumerate()}
+    with pytest.raises(RuntimeError, match="injected"):
+        P.run_pipeline(config)
+    leaked = [
+        t for t in threading.enumerate()
+        if t.ident not in before and t.name == "rpvg-writer" and t.is_alive()
+    ]
+    assert not leaked, leaked
