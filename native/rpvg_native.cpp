@@ -3861,6 +3861,46 @@ inline void put_name(std::string* out, const uint8_t* names_fixed,
   out->append(reinterpret_cast<const char*>(base), len);
 }
 
+// Run body(c) for c in [0, n) on the worker threads (atomic work
+// index; deterministic as long as body(c) touches only slot c's
+// outputs).
+template <typename Fn>
+void parallel_for(int64_t n, int32_t n_threads, const Fn& body) {
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    for (;;) {
+      const int64_t c = next.fetch_add(1);
+      if (c >= n) return;
+      body(c);
+    }
+  };
+  const int32_t threads = std::max(1, n_threads);
+  if (threads == 1 || n <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+}
+
+// Concatenate chunks into one malloc'd buffer (caller frees via
+// rpvg_buffer_free).
+inline void concat_chunks(const std::vector<std::string>& chunks,
+                          uint8_t** out, int64_t* out_len) {
+  size_t total = 0;
+  for (const auto& chunk : chunks) total += chunk.size();
+  auto* buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(total, 1)));
+  size_t off = 0;
+  for (const auto& chunk : chunks) {
+    std::memcpy(buf + off, chunk.data(), chunk.size());
+    off += chunk.size();
+  }
+  *out = buf;
+  *out_len = static_cast<int64_t>(total);
+}
+
 }  // namespace compose
 
 extern "C" {
@@ -3922,12 +3962,8 @@ void rpvg_compose_hapjoint_rows(
   }
 
   std::vector<std::string> hap_chunks(n_clusters), joint_chunks(n_clusters);
-  std::atomic<int64_t> next{0};
-  auto worker = [&]() {
-    std::vector<double> read_counts, hap_probs;
-    for (;;) {
-      const int64_t c = next.fetch_add(1);
-      if (c >= n_clusters) return;
+  compose::parallel_for(n_clusters, n_threads, [&](int64_t c) {
+      std::vector<double> read_counts, hap_probs;
       const int64_t P = n_paths[c];
       const int64_t rb = row_base[c];
       std::string& hap = hap_chunks[c];
@@ -3996,37 +4032,10 @@ void rpvg_compose_hapjoint_rows(
         compose::put_g(&hap, tpm, digits);
         hap.push_back('\n');
       }
-    }
-  };
+  });
 
-  int32_t threads = std::max(1, n_threads);
-  if (threads == 1 || n_clusters <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(threads);
-    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-
-  size_t hap_total = 0, joint_total = 0;
-  for (int64_t c = 0; c < n_clusters; ++c) {
-    hap_total += hap_chunks[c].size();
-    joint_total += joint_chunks[c].size();
-  }
-  auto* hap_buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(hap_total, 1)));
-  auto* joint_buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(joint_total, 1)));
-  size_t ho = 0, jo = 0;
-  for (int64_t c = 0; c < n_clusters; ++c) {
-    std::memcpy(hap_buf + ho, hap_chunks[c].data(), hap_chunks[c].size());
-    ho += hap_chunks[c].size();
-    std::memcpy(joint_buf + jo, joint_chunks[c].data(), joint_chunks[c].size());
-    jo += joint_chunks[c].size();
-  }
-  *out_hap = hap_buf;
-  *out_hap_len = static_cast<int64_t>(hap_total);
-  *out_joint = joint_buf;
-  *out_joint_len = static_cast<int64_t>(joint_total);
+  compose::concat_chunks(hap_chunks, out_hap, out_hap_len);
+  compose::concat_chunks(joint_chunks, out_joint, out_joint_len);
 }
 
 }  // extern "C"
@@ -4088,11 +4097,7 @@ void rpvg_compose_abundance_rows(
   }
 
   std::vector<std::string> chunks(n_clusters);
-  std::atomic<int64_t> next{0};
-  auto worker = [&]() {
-    for (;;) {
-      const int64_t c = next.fetch_add(1);
-      if (c >= n_clusters) return;
+  compose::parallel_for(n_clusters, n_threads, [&](int64_t c) {
       std::string& text = chunks[c];
       const int64_t rb = row_base[c];
       for (int64_t p = 0; p < n_paths[c]; ++p) {
@@ -4114,29 +4119,9 @@ void rpvg_compose_abundance_rows(
         compose::put_g(&text, tpm, digits);
         text.push_back('\n');
       }
-    }
-  };
+  });
 
-  int32_t threads = std::max(1, n_threads);
-  if (threads == 1 || n_clusters <= 1) {
-    worker();
-  } else {
-    std::vector<std::thread> pool;
-    pool.reserve(threads);
-    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
-    for (auto& th : pool) th.join();
-  }
-
-  size_t total = 0;
-  for (int64_t c = 0; c < n_clusters; ++c) total += chunks[c].size();
-  auto* buf = static_cast<uint8_t*>(std::malloc(std::max<size_t>(total, 1)));
-  size_t off = 0;
-  for (int64_t c = 0; c < n_clusters; ++c) {
-    std::memcpy(buf + off, chunks[c].data(), chunks[c].size());
-    off += chunks[c].size();
-  }
-  *out = buf;
-  *out_len = static_cast<int64_t>(total);
+  compose::concat_chunks(chunks, out, out_len);
 }
 
 // Sequential per-path TPM normaliser twin for singleton-set models

@@ -253,10 +253,13 @@ def batched_haplotype_transcripts_independent(estimator, cluster_data, rng_seed:
                 continue
             p = np.asarray(posteriors, dtype=np.float64)
             # Generator.choice's input validation, kept explicitly: a
-            # degenerate posterior must fail loudly, not mis-sample.
-            if not np.isfinite(p).all() or (p < 0).any():
+            # degenerate posterior must fail loudly, not mis-sample
+            # (an all-zero vector would make the CDF NaN and searchsorted
+            # return an out-of-range choice).
+            if not np.isfinite(p).all() or (p < 0).any() or p.sum() <= 0:
                 raise ValueError(
-                    "group posteriors contain NaN/inf or negative entries"
+                    "group posteriors contain NaN/inf, negative entries, "
+                    "or sum to zero"
                 )
             p = p / p.sum()
             cdf = p.cumsum()

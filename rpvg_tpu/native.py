@@ -1241,9 +1241,16 @@ def strains_infer(
 def _load_compose_lib():
     """Load the library with the output-composer signatures configured
     (shared by compose_hapjoint_rows and tpm_normalizer_columnar so the
-    argtypes live in exactly one place)."""
+    argtypes live in exactly one place).  Returns None when the library
+    (or an older build of it without the composer symbols) is
+    unavailable, so callers fall back to the object writers."""
     lib = load_library()
     if lib is None:
+        return None
+    if not (
+        hasattr(lib, "rpvg_compose_hapjoint_rows")
+        and hasattr(lib, "rpvg_tpm_normalizer")
+    ):
         return None
     if not getattr(lib, "_compose_configured", False):
         lib.rpvg_compose_hapjoint_rows.restype = None
@@ -1363,15 +1370,18 @@ def tpm_normalizer_columnar(effs, n_paths, n_sets, set_lens, set_ids, set_abunda
     )
 
 
-def compose_abundance_rows(
-    names, lengths, effs, abundances, cids, n_paths,
-    total_transcript_count, threads, digits: int = 8,
-):
-    """Compose AbundanceEstimatesWriter row text (transcripts/strains
-    models: singleton group sets, one row per path) natively; returns
-    the text or None when the library is unavailable."""
+def _load_compose_ab_lib():
+    """Library with the abundance-composer signatures configured (one
+    place for the argtypes); None when the library — or an older build
+    without the symbols — is unavailable, so callers fall back to the
+    object writers."""
     lib = load_library()
     if lib is None:
+        return None
+    if not (
+        hasattr(lib, "rpvg_compose_abundance_rows")
+        and hasattr(lib, "rpvg_tpm_normalizer_perpath")
+    ):
         return None
     if not getattr(lib, "_compose_ab_configured", False):
         lib.rpvg_compose_abundance_rows.restype = None
@@ -1390,6 +1400,19 @@ def compose_abundance_rows(
             ctypes.c_int64,
         ]
         lib._compose_ab_configured = True
+    return lib
+
+
+def compose_abundance_rows(
+    names, lengths, effs, abundances, cids, n_paths,
+    total_transcript_count, threads, digits: int = 8,
+):
+    """Compose AbundanceEstimatesWriter row text (transcripts/strains
+    models: singleton group sets, one row per path) natively; returns
+    the text or None when the library is unavailable."""
+    lib = _load_compose_ab_lib()
+    if lib is None:
+        return None
 
     names_fixed = np.array(names, dtype="S")
     name_width = names_fixed.dtype.itemsize
@@ -1423,15 +1446,9 @@ def compose_abundance_rows(
 def tpm_normalizer_perpath(effs, abundances):
     """Sequential per-path normaliser twin (singleton-set models);
     returns the float total or None without the library."""
-    lib = load_library()
+    lib = _load_compose_ab_lib()
     if lib is None:
         return None
-    if not getattr(lib, "_compose_ab_configured", False):
-        lib.rpvg_tpm_normalizer_perpath.restype = ctypes.c_double
-        lib.rpvg_tpm_normalizer_perpath.argtypes = [
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int64,
-        ]
     effs = np.ascontiguousarray(np.asarray(effs, dtype=np.float64))
     abundances = np.ascontiguousarray(np.asarray(abundances, dtype=np.float64))
     return float(

@@ -1390,27 +1390,10 @@ def _write_hapjoint_columnar(
         set_ids = np.concatenate(ids_segs)
         set_abundances = np.concatenate(ab_segs)
 
-    names: List[str] = []
-    lengths: List[int] = []
-    effs: List[float] = []
-    cids: List[int] = []
-    n_paths: List[int] = []
-    for result in results:
-        est = result.estimates
-        cids.append(result.cluster_id)
-        n_paths.append(len(est.paths))
-        for info in est.paths:
-            names.append(info.name)
-            lengths.append(info.length)
-            effs.append(info.effective_length)
-    if not names:
+    meta_rows = _gather_path_row_meta(results)
+    if meta_rows is None:
         return False
-    try:
-        names_ok = all(name.isascii() for name in names)
-    except AttributeError:  # pragma: no cover
-        names_ok = False
-    if not names_ok:
-        return False
+    names, lengths, effs, cids, n_paths = meta_rows
 
     total = tpm_normalizer_columnar(
         effs, n_paths, n_sets, set_lens, set_ids, set_abundances,
@@ -1458,6 +1441,31 @@ def _write_hapjoint_columnar(
     return True
 
 
+def _gather_path_row_meta(results: Sequence[ClusterResult]):
+    """Flatten every result's path rows for the native output composers:
+    (names, lengths, effs, cids, n_paths), or None when a name cannot be
+    ASCII-encoded (composer fallback to the object writers)."""
+    names: List[str] = []
+    lengths: List[int] = []
+    effs: List[float] = []
+    cids: List[int] = []
+    n_paths: List[int] = []
+    for result in results:
+        est = result.estimates
+        cids.append(result.cluster_id)
+        n_paths.append(len(est.paths))
+        for info in est.paths:
+            names.append(info.name)
+            lengths.append(info.length)
+            effs.append(info.effective_length)
+    try:
+        if not names or not all(name.isascii() for name in names):
+            return None
+    except AttributeError:
+        return None
+    return names, lengths, effs, cids, n_paths
+
+
 def _write_abundance_columnar(
     config: PipelineConfig,
     results: Sequence[ClusterResult],
@@ -1469,23 +1477,13 @@ def _write_abundance_columnar(
     byte-identical to AbundanceEstimatesWriter, regression-pinned)."""
     from .native import compose_abundance_rows, tpm_normalizer_perpath
 
-    names: List[str] = []
-    lengths: List[int] = []
-    effs: List[float] = []
-    cids: List[int] = []
-    n_paths: List[int] = []
+    meta_rows = _gather_path_row_meta(results)
+    if meta_rows is None:
+        return False
+    names, lengths, effs, cids, n_paths = meta_rows
     noise_total = 0.0
     for result in results:
-        est = result.estimates
-        cids.append(result.cluster_id)
-        n_paths.append(len(est.paths))
-        noise_total += est.noise_count
-        for info in est.paths:
-            names.append(info.name)
-            lengths.append(info.length)
-            effs.append(info.effective_length)
-    if not names or not all(name.isascii() for name in names):
-        return False
+        noise_total += result.estimates.noise_count
 
     row_base = np.zeros(len(results) + 1, dtype=np.int64)
     np.cumsum(np.asarray(n_paths, dtype=np.int64), out=row_base[1:])

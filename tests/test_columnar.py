@@ -197,6 +197,10 @@ def test_columnar_abundance_writer_matches_objects(dataset, tmp_path, monkeypatc
     # The per-path abundance composer (rpvg_compose_abundance_rows) must
     # be byte-identical to AbundanceEstimatesWriter for both singleton-
     # set models, with the fused and staged strains engines.
+    from rpvg_tpu.native import _load_compose_ab_lib
+
+    if _load_compose_ab_lib() is None:
+        pytest.skip("native composer unavailable")
     panel, aln, info, _ = dataset
 
     def run(prefix, compose, fused="1"):
