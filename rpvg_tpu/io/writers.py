@@ -140,10 +140,18 @@ def _handle_join(handle) -> None:
 
 def _open(path: str, async_ok: bool = False):
     if path.endswith(".gz"):
-        # Level 6 (zlib default): ~3x faster than gzip-module default 9
-        # for a few percent larger files.  Compression runs on a writer
-        # thread (AsyncTextHandle) unless RPVG_TPU_SYNC_WRITERS=1.
-        handle = gzip.open(path, "wt", compresslevel=6)
+        # BGZF blocks, matching the reference's HTSlib-compressed outputs
+        # (src/threaded_output_writer.cpp:10): plain-gzip-readable but
+        # blocked + EOF-marked.  Level 6 (zlib default): ~3x faster than
+        # gzip-module default 9 for a few percent larger files.
+        # Compression runs on a writer thread (AsyncTextHandle) unless
+        # RPVG_TPU_SYNC_WRITERS=1.  RPVG_TPU_PLAIN_GZIP=1 kill switch.
+        if os.environ.get("RPVG_TPU_PLAIN_GZIP") == "1":
+            handle = gzip.open(path, "wt", compresslevel=6)
+        else:
+            from .bgzf import BgzfTextWriter
+
+            handle = BgzfTextWriter(path, compresslevel=6)
         if async_ok and os.environ.get("RPVG_TPU_SYNC_WRITERS") != "1":
             return AsyncTextHandle(handle)
         return handle

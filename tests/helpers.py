@@ -39,3 +39,34 @@ def mp_aln(obj):
 
 def locate_ids(index, align_path):
     return list(index.locate(align_path.search))
+
+
+def run_tiny_pipeline(prefix, seed=7, **config_kwargs):
+    """Build a tiny simulated dataset and run the full pipeline on it —
+    shared by output-format tests that only need real files on disk."""
+    from rpvg_tpu import sim
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    panel = sim.build_panel(
+        num_transcripts=3, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=100, variant_sites=1, seed=3,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 200, read_length=75, frag_mean=200, frag_sd=15, seed=seed,
+    )
+    config = PipelineConfig(
+        graph=panel.graph,
+        paths=panel.paths_index,
+        alignments=[
+            (parse_multipath_alignment(a), parse_multipath_alignment(b))
+            for a, b in zip(records[0::2], records[1::2])
+        ],
+        output_prefix=prefix,
+        inference_model="transcripts",
+        rng_seed=42,
+        score_not_qual=True,
+        frag_mean=200.0,
+        frag_sd=15.0,
+        **config_kwargs,
+    )
+    return run_pipeline(config)
