@@ -559,3 +559,47 @@ def build_gbwt(
         out.records[comp] = record
 
     return out
+
+
+# ------------------------------------------------------------- r-index
+
+# gbwt::FastLocate serialized header (fast_locate.h in the vendored gbwt
+# submodule; the reference auto-loads `<paths>.gbwt.ri` when present,
+# /root/reference/src/main.cpp:616-631, via the R-INDEX VPKG magic =
+# Header::TAG, src/io/register_loader_saver_r_index.cpp:23-42).
+RI_TAG = 0x6B37AAA1
+
+
+def read_ri_header(path: str) -> Dict[str, int]:
+    """Validate a gbwt::FastLocate (.ri) sidecar header.
+
+    rpvg_tpu's locate() is a vectorised searchsorted over the occurrence
+    index, which already serves the role the r-index plays for the
+    reference (fast locate of path ids), so the structure body is
+    validated-and-ignored; a wrong magic fails loudly like every other
+    binary loader (tests/test_gam_framing.py contract)."""
+    import struct
+
+    with open(path, "rb") as handle:
+        data = handle.read(24)
+    if len(data) < 24:
+        raise ValueError(f"truncated r-index header in {path}")
+    tag, version, max_length, flags = struct.unpack("<IIQQ", data)
+    if tag != RI_TAG:
+        raise ValueError(
+            f"not a FastLocate r-index (tag 0x{tag:08X}, expected 0x{RI_TAG:08X})"
+        )
+    return {"version": version, "max_length": max_length, "flags": flags}
+
+
+def write_ri_stub(path: str, max_length: int = 1, version: int = 1) -> None:
+    """Write a minimal structurally-valid FastLocate container (header +
+    empty sample structures) — fixture writer for the sidecar tests."""
+    import struct
+
+    with open(path, "wb") as out:
+        out.write(struct.pack("<IIQQ", RI_TAG, version, max_length, 0))
+        sdsl.write_int_vector(out, np.zeros(0, dtype=np.uint64))  # samples
+        sdsl.write_bit_vector(out, np.zeros(0, dtype=bool))  # last
+        sdsl.write_int_vector(out, np.zeros(0, dtype=np.uint64))  # last_to_run
+        sdsl.write_int_vector(out, np.zeros(0, dtype=np.uint64))  # comp_to_run

@@ -689,6 +689,16 @@ def load_inputs(config: PipelineConfig) -> Tuple[Graph, PathIndex]:
         paths_index = config.paths
     elif config.paths.endswith(".gbwt") or _is_gbwt_container(config.paths):
         paths_index = PathIndex.from_gbwt_file(config.paths, graph)
+        # The reference auto-loads a `<paths>.ri` FastLocate sidecar when
+        # present (src/main.cpp:616-631).  Our locate() is already a
+        # vectorised searchsorted over the occurrence index, so the body
+        # is validated-and-ignored; a bad magic still fails loudly.
+        ri_path = config.paths + ".ri"
+        if os.path.exists(ri_path):
+            from .io.gbwt_file import read_ri_header
+
+            read_ri_header(ri_path)
+            paths_index.has_r_index = True
     else:
         paths_index = PathIndex.from_json_file(config.paths, graph)
     assert paths_index.number_of_paths() > 0, "path index contains no paths"
@@ -881,7 +891,13 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
     graph, paths_index = load_inputs(config)
     pre_frag_length_dist = resolve_pre_fragment_dist(config)
-    log(f"Loaded graph and path index ({time.perf_counter() - t_start:.2f}s, {_mem_gb():.2f}GB)")
+    # Phase-line parity with the reference (src/main.cpp:640-649).
+    loaded_what = (
+        "graph, GBWT and r-index"
+        if getattr(paths_index, "has_r_index", False)
+        else "graph and path index"
+    )
+    log(f"Loaded {loaded_what} ({time.perf_counter() - t_start:.2f}s, {_mem_gb():.2f}GB)")
 
     finder = build_finder(config, paths_index, pre_frag_length_dist)
 

@@ -263,3 +263,54 @@ def test_pathindex_gbwt_roundtrip_unidirectional(tmp_path):
     assert not loaded.is_bidirectional
     assert [loaded.path_name(i) for i in range(2)] == ["a", "b"]
     assert np.array_equal(loaded.path_nodes(1), index.path_nodes(1))
+
+
+def test_ri_sidecar_detected_and_validated(tmp_path, capfd):
+    """`<paths>.gbwt.ri` sidecar: auto-detected, header-validated, and
+    the reference's 'Loaded graph, GBWT and r-index' phase line printed
+    (/root/reference/src/main.cpp:616-649); outputs are unchanged (our
+    searchsorted locate already plays the r-index's role).  A corrupt
+    magic fails loudly."""
+    from rpvg_tpu import sim
+    from rpvg_tpu.io.gbwt_file import read_ri_header, write_ri_stub
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    panel = sim.build_panel(
+        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+        exon_length=60, variant_sites=1, seed=7,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 200, read_length=50, frag_mean=140, frag_sd=12, seed=13
+    )
+    graph_path = str(tmp_path / "graph.json")
+    gbwt_panel = str(tmp_path / "panel.gbwt")
+    aln_path = str(tmp_path / "aln.json")
+    panel.write_graph_json(graph_path)
+    panel.paths_index.to_gbwt_file(gbwt_panel)
+    sim.write_alignment_json(records, aln_path)
+
+    def run(label):
+        prefix = str(tmp_path / f"out_{label}")
+        run_pipeline(
+            PipelineConfig(
+                graph=graph_path, paths=gbwt_panel, alignments=aln_path,
+                output_prefix=prefix, inference_model="transcripts",
+                threads=2, rng_seed=42, score_not_qual=True,
+            )
+        )
+        return open(prefix + ".txt", "rb").read()
+
+    without_ri = run("plain")
+    assert "Loaded graph and path index" in capfd.readouterr().err
+
+    write_ri_stub(gbwt_panel + ".ri", max_length=5)
+    header = read_ri_header(gbwt_panel + ".ri")
+    assert header["max_length"] == 5
+    with_ri = run("ri")
+    assert "Loaded graph, GBWT and r-index" in capfd.readouterr().err
+    assert with_ri == without_ri
+
+    with open(gbwt_panel + ".ri", "r+b") as handle:
+        handle.write(b"\x00\x00\x00\x00")
+    with pytest.raises(ValueError, match="FastLocate"):
+        run("corrupt")
