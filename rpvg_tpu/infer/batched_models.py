@@ -589,11 +589,19 @@ def batched_haplotype_transcripts(estimator, cluster_data, rng_seed: int = 0, ra
 def _batched_haplotype_transcripts_fused(
     estimator, cluster_data, timing, t0, rng_seed=0, ranks=None
 ) -> bool:
-    """One-call native execution of the collapsed diploid nested model
+    """Native execution of the collapsed diploid nested model
     (native rpvg_nested_diploid_infer), including read-count Gibbs
     configurations (task matrices are emitted for the sampler); returns
     False when the native library is unavailable so the staged path
-    runs."""
+    runs.
+
+    On accelerator backends the measured link policy
+    (parallel.linkprobe.select_device_slots) routes the largest clusters
+    to the device: a first emit-only native pass produces their subset
+    task matrices, their EM dispatches asynchronously, and the full
+    native pass over the remaining clusters runs WHILE the device round
+    trip is in flight — host and device compute concurrently, so the
+    device share is pure wall-clock saving."""
     import os
     import sys
     import time
@@ -623,40 +631,131 @@ def _batched_haplotype_transcripts_fused(
         )
         meta.append(ci)
 
-    # On accelerator backends keep routing LARGE subset-EM matrices to
-    # the device (same hybrid area split as run_batched_em); the fused
-    # call returns their matrices instead of running EM natively.
     import jax
 
+    # Legacy within-call task-level deferral (explicit env overrides
+    # only; the measured slot-level routing below is the default).
     em_area_cutoff = 0
-    if jax.default_backend() == "tpu":
-        em_area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 262144))
+    device_pos: List[int] = []
+    env_hybrid = os.environ.get("RPVG_TPU_HYBRID_EM_AREA")
+    if jax.default_backend() == "tpu" and env_hybrid is not None:
+        em_area_cutoff = int(env_hybrid)
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device
     elif os.environ.get("RPVG_TPU_FORCE_HYBRID_EM_AREA"):
         # Test hook: exercise the device-deferred path on any backend.
         em_area_cutoff = int(os.environ["RPVG_TPU_FORCE_HYBRID_EM_AREA"])
+    elif jax.default_backend() != "cpu" or os.environ.get("RPVG_TPU_DEVICE_SLOT_AREA"):
+        from ..parallel.linkprobe import select_device_slots
+
+        areas = [p.shape[0] * p.shape[1] for p, _, _ in dense_clusters]
+        device_pos = select_device_slots(areas)
 
     emit_matrices = estimator.num_gibbs_samples > 0
-    streams = nested_diploid_infer(
-        dense_clusters,
-        group_specs,
-        group_src_counts,
-        group_ids,
-        min_rel_likelihood=estimator.min_hap_prob,
-        min_hap_prob=estimator.min_hap_prob,
-        prob_precision=estimator.prob_precision,
-        max_em_its=estimator.max_em_its,
-        max_rel_em_conv=estimator.max_rel_em_conv,
-        em_area_cutoff=em_area_cutoff,
-        emit_matrices=emit_matrices,
-    )
-    if streams is None:
-        return False
+
+    def native_call(positions, cutoff):
+        return nested_diploid_infer(
+            [dense_clusters[i] for i in positions],
+            [group_specs[i] for i in positions],
+            [group_src_counts[i] for i in positions],
+            [group_ids[i] for i in positions],
+            min_rel_likelihood=estimator.min_hap_prob,
+            min_hap_prob=estimator.min_hap_prob,
+            prob_precision=estimator.prob_precision,
+            max_em_its=estimator.max_em_its,
+            max_rel_em_conv=estimator.max_rel_em_conv,
+            em_area_cutoff=cutoff,
+            emit_matrices=emit_matrices,
+        )
+
+    sections = []  # (section meta, streams, pending EM or None)
+    if device_pos:
+        from .batching import dispatch_em_device
+
+        dev_set = set(device_pos)
+        host_pos = [i for i in range(len(meta)) if i not in dev_set]
+        # Pass 1 (emit-only): grouped matrices -> posteriors -> subset
+        # selection -> collapsed task matrices, no EM (cutoff 1 defers
+        # every task).  Then the device EM goes in flight.
+        dev_streams = native_call(device_pos, 1)
+        if dev_streams is None:
+            return False
+        dev_inputs = _section_task_matrices(dev_streams, emit_matrices)
+        pending = dispatch_em_device(
+            dev_inputs, range(len(dev_inputs)),
+            estimator.max_em_its, estimator.max_rel_em_conv,
+        )
+        if timing:
+            print(
+                f"  [timing]   device pass ({len(device_pos)} slots, "
+                f"{len(dev_inputs)} tasks) dispatched: {time.perf_counter() - t0:.2f}s",
+                file=sys.stderr,
+            )
+        # Pass 2: full native inference for the host share, overlapping
+        # the device round trip.
+        host_streams = native_call(host_pos, 0)
+        if host_streams is None:
+            return False
+        sections.append(([meta[i] for i in host_pos], host_streams, None))
+        sections.append(([meta[i] for i in device_pos], dev_streams, (pending, dev_inputs)))
+    else:
+        streams = native_call(range(len(meta)), em_area_cutoff)
+        if streams is None:
+            return False
+        sections.append((meta, streams, None))
 
     if timing:
         print(f"  [timing]   fused nested infer: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
         t0 = time.perf_counter()
+
+    col_parts = []
+    for sec_meta, sec_streams, sec_pending in sections:
+        col_parts.append(
+            _process_nested_section(
+                estimator, cluster_data, sec_streams, sec_meta, rank_of,
+                rng_seed, emit_matrices, sec_pending, timing, t0,
+            )
+        )
+        if timing:
+            t0 = time.perf_counter()
+
+    _merge_nested_columnar(estimator, col_parts)
+    return True
+
+
+def _section_task_matrices(streams, emit_matrices):
+    """Per-task (matrix, counts) views over an emit-only section's
+    streams (every task deferred, so mats/cnts cover all tasks)."""
+    n_col_arr = streams["n_col"]
+    kept_arr = streams["kept"]
+    T = n_col_arr.size
+    mat_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(kept_arr * (n_col_arr + 1), out=mat_bounds[1:])
+    cnt_bounds = np.zeros(T + 1, dtype=np.int64)
+    np.cumsum(kept_arr, out=cnt_bounds[1:])
+    mats_all = streams["mats"]
+    cnts_all = streams["cnts"]
+    return [
+        (
+            mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
+                int(kept_arr[t]), int(n_col_arr[t]) + 1
+            ),
+            cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
+        )
+        for t in range(T)
+    ]
+
+
+def _process_nested_section(
+    estimator, cluster_data, streams, meta, rank_of, rng_seed,
+    emit_matrices, pre_dispatched, timing, t0,
+):
+    """Decode one native-call section: device EM for deferred tasks
+    (pre-dispatched handles are gathered here), read-count Gibbs, and
+    the per-cluster posterior-weighted combine.  Returns the section's
+    columnar-output arrays for _merge_nested_columnar."""
+    import sys
+    import time
 
     totals = streams["totals"]
     n_tasks = streams["n_tasks"]
@@ -693,17 +792,27 @@ def _batched_haplotype_transcripts_fused(
             cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
         )
 
-    # Device EM for any tasks the area cutoff filtered out.
-    device_tasks = np.flatnonzero(~has_fracs)
-    if device_tasks.size:
-        device_results = run_batched_em(
-            [task_matrix(t) for t in device_tasks],
-            estimator.max_em_its,
-            estimator.max_rel_em_conv,
-        )
-        device_of = dict(zip(device_tasks.tolist(), device_results))
+    # Device EM for the deferred tasks.  Pre-dispatched sections (slot
+    # routing) gather their in-flight results here; legacy within-call
+    # deferral dispatches now.
+    if pre_dispatched is not None:
+        from .batching import gather_em_device
+
+        pending, dev_inputs = pre_dispatched
+        device_results = [None] * len(dev_inputs)
+        gather_em_device(pending, dev_inputs, device_results)
+        device_of = dict(enumerate(device_results))
     else:
-        device_of = {}
+        device_tasks = np.flatnonzero(~has_fracs)
+        if device_tasks.size:
+            device_results = run_batched_em(
+                [task_matrix(t) for t in device_tasks],
+                estimator.max_em_its,
+                estimator.max_rel_em_conv,
+            )
+            device_of = dict(zip(device_tasks.tolist(), device_results))
+        else:
+            device_of = {}
 
     # Post-EM tail (exact run_batched_em/run_native_em semantics).  The
     # kernel already folded these results into its per-slot combine;
@@ -882,27 +991,86 @@ def _batched_haplotype_transcripts_fused(
 
         est.noise_count += (1.0 - sum_hap_prob) * est.total_count
 
-    if combined.size:
-        # Stash the columnar set streams so the output phase can compose
-        # the estimate files in C++ (pipeline._write_hapjoint_columnar)
-        # without walking the per-cluster Python objects.  Slots whose
-        # EM deferred to the device combined in Python above (stream
-        # sets empty) — the writer splices those few clusters' sets from
-        # their estimates.
-        estimator._columnar_outputs = {
-            "kind": "sets",
-            "meta": meta,
-            "combined": combined,
-            "n_sets": n_sets,
-            "set_lens": set_lens,
-            "set_ids": set_ids_all,
-            "set_posteriors": set_post_all,
-            "set_abundances": set_ab_all,
-        }
-
     if timing:
         print(f"  [timing]   fused combine ({T} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)
-    return True
+    return {
+        "meta": meta,
+        "combined": combined,
+        "n_sets": n_sets,
+        "set_lens": set_lens,
+        "set_ids": set_ids_all,
+        "set_posteriors": set_post_all,
+        "set_abundances": set_ab_all,
+    }
+
+
+def _merge_nested_columnar(estimator, col_parts) -> None:
+    """Stash the columnar set streams so the output phase can compose
+    the estimate files in C++ (pipeline._write_hapjoint_columnar)
+    without walking the per-cluster Python objects.  Slots that combined
+    in Python (device-routed or EM-deferred) have empty stream segments
+    — the composer splices their sets from the estimates — so merging
+    sections only interleaves the per-slot meta/flags in cluster order;
+    set streams concatenate as-is (the non-combined slots contribute
+    nothing and the combined slots stay in ascending cluster order)."""
+    parts = [p for p in col_parts if p["meta"]]
+    if not parts:
+        estimator._columnar_outputs = None
+        return
+    order = sorted(
+        ((ci, pi, slot) for pi, p in enumerate(parts) for slot, ci in enumerate(p["meta"])),
+    )
+    meta = [ci for ci, _, _ in order]
+    combined = np.array(
+        [parts[pi]["combined"][slot] for _, pi, slot in order], dtype=bool
+    )
+    n_sets = np.array(
+        [parts[pi]["n_sets"][slot] for _, pi, slot in order], dtype=np.int64
+    )
+    if len(parts) == 1:
+        set_lens = parts[0]["set_lens"]
+        set_ids = parts[0]["set_ids"]
+        set_posteriors = parts[0]["set_posteriors"]
+        set_abundances = parts[0]["set_abundances"]
+    else:
+        # Only combined slots own stream segments; they must land in
+        # merged meta order.  Gather each combined slot's segment.
+        lens_segs, post_segs, ids_segs, ab_segs = [], [], [], []
+        bounds = []
+        for p in parts:
+            sb = np.zeros(len(p["meta"]) + 1, dtype=np.int64)
+            np.cumsum(p["n_sets"], out=sb[1:])
+            lb = np.zeros(p["set_lens"].size + 1, dtype=np.int64)
+            np.cumsum(p["set_lens"], out=lb[1:])
+            bounds.append((sb, lb))
+        for _, pi, slot in order:
+            p = parts[pi]
+            sb, lb = bounds[pi]
+            lo, hi = int(sb[slot]), int(sb[slot + 1])
+            if lo == hi:
+                continue
+            lens_segs.append(p["set_lens"][lo:hi])
+            post_segs.append(p["set_posteriors"][lo:hi])
+            ids_segs.append(p["set_ids"][lb[lo] : lb[hi]])
+            ab_segs.append(p["set_abundances"][lb[lo] : lb[hi]])
+        cat = lambda segs, dt: (  # noqa: E731
+            np.concatenate(segs) if segs else np.empty(0, dtype=dt)
+        )
+        set_lens = cat(lens_segs, np.int64)
+        set_posteriors = cat(post_segs, np.float64)
+        set_ids = cat(ids_segs, np.int64)
+        set_abundances = cat(ab_segs, np.float64)
+
+    estimator._columnar_outputs = {
+        "kind": "sets",
+        "meta": meta,
+        "combined": combined,
+        "n_sets": n_sets,
+        "set_lens": set_lens,
+        "set_ids": set_ids,
+        "set_posteriors": set_posteriors,
+        "set_abundances": set_abundances,
+    }
 
 
 def _nested_em_and_gibbs(

@@ -180,6 +180,51 @@ def run_batched_em(
                 if probs.shape[0] * probs.shape[1] < area_cutoff
             ]
     host_set = set(host_idx)
+
+    results: List[Tuple[np.ndarray, float]] = [None] * len(cluster_inputs)
+    pending = dispatch_em_device(
+        cluster_inputs,
+        [idx for idx in range(len(cluster_inputs)) if idx not in host_set],
+        max_em_its, max_rel_em_conv,
+        dtype=dtype, max_bucket_rows=max_bucket_rows, use_pallas=use_pallas,
+    )
+
+    # Device chunks are now in flight; the host kernel fills in the
+    # latency-bound small clusters meanwhile.
+    if host_idx:
+        host_results = run_native_em(
+            [cluster_inputs[idx] for idx in host_idx], max_em_its, max_rel_em_conv
+        )
+        for idx, result in zip(host_idx, host_results):
+            results[idx] = result
+
+    gather_em_device(pending, cluster_inputs, results)
+    return results
+
+
+def dispatch_em_device(
+    cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
+    indices: Sequence[int],
+    max_em_its: int = 10000,
+    max_rel_em_conv: float = 0.001,
+    dtype=None,
+    max_bucket_rows: int = 4096,
+    use_pallas: str = "auto",
+):
+    """Dispatch the indexed clusters' EM to the device WITHOUT blocking:
+    pads shape buckets, enqueues transfers + kernels, returns a pending
+    handle for :func:`gather_em_device`.  The caller overlaps host work
+    (native inference of other clusters, writer threads) while the
+    device round trip is in flight — the reference's producer-consumer
+    queue pipeline (src/main.cpp:654-693) applied across the
+    host/device boundary."""
+    import os
+
+    import jax
+
+    on_tpu = jax.default_backend() == "tpu"
+    if dtype is None:
+        dtype = np.float32 if on_tpu else np.float64
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
     # reference to ~2e-7 and beats the XLA while-loop by >100x steady
     # state.  RPVG_TPU_PALLAS=0 force-disables.
@@ -188,25 +233,20 @@ def run_batched_em(
     )
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
-    for idx, (probs, counts) in enumerate(cluster_inputs):
-        if idx in host_set:
-            continue
-        R, C = probs.shape
+    for idx in indices:
+        R, C = cluster_inputs[idx][0].shape
         key = (_ceil_pow4(R), _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
 
-    results: List[Tuple[np.ndarray, float]] = [None] * len(cluster_inputs)
-
-    # Two passes: dispatch every chunk asynchronously (device transfers
-    # and kernels overlap; the accelerator link here has ~40ms blocking
-    # round-trip latency, so per-chunk sync would serialise it), then
-    # gather and post-process.
+    # Dispatch every chunk asynchronously (device transfers and kernels
+    # overlap; the accelerator link here has ~25-40ms blocking round-trip
+    # latency, so per-chunk sync would serialise it).
     pending = []  # (chunk indices, device array or ready ndarray)
-    for (R_pad, C_pad), indices in buckets.items():
+    for (R_pad, C_pad), chunk_indices in buckets.items():
         # Split huge buckets to bound device memory.
         max_batch = max(1, max_bucket_rows // R_pad) * 8
-        for chunk_start in range(0, len(indices), max_batch):
-            chunk = indices[chunk_start : chunk_start + max_batch]
+        for chunk_start in range(0, len(chunk_indices), max_batch):
+            chunk = chunk_indices[chunk_start : chunk_start + max_batch]
             # Pad the batch axis too so (B, R, C) shapes stay cached
             # (dummy zero-mask clusters converge immediately).
             B = _ceil_pow2(len(chunk), floor=1)
@@ -243,16 +283,13 @@ def run_batched_em(
                     probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
                 )
             pending.append((chunk, fracs))
+    return pending
 
-    # Device chunks are now in flight; the host kernel fills in the
-    # latency-bound small clusters meanwhile.
-    if host_idx:
-        host_results = run_native_em(
-            [cluster_inputs[idx] for idx in host_idx], max_em_its, max_rel_em_conv
-        )
-        for idx, result in zip(host_idx, host_results):
-            results[idx] = result
 
+def gather_em_device(pending, cluster_inputs, results) -> None:
+    """Block on the pending device chunks and fill `results` with the
+    (path read counts, noise count) contract (sub-threshold folding in
+    f64 on the host, exactly like the native kernel's tail)."""
     for chunk, fracs in pending:
         fracs = np.asarray(fracs, dtype=np.float64)
         for b, idx in enumerate(chunk):
@@ -260,5 +297,3 @@ def run_batched_em(
             R, C = probs.shape
             total = float(counts.sum())
             results[idx] = em_postprocess(fracs[b, :C], total)
-
-    return results

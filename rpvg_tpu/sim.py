@@ -116,6 +116,92 @@ def build_panel(
     return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
 
 
+def build_gene_panel(
+    num_genes: int = 100,
+    isoforms_per_gene: float = 7.0,
+    num_haplotypes: int = 4,
+    exons_per_gene: int = 10,
+    exon_length: int = 120,
+    variant_sites: int = 3,
+    bidirectional: bool = True,
+    seed: int = 0,
+) -> SimulatedPanel:
+    """Gene-structured pantranscriptome: isoforms of a gene share its
+    exon nodes (alternative splicing) and haplotype allele nodes, so
+    reads multimap across isoform x haplotype paths exactly as in a real
+    pantranscriptome — per-gene path clusters are isoforms*haplotypes
+    wide and power-law sized, the regime the reference's size-sorted
+    scheduling and B&B pruning exist for (src/main.cpp:811-827,
+    src/path_estimator.cpp:379).  build_panel's isolated-transcript
+    panels produce only toy clusters (<= haplotypes paths each).
+
+    Isoform counts per gene are lognormal around `isoforms_per_gene`;
+    every isoform keeps the first and last exon and a random middle
+    subset.  Each variant site sits after a fixed exon and contributes
+    one allele node per haplotype, shared by every isoform containing
+    that exon."""
+    rng = np.random.default_rng(seed)
+    node_lengths: Dict[int, int] = {}
+    next_node = 1
+
+    def new_node(length: int) -> int:
+        nonlocal next_node
+        nid = next_node
+        node_lengths[nid] = length
+        next_node += 1
+        return nid
+
+    path_names: List[str] = []
+    path_nodes: List[List[Tuple[int, bool]]] = []
+    info: Dict[str, Tuple[str, List[str]]] = {}
+
+    for g in range(num_genes):
+        exons = [new_node(exon_length) for _ in range(exons_per_gene)]
+        n_sites = min(variant_sites, exons_per_gene)
+        site_exons = sorted(
+            rng.choice(exons_per_gene, size=n_sites, replace=False).tolist()
+        )
+        allele_of = {
+            e: [new_node(max(4, exon_length // 8)) for _ in range(num_haplotypes)]
+            for e in site_exons
+        }
+
+        n_iso = max(
+            1, int(round(rng.lognormal(np.log(max(1.0, isoforms_per_gene)), 0.35)))
+        )
+        seen = set()
+        isoforms: List[Tuple[int, ...]] = []
+        attempts = 0
+        while len(isoforms) < n_iso and attempts < 20 * n_iso:
+            attempts += 1
+            middle = [
+                e for e in range(1, exons_per_gene - 1) if rng.random() < 0.7
+            ]
+            key = tuple([0] + middle + [exons_per_gene - 1])
+            if key not in seen:
+                seen.add(key)
+                isoforms.append(key)
+
+        for i, iso in enumerate(isoforms):
+            tname = f"ENST{g:05d}T{i:02d}"
+            for h in range(num_haplotypes):
+                nodes: List[Tuple[int, bool]] = []
+                for e in iso:
+                    nodes.append((exons[e], False))
+                    if e in allele_of:
+                        nodes.append((allele_of[e][h], False))
+                name = f"{tname}_na_h{h}_1"
+                path_names.append(name)
+                path_nodes.append(nodes)
+                info[name] = (tname, [f"hap{h}"])
+
+    graph = Graph(node_lengths)
+    paths_index = PathIndex.from_node_tuples(
+        path_nodes, graph, names=path_names, bidirectional=bidirectional
+    )
+    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
+
+
 def _mappings_for_interval(
     path: Sequence[Tuple[int, bool]],
     node_lengths: Dict[int, int],
@@ -210,16 +296,26 @@ def simulate_read_pairs(
     records: List[dict] = []
     true_counts = np.zeros(num_paths, dtype=np.int64)
 
+    # Vectorised fragment draws (paths too short for a fragment are
+    # excluded up front — the rejection loop they would spin on).
+    eligible = np.flatnonzero(path_lengths >= 2 * read_length)
+    assert eligible.size, "no path is long enough for a fragment"
+    elig_probs = abundances[eligible] / abundances[eligible].sum()
+    path_choices = eligible[
+        rng.choice(eligible.size, size=num_pairs, p=elig_probs)
+    ]
+    frag_draws = np.round(rng.normal(frag_mean, frag_sd, size=num_pairs)).astype(int)
+    frag_draws = np.clip(frag_draws, 2 * read_length, path_lengths[path_choices])
+    start_draws = rng.integers(
+        0, path_lengths[path_choices] - frag_draws + 1, size=num_pairs
+    )
+
     first = True
-    for _ in range(num_pairs):
-        while True:
-            path_idx = int(rng.choice(num_paths, p=abundances))
-            path_len = int(path_lengths[path_idx])
-            frag_len = int(round(rng.normal(frag_mean, frag_sd)))
-            frag_len = max(2 * read_length, min(frag_len, path_len))
-            if path_len >= frag_len:
-                break
-        start = int(rng.integers(0, path_len - frag_len + 1))
+    for pair_idx in range(num_pairs):
+        path_idx = int(path_choices[pair_idx])
+        path_len = int(path_lengths[path_idx])
+        frag_len = int(frag_draws[pair_idx])
+        start = int(start_draws[pair_idx])
         nodes = panel.path_nodes[path_idx]
         true_counts[path_idx] += 1
 

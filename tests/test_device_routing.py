@@ -1,0 +1,95 @@
+"""Measured-policy slot routing (parallel/linkprobe.py): the largest
+clusters' nested inference dispatches to the device while the native
+kernel handles the rest concurrently.  Forced on the CPU backend via
+RPVG_TPU_DEVICE_SLOT_AREA, the routed path must be byte-identical to the
+all-native run (the XLA-CPU EM kernel is pinned bitwise to the C++ EM
+elsewhere; this pins the two-pass emit/dispatch/combine plumbing)."""
+
+import numpy as np
+import pytest
+
+from rpvg_tpu import sim
+from rpvg_tpu.alignments import parse_multipath_alignment
+from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+
+@pytest.fixture(scope="module")
+def gene_dataset(tmp_path_factory):
+    tmp = tmp_path_factory.mktemp("routing")
+    panel = sim.build_gene_panel(
+        num_genes=30, isoforms_per_gene=6, num_haplotypes=4,
+        exons_per_gene=8, exon_length=100, variant_sites=3, seed=5,
+    )
+    rng = np.random.default_rng(7)
+    n = len(panel.path_names)
+    gene_of = np.array([int(nm[4:9]) for nm in panel.path_names])
+    gab = rng.dirichlet(np.ones(gene_of.max() + 1) * 0.3)
+    ab = gab[gene_of] * rng.dirichlet(np.ones(n) * 2.0)
+    ab /= ab.sum()
+    records, _ = sim.simulate_read_pairs(
+        panel, 5000, read_length=90, frag_mean=220, frag_sd=20,
+        abundances=ab, seed=17,
+    )
+    alns = [
+        (parse_multipath_alignment(a), parse_multipath_alignment(b))
+        for a, b in zip(records[0::2], records[1::2])
+    ]
+    info = str(tmp / "info.tsv")
+    panel.write_info_tsv(info)
+    return {"panel": panel, "alns": alns, "info": info, "tmp": tmp}
+
+
+def _run(ds, tag, gibbs=0):
+    import gzip
+
+    prefix = str(ds["tmp"] / f"out_{tag}")
+    run_pipeline(
+        PipelineConfig(
+            graph=ds["panel"].graph, paths=ds["panel"].paths_index,
+            alignments=ds["alns"], output_prefix=prefix,
+            inference_model="haplotype-transcripts", path_info=ds["info"],
+            threads=2, rng_seed=42, score_not_qual=True,
+            frag_mean=220.0, frag_sd=20.0, num_gibbs_samples=gibbs,
+        )
+    )
+    out = {}
+    for sfx in (".txt", "_joint.txt"):
+        out[sfx] = open(prefix + sfx, "rb").read()
+    if gibbs:
+        out["gibbs"] = gzip.open(prefix + "_gibbs.txt.gz", "rb").read()
+    return out
+
+
+@pytest.mark.parametrize("gibbs", [0, 6])
+def test_slot_routing_byte_identical(gene_dataset, monkeypatch, gibbs):
+    base = _run(gene_dataset, f"base{gibbs}", gibbs=gibbs)
+    monkeypatch.setenv("RPVG_TPU_DEVICE_SLOT_AREA", "500")
+    routed = _run(gene_dataset, f"routed{gibbs}", gibbs=gibbs)
+    assert base == routed
+
+
+def test_gene_panel_builds_wide_clusters(gene_dataset):
+    # The gene-structured panel must produce genuinely multimapping
+    # clusters (isoforms x haplotypes paths sharing reads) — the regime
+    # the reference's size-sorted cluster scheduling exists for.
+    from rpvg_tpu.clustering import PathClusters
+    from rpvg_tpu.pipeline import (
+        PipelineConfig, build_finder, collect_fragments,
+        resolve_pre_fragment_dist,
+    )
+
+    ds = gene_dataset
+    config = PipelineConfig(
+        graph=ds["panel"].graph, paths=ds["panel"].paths_index,
+        alignments=ds["alns"], output_prefix=str(ds["tmp"] / "w"),
+        inference_model="haplotype-transcripts", path_info=ds["info"],
+        rng_seed=1, score_not_qual=True, frag_mean=220.0, frag_sd=20.0,
+    )
+    pre = resolve_pre_fragment_dist(config)
+    finder = build_finder(config, ds["panel"].paths_index, pre)
+    index = collect_fragments(config, finder, pre, columnar=True)
+    cols = index.columnar
+    clusters = PathClusters.from_columnar(ds["panel"].paths_index, cols)
+    sizes = np.bincount(clusters.path_to_cluster)
+    # At least one cluster spans >= 3 isoforms x 4 haplotypes paths.
+    assert sizes.max() >= 12
