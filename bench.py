@@ -30,9 +30,14 @@ BASELINE_PAIRS_PER_S = 1700.0
 
 def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
     """Generate the reference-example-shaped dataset once (shared by
-    every backend attempt): a four-haplotype pantranscriptome with
-    `haplotype-transcripts` inputs — the bundled example is 100k pairs
-    over 36,120 paths."""
+    every backend attempt): a four-haplotype GENE-STRUCTURED
+    pantranscriptome with `haplotype-transcripts` inputs — the bundled
+    example is 100k pairs over a 36,120-path whole-transcriptome panel.
+    Isoforms of a gene share exon and allele nodes, so reads multimap
+    across isoform x haplotype paths and clusters are power-law sized
+    (hundreds of reads x dozens of paths at the head), matching the
+    regime the reference's size-sorted cluster scheduling exists for;
+    expression is a sparse Dirichlet over genes like real RNA-seq."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import pickle
 
@@ -41,16 +46,18 @@ def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
     from rpvg_tpu.io import rpa
     from rpvg_tpu.native import native_available
 
-    panel = sim.build_panel(
-        num_transcripts=num_transcripts,
+    panel = sim.build_gene_panel(
+        num_genes=max(1, round(num_transcripts / 7)),
+        isoforms_per_gene=7,
         num_haplotypes=4,
-        exons_per_transcript=5,
+        exons_per_gene=10,
         exon_length=120,
-        variant_sites=2,
+        variant_sites=3,
         seed=5,
     )
     records, _ = sim.simulate_read_pairs(
-        panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17
+        panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17,
+        abundances=sim.gene_abundances(panel, seed=7),
     )
 
     sim.write_alignment_json(records, os.path.join(out_dir, "bench_aln.json"))
@@ -224,50 +231,43 @@ def main() -> int:
     if not healthy:
         print("bench: accelerator probe failed; running on CPU backend", file=sys.stderr)
 
-    # Measure every available backend configuration and report the best
-    # (this machine's accelerator sits behind a low-bandwidth tunnel, so
-    # the host backend can win end-to-end despite slower kernels).
-    # The CPU child runs FIRST: the first child pays cold file/page
-    # caches for the dataset, a systematic bias against whichever
-    # backend goes first (both children run the same host pipeline).
-    candidates = []
-    cpu_result, err = attempt({"RPVG_TPU_FORCE_CPU": "1"})
-    if cpu_result is None:
-        print(f"bench: CPU run failed: {err}", file=sys.stderr)
-    else:
-        cpu_result["backend"] = "cpu"
-        candidates.append(cpu_result)
+    # Measure every available backend configuration; the headline is the
+    # fastest backend, full stop.  Children run in ALTERNATING windows
+    # (cpu, tpu, cpu, tpu) with the per-backend best kept: both backends
+    # share the same host pipeline, so slow drift on a bursty shared
+    # host would otherwise bias whichever backend's single window landed
+    # quieter.  The first window additionally pays cold file/page
+    # caches, a bias alternation also spreads across both backends.
+    best = {}
 
-    if healthy:
-        device_result, err = attempt({})
-        if device_result is None:
-            print(f"bench: device run failed ({err})", file=sys.stderr)
-            # One retry: transient tunnel wedges are the common failure.
-            device_result, err = attempt({})
-            if device_result is None:
-                print(f"bench: device retry failed ({err})", file=sys.stderr)
-        if device_result is not None:
-            candidates.append(device_result)
+    def record(backend, extra_env, retry=0):
+        result, err = attempt(extra_env)
+        while result is None and retry > 0:
+            retry -= 1
+            print(f"bench: {backend} window failed ({err}); retrying", file=sys.stderr)
+            result, err = attempt(extra_env)
+        if result is None:
+            print(f"bench: {backend} window failed ({err})", file=sys.stderr)
+            return
+        result["backend"] = backend
+        if backend not in best or result["pairs_per_s"] > best[backend]["pairs_per_s"]:
+            best[backend] = result
+
+    for window in range(2):
+        record("cpu", {"RPVG_TPU_FORCE_CPU": "1"})
+        if healthy:
+            # One retry on the first window: transient tunnel wedges are
+            # the common failure.
+            record("tpu", {}, retry=1 if window == 0 else 0)
 
     import shutil
 
     shutil.rmtree(data_dir, ignore_errors=True)
 
+    candidates = list(best.values())
     if not candidates:
         return 1
     result = max(candidates, key=lambda r: r["pairs_per_s"])
-    # The two children run the same host pipeline in separate ~40s
-    # windows on a bursty shared host; measured window-to-window spread
-    # of identical code is +-10-15% even at best-of-10.  When the
-    # accelerator result is within that spread of the best, report it
-    # as the headline (all backends stay in the JSON regardless).
-    for cand in candidates:
-        if (
-            cand["backend"] != "cpu"
-            and cand["pairs_per_s"] >= 0.88 * result["pairs_per_s"]
-        ):
-            result = cand
-            break
 
     for key, value in sorted(result.items()):
         print(f"bench: {key} = {value}", file=sys.stderr)

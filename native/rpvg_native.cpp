@@ -2281,7 +2281,12 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
 // nested kernel call these same compiled bodies (noinline), so their
 // results are bitwise identical regardless of caller-specific codegen
 // (FP contraction may otherwise differ between inlined copies).
-__attribute__((noinline)) static void em_fixed_point_one(
+// Returns true when the convergence contract (10 consecutive iterations
+// under `conv`) was met within max_its — callers running with a bounded
+// iteration budget use this to escalate slow-converging tasks to the
+// device (the EM time distribution is heavy-tailed: a handful of tasks
+// run thousands of iterations and dominate the host inference phase).
+__attribute__((noinline)) static bool em_fixed_point_one(
     const double* P, const double* counts, int64_t R, int64_t C,
     int64_t max_its, double conv, std::vector<double>& abund,
     std::vector<double>& fresh) {
@@ -2315,6 +2320,7 @@ __attribute__((noinline)) static void em_fixed_point_one(
     conv_its = has_conv ? conv_its + 1 : 0;
     std::swap(abund, fresh);
   }
+  return conv_its >= MIN_CONV_ITS;
 }
 
 // The reference's sub-threshold folding (src/path_abundance_estimator.
@@ -3236,8 +3242,19 @@ uint8_t* rpvg_nested_diploid_infer(
     const int64_t* gid_concat, const int64_t* gid_offsets,
     double min_rel_likelihood, double min_hap_prob, double precision,
     int64_t max_em_its, double em_conv, int64_t em_area_cutoff,
-    int32_t emit_matrices, int32_t n_threads, int64_t* out_len) {
+    int64_t em_bound_its, int32_t emit_matrices, int32_t n_threads,
+    int64_t* out_len) {
   const double log_cutoff = std::log(min_rel_likelihood);
+  // Bounded-EM escalation: with em_bound_its > 0 each task gets that
+  // iteration budget; tasks that do not converge inside it defer to the
+  // device exactly like the area cutoff (has_fracs=0 + emitted matrix),
+  // which re-runs from scratch with identical convergence semantics.
+  // Self-measuring hybrid policy: the EM-time heavy tail (the few tasks
+  // needing thousands of iterations) is what actually pays for the
+  // device link, and it is only identifiable by running.
+  const int64_t em_budget =
+      (em_bound_its > 0 && em_bound_its < max_em_its) ? em_bound_its
+                                                      : max_em_its;
 
   std::vector<nested::SlotStreams> slots(n_slots);
   std::atomic<int64_t> next{0};
@@ -3358,12 +3375,16 @@ uint8_t* rpvg_nested_diploid_infer(
         out.subset_prob.push_back(subset_prob);
         out.n_col.push_back(n_col);
         out.kept.push_back(kept);
-        const bool run_em =
+        bool run_em =
             em_area_cutoff <= 0 || kept * width < em_area_cutoff;
+        if (run_em) {
+          const bool converged = em_fixed_point_one(
+              tmat.data(), tcnt.data(), kept, width, em_budget, em_conv,
+              abund, fresh);
+          if (!converged && em_budget < max_em_its) run_em = false;
+        }
         out.has_fracs.push_back(run_em ? 1 : 0);
         if (run_em) {
-          em_fixed_point_one(tmat.data(), tcnt.data(), kept, width,
-                             max_em_its, em_conv, abund, fresh);
           out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
 
           if (all_em) {

@@ -645,15 +645,31 @@ def _batched_haplotype_transcripts_fused(
     elif os.environ.get("RPVG_TPU_FORCE_HYBRID_EM_AREA"):
         # Test hook: exercise the device-deferred path on any backend.
         em_area_cutoff = int(os.environ["RPVG_TPU_FORCE_HYBRID_EM_AREA"])
-    elif jax.default_backend() != "cpu" or os.environ.get("RPVG_TPU_DEVICE_SLOT_AREA"):
+    elif os.environ.get("RPVG_TPU_DEVICE_SLOT_AREA"):
+        # Opt-in whole-slot routing (mainly a test hook; the bounded-EM
+        # escalation below is the production hybrid policy).
         from ..parallel.linkprobe import select_device_slots
 
         areas = [p.shape[0] * p.shape[1] for p, _, _ in dense_clusters]
         device_pos = select_device_slots(areas)
 
+    # Bounded-EM escalation (the measured hybrid policy): the native
+    # kernel gives each subset EM a bounded iteration budget; the few
+    # tasks that fail to converge inside it — the heavy tail holding
+    # ~half the EM time in a few hundred KB of matrices — defer to the
+    # device, which re-runs them with identical convergence semantics.
+    # Self-measuring: only tasks PROVEN slow pay the link.
+    em_bound = 0
+    if not device_pos and em_area_cutoff == 0:
+        env_bound = os.environ.get("RPVG_TPU_EM_BOUND")
+        if env_bound is not None:
+            em_bound = int(env_bound)
+        elif jax.default_backend() != "cpu":
+            em_bound = 512
+
     emit_matrices = estimator.num_gibbs_samples > 0
 
-    def native_call(positions, cutoff):
+    def native_call(positions, cutoff, bound=0):
         return nested_diploid_infer(
             [dense_clusters[i] for i in positions],
             [group_specs[i] for i in positions],
@@ -665,6 +681,7 @@ def _batched_haplotype_transcripts_fused(
             max_em_its=estimator.max_em_its,
             max_rel_em_conv=estimator.max_rel_em_conv,
             em_area_cutoff=cutoff,
+            em_bound_its=bound,
             emit_matrices=emit_matrices,
         )
 
@@ -698,11 +715,13 @@ def _batched_haplotype_transcripts_fused(
             return False
         sections.append(([meta[i] for i in host_pos], host_streams, None))
         sections.append(([meta[i] for i in device_pos], dev_streams, (pending, dev_inputs)))
+        stage_floor = 0
     else:
-        streams = native_call(range(len(meta)), em_area_cutoff)
+        streams = native_call(range(len(meta)), em_area_cutoff, em_bound)
         if streams is None:
             return False
         sections.append((meta, streams, None))
+        stage_floor = em_bound
 
     if timing:
         print(f"  [timing]   fused nested infer: {time.perf_counter() - t0:.2f}s", file=sys.stderr)
@@ -714,6 +733,7 @@ def _batched_haplotype_transcripts_fused(
             _process_nested_section(
                 estimator, cluster_data, sec_streams, sec_meta, rank_of,
                 rng_seed, emit_matrices, sec_pending, timing, t0,
+                stage_floor=stage_floor,
             )
         )
         if timing:
@@ -748,7 +768,7 @@ def _section_task_matrices(streams, emit_matrices):
 
 def _process_nested_section(
     estimator, cluster_data, streams, meta, rank_of, rng_seed,
-    emit_matrices, pre_dispatched, timing, t0,
+    emit_matrices, pre_dispatched, timing, t0, stage_floor=0,
 ):
     """Decode one native-call section: device EM for deferred tasks
     (pre-dispatched handles are gathered here), read-count Gibbs, and
@@ -809,6 +829,7 @@ def _process_nested_section(
                 [task_matrix(t) for t in device_tasks],
                 estimator.max_em_its,
                 estimator.max_rel_em_conv,
+                stage_floor=stage_floor,
             )
             device_of = dict(zip(device_tasks.tolist(), device_results))
         else:

@@ -141,6 +141,7 @@ def run_batched_em(
     dtype=None,
     max_bucket_rows: int = 4096,
     use_pallas: str = "auto",
+    stage_floor: int = 0,
 ) -> List[Tuple[np.ndarray, float]]:
     """Run EM over many clusters with shape bucketing.
 
@@ -170,8 +171,12 @@ def run_batched_em(
     # The default cutoff is tuned for a high-latency (tunnelled) link;
     # PCIe/ICI-attached hosts can lower it to use the device more.
     # RPVG_TPU_HYBRID_EM_AREA=0 sends everything to the device.
+    # Escalated tasks (stage_floor > 0) are PROVEN to need more than
+    # stage_floor iterations — heavy compute per transferred byte — so
+    # they always go to the device; the area-based host routing below
+    # only applies to cold dispatches of unknown iteration count.
     host_idx: List[int] = []
-    if on_tpu and native_em_available():
+    if on_tpu and stage_floor <= 0 and native_em_available():
         area_cutoff = int(os.environ.get("RPVG_TPU_HYBRID_EM_AREA", 262144))
         if area_cutoff > 0:
             host_idx = [
@@ -187,6 +192,7 @@ def run_batched_em(
         [idx for idx in range(len(cluster_inputs)) if idx not in host_set],
         max_em_its, max_rel_em_conv,
         dtype=dtype, max_bucket_rows=max_bucket_rows, use_pallas=use_pallas,
+        stage_floor=stage_floor,
     )
 
     # Device chunks are now in flight; the host kernel fills in the
@@ -210,6 +216,7 @@ def dispatch_em_device(
     dtype=None,
     max_bucket_rows: int = 4096,
     use_pallas: str = "auto",
+    stage_floor: int = 0,
 ):
     """Dispatch the indexed clusters' EM to the device WITHOUT blocking:
     pads shape buckets, enqueues transfers + kernels, returns a pending
@@ -280,7 +287,8 @@ def dispatch_em_device(
                     pallas_enabled = False
             if fracs is None:
                 fracs, _ = em_abundances_batched(
-                    probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
+                    probs_pad, counts_pad, col_masks, max_em_its,
+                    max_rel_em_conv, stage_floor=stage_floor,
                 )
             pending.append((chunk, fracs))
     return pending

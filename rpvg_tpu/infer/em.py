@@ -172,6 +172,7 @@ def em_abundances_batched(
     col_masks: np.ndarray,
     max_em_its: int = 10000,
     max_rel_em_conv: float = 0.001,
+    stage_floor: int = 0,
 ):
     """Batched EM over padded cluster stacks; returns (B, C) abundance
     fractions (caller applies totals/threshold folding).
@@ -179,7 +180,10 @@ def em_abundances_batched(
     Stragglers: in a synchronous batch every cluster pays the slowest
     cluster's iteration count.  Caps escalate in stages — clusters that
     converged at a lower cap keep their (frozen, identical) result,
-    unconverged ones re-run alone at the next cap."""
+    unconverged ones re-run alone at the next cap.  `stage_floor` skips
+    stages that cannot converge (bounded-EM escalation: the host already
+    PROVED these clusters need more than `stage_floor` iterations, so a
+    smaller cap is a wasted device round trip on a high-latency link)."""
     from ..parallel.autoshard import shard_batched
 
     probs = jnp.asarray(probs)
@@ -188,7 +192,9 @@ def em_abundances_batched(
     probs, counts, col_masks = shard_batched(probs, counts, col_masks)
     conv = probs.dtype.type(max_rel_em_conv)
 
-    stages = [cap for cap in (128, 1024) if cap < max_em_its] + [int(max_em_its)]
+    stages = [
+        cap for cap in (128, 1024) if stage_floor < cap < max_em_its
+    ] + [int(max_em_its)]
     abundances, conv_its, its = _em_solve_batched(
         probs, counts, col_masks, jnp.int32(stages[0]), conv
     )

@@ -946,6 +946,7 @@ def nested_diploid_infer(
     max_em_its: int,
     max_rel_em_conv: float,
     em_area_cutoff: int = 0,
+    em_bound_its: int = 0,
     emit_matrices: bool = False,
     n_threads: int = 0,
 ):
@@ -960,8 +961,10 @@ def nested_diploid_infer(
     Returns a dict of global streams — totals/n_tasks per slot;
     subset_prob/n_col/kept/has_fracs per task; collapsed+mult CSR;
     fracs CSR for natively-EM'd tasks; mats+cnts CSR for device-EM
-    handoffs (tasks the em_area_cutoff filtered out) — or None when the
-    library is unavailable."""
+    handoffs (tasks the em_area_cutoff filtered out, plus tasks that
+    failed to converge within em_bound_its iterations — the heavy tail
+    of the EM time distribution, escalated to the device) — or None
+    when the library is unavailable."""
     import os
 
     lib = load_library()
@@ -979,8 +982,8 @@ def nested_diploid_infer(
             ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.c_double, ctypes.c_double, ctypes.c_double,
-            ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int32,
-            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+            ctypes.c_int64, ctypes.c_double, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
         ]
         lib._nested_configured = True
 
@@ -1052,7 +1055,8 @@ def nested_diploid_infer(
         as_i64(gid_concat), as_i64(gid_offsets),
         float(min_rel_likelihood), float(min_hap_prob), float(prob_precision),
         int(max_em_its), float(max_rel_em_conv), int(em_area_cutoff),
-        int(bool(emit_matrices)), int(n_threads), ctypes.byref(out_len),
+        int(em_bound_its), int(bool(emit_matrices)), int(n_threads),
+        ctypes.byref(out_len),
     )
     try:
         data = ctypes.string_at(out_ptr, out_len.value)

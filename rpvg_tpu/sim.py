@@ -202,6 +202,25 @@ def build_gene_panel(
     return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
 
 
+def gene_abundances(
+    panel: SimulatedPanel,
+    gene_alpha: float = 0.35,
+    path_alpha: float = 2.0,
+    seed: int = 7,
+) -> np.ndarray:
+    """Power-law expression: sparse Dirichlet over genes (a few hot genes
+    carry most reads, as in real RNA-seq) times a within-gene Dirichlet
+    over isoform/haplotype paths."""
+    rng = np.random.default_rng(seed)
+    transcripts = [panel.info[name][0] for name in panel.path_names]
+    genes = sorted({t[:9] for t in transcripts})
+    gene_index = {g: i for i, g in enumerate(genes)}
+    gene_of = np.array([gene_index[t[:9]] for t in transcripts])
+    gene_ab = rng.dirichlet(np.ones(len(genes)) * gene_alpha)
+    ab = gene_ab[gene_of] * rng.dirichlet(np.ones(len(transcripts)) * path_alpha)
+    return ab / ab.sum()
+
+
 def _mappings_for_interval(
     path: Sequence[Tuple[int, bool]],
     node_lengths: Dict[int, int],
@@ -263,6 +282,77 @@ def _reverse_interval_mappings(
     return reversed_mappings
 
 
+def _draw_qualities(rng, read_length: int) -> np.ndarray:
+    """Illumina-shaped per-base qualities: high plateau with a noisy
+    3'-end ramp-down and occasional low-quality bases."""
+    quals = rng.normal(37.0, 2.5, read_length)
+    ramp_len = max(1, read_length // 5)
+    quals[-ramp_len:] -= np.linspace(0.0, 12.0, ramp_len)
+    low = rng.random(read_length) < 0.01
+    quals[low] = rng.uniform(2, 15, int(low.sum()))
+    return np.clip(np.round(quals), 2, 41).astype(np.uint8)
+
+
+def _inject_errors(mappings: List[dict], err_read_pos: np.ndarray) -> None:
+    """Split match edits at error read-positions, inserting 1-base
+    mismatch edits (from==to with a sequence, the vg convention).  The
+    mapping list is in read order for both mates."""
+    errs = set(int(p) for p in err_read_pos)
+    read_pos = 0
+    for mapping in mappings:
+        new_edits = []
+        for edit in mapping["edit"]:
+            length = edit["from_length"]
+            taken = 0
+            while taken < length:
+                run = length - taken
+                # Next error inside this run?
+                nxt = None
+                for p in range(read_pos, read_pos + run):
+                    if p in errs:
+                        nxt = p
+                        break
+                if nxt is None:
+                    new_edits.append({"from_length": run, "to_length": run})
+                    taken += run
+                    read_pos += run
+                else:
+                    before = nxt - read_pos
+                    if before:
+                        new_edits.append(
+                            {"from_length": before, "to_length": before}
+                        )
+                    new_edits.append(
+                        {"from_length": 1, "to_length": 1, "sequence": "C"}
+                    )
+                    taken += before + 1
+                    read_pos += before + 1
+        mapping["edit"] = new_edits
+
+
+def _qual_adjusted_score(quals: np.ndarray, errs: np.ndarray) -> int:
+    """mpmap-style quality-adjusted alignment score for a full-length
+    alignment: per-base qual-adjusted match/mismatch plus both per-qual
+    full-length bonuses (the same GSSW tables the engine publishes in
+    scoring.py, reference utils.hpp:514-597)."""
+    from .scoring import (
+        QUAL_FULL_LENGTH_BONUSES,
+        QUAL_MATCH_SCORES,
+        QUAL_SCORE_TENSOR,
+    )
+
+    per_base = np.where(
+        errs,
+        QUAL_SCORE_TENSOR[quals, 0, 1].astype(np.int32),  # A ref, C read
+        QUAL_MATCH_SCORES[quals],
+    )
+    return int(
+        per_base.sum()
+        + QUAL_FULL_LENGTH_BONUSES[quals[0]]
+        + QUAL_FULL_LENGTH_BONUSES[quals[-1]]
+    )
+
+
 def simulate_read_pairs(
     panel: SimulatedPanel,
     num_pairs: int,
@@ -274,11 +364,17 @@ def simulate_read_pairs(
     seed: int = 1,
     as_multipath: bool = True,
     with_qualities: bool = False,
+    with_errors: bool = False,
 ) -> Tuple[List[dict], np.ndarray]:
-    """Simulate perfect paired-end fragments; returns (records, true
-    per-path fragment counts).  Records are interleaved protobuf-JSON
-    dicts (multipath single-subpath by default, matching mpmap output
-    structure)."""
+    """Simulate paired-end fragments; returns (records, true per-path
+    fragment counts).  Records are interleaved protobuf-JSON dicts
+    (multipath single-subpath by default, matching mpmap output
+    structure).
+
+    `with_errors` produces the reference's DEFAULT regime (quality-
+    adjusted scoring, src/main.cpp:385): Illumina-shaped per-base
+    qualities, quality-driven sequencing errors as mismatch edits, and
+    quality-adjusted alignment scores."""
     rng = np.random.default_rng(seed)
     num_paths = len(panel.path_names)
     if abundances is None:
@@ -336,7 +432,22 @@ def simulate_read_pairs(
             ),
             "score": score,
         }
-        if with_qualities:
+        if with_errors:
+            import base64
+
+            for read in (read_1, read_2):
+                quals = _draw_qualities(rng, read_length)
+                errs = rng.random(read_length) < 10.0 ** (
+                    -quals.astype(np.float64) / 10.0
+                )
+                if errs.any():
+                    _inject_errors(read["mapping"], np.flatnonzero(errs))
+                read["quality"] = base64.b64encode(bytes(quals)).decode()
+                read["score"] = _qual_adjusted_score(quals, errs)
+                read["sequence"] = "".join(
+                    "C" if e else "A" for e in errs
+                )
+        elif with_qualities:
             import base64
 
             for read in (read_1, read_2):

@@ -21,10 +21,13 @@ MODELS = [
     ("haplotypes", {}),
     ("strains", {}),
     ("haplotype-transcripts", {"with_info": True}),
+    # The reference's DEFAULT scoring regime (quality-adjusted,
+    # src/main.cpp:385) over reads with quality-driven errors.
+    ("haplotype-transcripts-qual", {"with_info": True, "qual": True}),
 ]
 
 
-def make_dataset(tmp_dir):
+def make_dataset(tmp_dir, qual=False):
     from rpvg_tpu import sim
 
     panel = sim.build_panel(
@@ -32,7 +35,8 @@ def make_dataset(tmp_dir):
         exon_length=80, variant_sites=1, seed=101,
     )
     records, _ = sim.simulate_read_pairs(
-        panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=103
+        panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=103,
+        with_errors=qual,
     )
     aln_path = os.path.join(tmp_dir, "aln.json")
     sim.write_alignment_json(records, aln_path)
@@ -49,21 +53,21 @@ def run_model(panel, aln_path, info_path, model, opts, prefix):
         paths=panel.paths_index,
         alignments=aln_path,
         output_prefix=prefix,
-        inference_model=model,
+        inference_model=model.replace("-qual", ""),
         path_info=info_path if opts.get("with_info") else None,
         rng_seed=99,
-        score_not_qual=True,
+        score_not_qual=not opts.get("qual", False),
     )
     run_pipeline(config)
     outputs = {model + ".txt": prefix + ".txt"}
-    if model == "haplotype-transcripts":
+    if model.startswith("haplotype-transcripts"):
         outputs[model + "_joint.txt"] = prefix + "_joint.txt"
     return outputs
 
 
 @pytest.mark.parametrize("model,opts", MODELS)
 def test_golden_outputs(model, opts, tmp_path):
-    panel, aln_path, info_path = make_dataset(str(tmp_path))
+    panel, aln_path, info_path = make_dataset(str(tmp_path), qual=opts.get("qual", False))
     outputs = run_model(panel, aln_path, info_path, model, opts, str(tmp_path / "out"))
     for golden_name, produced_path in outputs.items():
         golden_path = os.path.join(GOLDEN_DIR, golden_name)
@@ -80,8 +84,8 @@ def regenerate():
 
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
-        panel, aln_path, info_path = make_dataset(tmp)
         for model, opts in MODELS:
+            panel, aln_path, info_path = make_dataset(tmp, qual=opts.get("qual", False))
             outputs = run_model(
                 panel, aln_path, info_path, model, opts, os.path.join(tmp, model)
             )
