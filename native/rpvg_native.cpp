@@ -4157,3 +4157,160 @@ double rpvg_tpm_normalizer_perpath(const double* effs,
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// Posterior-weighted combination for slots whose task EMs ran on the
+// device (bounded-EM escalation / area handoffs): replays the exact
+// combine tail of rpvg_nested_diploid_infer (reference
+// inferPathSubsetAbundance :608-750) from externally-supplied per-task
+// EM results, so deferred slots need no per-slot Python.  Output
+// buffer: [per-slot n_sets i64][per-slot noise f64][sets_total i64]
+// [set_lens i64][ids_total i64][set_ids i64][set_posteriors f64]
+// [set_abundances f64].
+uint8_t* rpvg_nested_combine(
+    const int64_t* gid_concat, const int64_t* gid_offsets,
+    const double* totals, int64_t n_slots, const int64_t* n_tasks,
+    const double* subset_prob, const int64_t* n_col,
+    const int64_t* collapsed, const int64_t* mult,
+    const int64_t* col_offsets,  // per task, into collapsed/mult/em_counts
+    const double* em_counts, const double* em_noise, int32_t n_threads,
+    int64_t* out_len) {
+  struct SlotOut {
+    std::vector<int64_t> set_lens;
+    std::vector<int64_t> set_ids;
+    std::vector<double> set_posteriors;
+    std::vector<double> set_abundances;
+    double noise_count = 0.0;
+  };
+  std::vector<SlotOut> slots(n_slots);
+  std::vector<int64_t> task_offsets(n_slots + 1, 0);
+  for (int64_t b = 0; b < n_slots; ++b) {
+    task_offsets[b + 1] = task_offsets[b] + n_tasks[b];
+  }
+
+  std::atomic<int64_t> next{0};
+  auto worker = [&]() {
+    std::vector<std::vector<int64_t>> ge_keys;
+    std::vector<double> ge_post;
+    std::vector<std::vector<double>> ge_abund;
+    std::map<std::vector<int64_t>, size_t> ge_index;
+    std::vector<int64_t> bg_groups;
+    std::vector<std::vector<int64_t>> bg_paths;
+    std::vector<std::vector<double>> bg_vals;
+    for (;;) {
+      int64_t b = next.fetch_add(1);
+      if (b >= n_slots) return;
+      SlotOut& out = slots[b];
+      const int64_t* gid = gid_concat + gid_offsets[b];
+      const double total_count = totals[b];
+      ge_keys.clear();
+      ge_post.clear();
+      ge_abund.clear();
+      ge_index.clear();
+      double sum_hap = 0.0;
+      double noise_combined = 0.0;
+      for (int64_t t = task_offsets[b]; t < task_offsets[b + 1]; ++t) {
+        const double sp = subset_prob[t];
+        sum_hap += sp;
+        noise_combined += em_noise[t] * sp;
+        const int64_t base = col_offsets[t];
+        const int64_t nc = n_col[t];
+        bg_groups.clear();
+        bg_paths.clear();
+        bg_vals.clear();
+        for (int64_t j = 0; j < nc; ++j) {
+          const int64_t pid = collapsed[base + j];
+          const int64_t m = mult[base + j];
+          const int64_t g = gid[pid];
+          const double contrib = em_counts[base + j] * sp / m;
+          size_t gi = 0;
+          for (; gi < bg_groups.size(); ++gi) {
+            if (bg_groups[gi] == g) break;
+          }
+          if (gi == bg_groups.size()) {
+            bg_groups.push_back(g);
+            bg_paths.emplace_back();
+            bg_vals.emplace_back();
+          }
+          for (int64_t rep = 0; rep < m; ++rep) {
+            bg_paths[gi].push_back(pid);
+            bg_vals[gi].push_back(contrib);
+          }
+        }
+        for (size_t gi = 0; gi < bg_groups.size(); ++gi) {
+          auto it = ge_index.find(bg_paths[gi]);
+          size_t idx;
+          if (it == ge_index.end()) {
+            idx = ge_keys.size();
+            ge_index.emplace(bg_paths[gi], idx);
+            ge_keys.push_back(bg_paths[gi]);
+            ge_post.push_back(0.0);
+            ge_abund.emplace_back(bg_paths[gi].size(), 0.0);
+          } else {
+            idx = it->second;
+          }
+          ge_post[idx] += sp;
+          auto& acc = ge_abund[idx];
+          const auto& vals = bg_vals[gi];
+          for (size_t i = 0; i < acc.size(); ++i) acc[i] += vals[i];
+        }
+      }
+      noise_combined += (1.0 - sum_hap) * total_count;
+      out.noise_count = noise_combined;
+      for (size_t s = 0; s < ge_keys.size(); ++s) {
+        out.set_lens.push_back(static_cast<int64_t>(ge_keys[s].size()));
+        out.set_ids.insert(out.set_ids.end(), ge_keys[s].begin(),
+                           ge_keys[s].end());
+        out.set_posteriors.push_back(ge_post[s]);
+        out.set_abundances.insert(out.set_abundances.end(),
+                                  ge_abund[s].begin(), ge_abund[s].end());
+      }
+    }
+  };
+
+  int32_t threads = std::max(1, (int32_t)n_threads);
+  if (threads == 1 || n_slots <= 1) {
+    worker();
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t2 = 0; t2 < threads; ++t2) pool.emplace_back(worker);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t sets_total = 0, ids_total = 0;
+  for (const auto& s : slots) {
+    sets_total += static_cast<int64_t>(s.set_lens.size());
+    ids_total += static_cast<int64_t>(s.set_ids.size());
+  }
+  const size_t total_bytes =
+      n_slots * 16 + 16 + sets_total * 16 + ids_total * 16;
+  auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
+  size_t off = 0;
+  auto put_i64 = [&](int64_t v) { std::memcpy(buf + off, &v, 8); off += 8; };
+  for (const auto& s : slots) put_i64(static_cast<int64_t>(s.set_lens.size()));
+  for (const auto& s : slots) { std::memcpy(buf + off, &s.noise_count, 8); off += 8; }
+  put_i64(sets_total);
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.set_lens.data(), s.set_lens.size() * 8);
+    off += s.set_lens.size() * 8;
+  }
+  put_i64(ids_total);
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.set_ids.data(), s.set_ids.size() * 8);
+    off += s.set_ids.size() * 8;
+  }
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.set_posteriors.data(), s.set_posteriors.size() * 8);
+    off += s.set_posteriors.size() * 8;
+  }
+  for (const auto& s : slots) {
+    std::memcpy(buf + off, s.set_abundances.data(), s.set_abundances.size() * 8);
+    off += s.set_abundances.size() * 8;
+  }
+  *out_len = static_cast<int64_t>(off);
+  return buf;
+}
+
+}  // extern "C"

@@ -665,7 +665,12 @@ def _batched_haplotype_transcripts_fused(
         if env_bound is not None:
             em_bound = int(env_bound)
         elif jax.default_backend() != "cpu":
-            em_bound = 512
+            # Measured on the tunnelled v5e (tools/bench notes): 4096
+            # escalates only the handful of truly heavy tasks — a few
+            # hundred KB of matrices holding most of the EM wall time —
+            # which is the profitable regime even at ~25ms/round-trip
+            # link latency; smaller bounds ship too many cheap tasks.
+            em_bound = 4096
 
     emit_matrices = estimator.num_gibbs_samples > 0
 
@@ -741,6 +746,56 @@ def _batched_haplotype_transcripts_fused(
 
     _merge_nested_columnar(estimator, col_parts)
     return True
+
+
+def _native_combine_slots(
+    cluster_data, meta, noncomb, task_bounds, col_bounds,
+    sp_arr, n_col_arr, collapsed_all, mult_all, totals, task_em_result,
+):
+    """Batch the deferred slots' posterior-weighted combine through the
+    native rpvg_nested_combine kernel.  Returns its stream tuple, or
+    None when the library is unavailable (Python fallback runs)."""
+    from ..native import nested_combine
+
+    sel_tasks = np.concatenate(
+        [np.arange(task_bounds[s], task_bounds[s + 1]) for s in noncomb]
+    ).astype(np.int64)
+    n_tasks_sub = np.asarray(
+        [task_bounds[s + 1] - task_bounds[s] for s in noncomb], dtype=np.int64
+    )
+    sub_ncol = n_col_arr[sel_tasks]
+    sub_col_offsets = np.zeros(sel_tasks.size + 1, dtype=np.int64)
+    np.cumsum(sub_ncol, out=sub_col_offsets[1:])
+    em_counts_stream = np.empty(int(sub_col_offsets[-1]), dtype=np.float64)
+    em_noise_arr = np.empty(sel_tasks.size, dtype=np.float64)
+    for k, t in enumerate(sel_tasks):
+        path_counts, noise_count = task_em_result(int(t))
+        em_counts_stream[sub_col_offsets[k] : sub_col_offsets[k + 1]] = path_counts
+        em_noise_arr[k] = noise_count
+    cat_cols = lambda src: (  # noqa: E731
+        np.concatenate([src[col_bounds[t] : col_bounds[t + 1]] for t in sel_tasks])
+        if sel_tasks.size else np.empty(0, dtype=src.dtype)
+    )
+    gid_arrays = [
+        np.fromiter(
+            (info.group_id for info in cluster_data[meta[s]][0].paths),
+            np.int64,
+            len(cluster_data[meta[s]][0].paths),
+        )
+        for s in noncomb
+    ]
+    return nested_combine(
+        gid_arrays,
+        totals[noncomb],
+        n_tasks_sub,
+        sp_arr[sel_tasks],
+        sub_ncol,
+        cat_cols(collapsed_all),
+        cat_cols(mult_all),
+        sub_col_offsets,
+        em_counts_stream,
+        em_noise_arr,
+    )
 
 
 def _section_task_matrices(streams, emit_matrices):
@@ -939,8 +994,40 @@ def _process_nested_section(
     set_post_all = streams["set_posteriors"]
     set_ab_all = streams["set_abundances"]
 
+    # Non-combined slots (device-EM'd tasks): replay the kernel's exact
+    # combine tail in ONE threaded native call over all of them — the
+    # per-slot Python combine only remains as the no-library fallback.
+    noncomb = np.flatnonzero(~combined)
+    native_combined = None
+    if noncomb.size:
+        native_combined = _native_combine_slots(
+            cluster_data, meta, noncomb, task_bounds, col_bounds,
+            sp_arr, n_col_arr, collapsed_all, mult_all, totals,
+            task_em_result,
+        )
+    if native_combined is not None:
+        (nc_n_sets, nc_noise, nc_set_lens, nc_set_ids,
+         nc_set_post, nc_set_ab) = native_combined
+        from .estimates import GroupSetViews
+
+        nc_set_bounds = np.zeros(noncomb.size + 1, dtype=np.int64)
+        np.cumsum(nc_n_sets, out=nc_set_bounds[1:])
+        nc_len_bounds = np.zeros(nc_set_lens.size + 1, dtype=np.int64)
+        np.cumsum(nc_set_lens, out=nc_len_bounds[1:])
+        for k, slot in enumerate(noncomb):
+            est = cluster_data[meta[slot]][0]
+            est.total_count = float(totals[slot])
+            lo, hi = int(nc_set_bounds[k]), int(nc_set_bounds[k + 1])
+            id_lo, id_hi = int(nc_len_bounds[lo]), int(nc_len_bounds[hi])
+            est.path_group_sets = GroupSetViews(nc_set_ids, nc_len_bounds, lo, hi)
+            est.posteriors = nc_set_post[lo:hi]
+            est.abundances = nc_set_ab[id_lo:id_hi]
+            est.noise_count = float(nc_noise[k])
+
     for slot, ci in enumerate(meta):
         est = cluster_data[ci][0]
+        if not combined[slot] and native_combined is not None:
+            continue
         total_count = float(totals[slot])
         est.total_count = total_count
 
@@ -1011,6 +1098,41 @@ def _process_nested_section(
             est.abundances.extend(path_abundances)
 
         est.noise_count += (1.0 - sum_hap_prob) * est.total_count
+
+    if native_combined is not None:
+        # Interleave the kernel's set streams (combined slots) with the
+        # native-combine streams (deferred slots) in slot order, so the
+        # output composer sees every slot natively combined.
+        pos_in_nc = {int(s): k for k, s in enumerate(noncomb)}
+        lens_segs, post_segs, ids_segs, ab_segs = [], [], [], []
+        n_sets_merged = np.empty(len(meta), dtype=np.int64)
+        for slot in range(len(meta)):
+            if combined[slot]:
+                lo, hi = int(set_bounds[slot]), int(set_bounds[slot + 1])
+                id_lo, id_hi = int(len_bounds[lo]), int(len_bounds[hi])
+                lens_segs.append(set_lens[lo:hi])
+                post_segs.append(set_post_all[lo:hi])
+                ids_segs.append(set_ids_all[id_lo:id_hi])
+                ab_segs.append(set_ab_all[id_lo:id_hi])
+                n_sets_merged[slot] = hi - lo
+            else:
+                k = pos_in_nc[slot]
+                lo, hi = int(nc_set_bounds[k]), int(nc_set_bounds[k + 1])
+                id_lo, id_hi = int(nc_len_bounds[lo]), int(nc_len_bounds[hi])
+                lens_segs.append(nc_set_lens[lo:hi])
+                post_segs.append(nc_set_post[lo:hi])
+                ids_segs.append(nc_set_ids[id_lo:id_hi])
+                ab_segs.append(nc_set_ab[id_lo:id_hi])
+                n_sets_merged[slot] = hi - lo
+        cat = lambda segs, dt: (  # noqa: E731
+            np.concatenate(segs) if segs else np.empty(0, dtype=dt)
+        )
+        combined = np.ones(len(meta), dtype=bool)
+        n_sets = n_sets_merged
+        set_lens = cat(lens_segs, np.int64)
+        set_ids_all = cat(ids_segs, np.int64)
+        set_post_all = cat(post_segs, np.float64)
+        set_ab_all = cat(ab_segs, np.float64)
 
     if timing:
         print(f"  [timing]   fused combine ({T} tasks): {time.perf_counter() - t0:.2f}s", file=sys.stderr)

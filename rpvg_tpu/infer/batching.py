@@ -239,10 +239,19 @@ def dispatch_em_device(
         use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") != "0"
     )
 
+    indices = list(indices)
     buckets: Dict[Tuple[int, int], List[int]] = {}
+    # Small escalated sets are link-latency bound (each bucket is a
+    # ~25ms round trip on a tunnelled device): unify the column pad so
+    # only the row classes remain — <=4 chunks instead of ~a dozen.
+    c_pad_all = 0
+    if 0 < len(indices) <= 512:
+        c_pad_all = _ceil_pow2(
+            max(cluster_inputs[idx][0].shape[1] for idx in indices)
+        )
     for idx in indices:
         R, C = cluster_inputs[idx][0].shape
-        key = (_ceil_pow4(R), _ceil_pow2(C))
+        key = (_ceil_pow4(R), c_pad_all or _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
 
     # Dispatch every chunk asynchronously (device transfers and kernels

@@ -1462,3 +1462,86 @@ def tpm_normalizer_perpath(effs, abundances):
             int(effs.size),
         )
     )
+
+
+def nested_combine(
+    gid_arrays,
+    totals,
+    n_tasks,
+    subset_prob,
+    n_col,
+    collapsed,
+    mult,
+    col_offsets,
+    em_counts,
+    em_noise,
+    n_threads: int = 0,
+):
+    """Threaded posterior-weighted combine for device-EM'd slots
+    (native rpvg_nested_combine) — the exact combine tail of the fused
+    nested kernel replayed from external EM results.  Returns
+    (n_sets (S,), noise (S,), set_lens, set_ids, set_posteriors,
+    set_abundances) or None without the library."""
+    import os
+
+    lib = load_library()
+    if lib is None or not hasattr(lib, "rpvg_nested_combine"):
+        return None
+    if not getattr(lib, "_nested_combine_configured", False):
+        lib.rpvg_nested_combine.restype = ctypes.POINTER(ctypes.c_uint8)
+        lib.rpvg_nested_combine.argtypes = [
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_int64),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+            ctypes.c_int32, ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._nested_combine_configured = True
+
+    n = len(gid_arrays)
+    gid_offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum([g.size for g in gid_arrays], out=gid_offsets[1:])
+    gid_concat = (
+        np.ascontiguousarray(np.concatenate(gid_arrays), dtype=np.int64)
+        if n else np.empty(0, dtype=np.int64)
+    )
+    totals = np.ascontiguousarray(totals, dtype=np.float64)
+    n_tasks = np.ascontiguousarray(n_tasks, dtype=np.int64)
+    subset_prob = np.ascontiguousarray(subset_prob, dtype=np.float64)
+    n_col = np.ascontiguousarray(n_col, dtype=np.int64)
+    collapsed = np.ascontiguousarray(collapsed, dtype=np.int64)
+    mult = np.ascontiguousarray(mult, dtype=np.int64)
+    col_offsets = np.ascontiguousarray(col_offsets, dtype=np.int64)
+    em_counts = np.ascontiguousarray(em_counts, dtype=np.float64)
+    em_noise = np.ascontiguousarray(em_noise, dtype=np.float64)
+
+    if n_threads <= 0:
+        n_threads = min(16, os.cpu_count() or 1)
+    as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
+    as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
+    out_len = ctypes.c_int64()
+    out_ptr = lib.rpvg_nested_combine(
+        as_i64(gid_concat), as_i64(gid_offsets), as_f64(totals), n,
+        as_i64(n_tasks), as_f64(subset_prob), as_i64(n_col),
+        as_i64(collapsed), as_i64(mult), as_i64(col_offsets),
+        as_f64(em_counts), as_f64(em_noise),
+        int(n_threads), ctypes.byref(out_len),
+    )
+    try:
+        data = ctypes.string_at(out_ptr, out_len.value)
+    finally:
+        lib.rpvg_buffer_free(out_ptr)
+
+    offset = 0
+    n_sets = np.frombuffer(data, dtype=np.int64, count=n, offset=offset); offset += 8 * n
+    noise = np.frombuffer(data, dtype=np.float64, count=n, offset=offset); offset += 8 * n
+    (sets_total,) = struct.unpack_from("<q", data, offset); offset += 8
+    set_lens = np.frombuffer(data, dtype=np.int64, count=sets_total, offset=offset); offset += 8 * sets_total
+    (ids_total,) = struct.unpack_from("<q", data, offset); offset += 8
+    set_ids = np.frombuffer(data, dtype=np.int64, count=ids_total, offset=offset); offset += 8 * ids_total
+    set_posteriors = np.frombuffer(data, dtype=np.float64, count=sets_total, offset=offset); offset += 8 * sets_total
+    set_abundances = np.frombuffer(data, dtype=np.float64, count=ids_total, offset=offset)
+    return n_sets, noise, set_lens, set_ids, set_posteriors, set_abundances
