@@ -75,13 +75,21 @@ def run_pipeline_sharded(config: PipelineConfig, num_shards: int) -> Dict:
     )
 
 
+# Parent-built state inherited by fork workers (copy-on-write: the path
+# index, finder and config never pickle or rebuild per worker).
+_FORK_STATE: Dict = {}
+
+
 def _shard_worker(args):
     import time as _time
 
     config, shard, num_shards = args
-    graph, paths_index = load_inputs(config)
-    pre_dist = resolve_pre_fragment_dist(config)
-    finder = build_finder(config, paths_index, pre_dist)
+    if config is None:
+        config, pre_dist, finder = _FORK_STATE["bundle"]
+    else:
+        graph, paths_index = load_inputs(config)
+        pre_dist = resolve_pre_fragment_dist(config)
+        finder = build_finder(config, paths_index, pre_dist)
     scan_start = _time.perf_counter()
     index = collect_fragments(config, finder, pre_dist, shard=shard, num_shards=num_shards)
     scan_s = _time.perf_counter() - scan_start
@@ -95,8 +103,16 @@ def _shard_worker(args):
 
 
 def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
-    """Fragment pass across worker processes (multi-host stand-in)."""
+    """Fragment pass across worker processes (multi-host stand-in).
+
+    Start method: `fork` by default on platforms that have it — workers
+    inherit the parent-built path index and finder copy-on-write, so
+    per-worker startup is process spawn only (the workers run pure
+    native/numpy code and never touch the JAX backend).  Override with
+    RPVG_TPU_MP_CONTEXT=spawn (workers then rebuild state from the
+    pickled config, the conservative pre-round-3 behavior)."""
     import multiprocessing as mp
+    import os as _os
 
     log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
 
@@ -105,12 +121,25 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
 
     import time as _time
 
+    ctx_name = _os.environ.get(
+        "RPVG_TPU_MP_CONTEXT",
+        "fork" if "fork" in mp.get_all_start_methods() else "spawn",
+    )
+    ctx = mp.get_context(ctx_name)
+    finder = None
+    if ctx_name == "fork":
+        finder = build_finder(config, paths_index, pre_dist)
+        _FORK_STATE["bundle"] = (config, pre_dist, finder)
+        worker_args = [(None, s, num_workers) for s in range(num_workers)]
+    else:
+        worker_args = [(config, s, num_workers) for s in range(num_workers)]
+
     frag_start = _time.perf_counter()
-    ctx = mp.get_context("spawn")
-    with ctx.Pool(num_workers) as pool:
-        shard_payloads = pool.map(
-            _shard_worker, [(config, s, num_workers) for s in range(num_workers)]
-        )
+    try:
+        with ctx.Pool(num_workers) as pool:
+            shard_payloads = pool.map(_shard_worker, worker_args)
+    finally:
+        _FORK_STATE.pop("bundle", None)
     fragment_pass_s = _time.perf_counter() - frag_start
     # Critical path of the distributed scan itself (per-worker startup —
     # interpreter spawn + index build — is a fixed cost amortised over
@@ -138,8 +167,9 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     )
     # The parent needs its own finder: native-engine shards ship
     # pre-located entries whose probabilities are built from the raw
-    # bytes by the native builder.
-    finder = build_finder(config, paths_index, pre_dist)
+    # bytes by the native builder.  (Already built pre-fork above.)
+    if finder is None:
+        finder = build_finder(config, paths_index, pre_dist)
     stats = run_inference_phases(
         config, paths_index, fragment_index, pre_dist, log, finder=finder
     )

@@ -237,7 +237,34 @@ def test_partial_end_beyond_only_hit(engine):
     assert len(finder.find_alignment_paths(aln(alignment))) == 2
 
 
+def _single_rows(index, k, engine, with_flags=True):
+    paths = make_finder(
+        index, max_partial_offset=k, engine=engine
+    ).find_alignment_paths(aln(L_ALIGNMENT))
+    if with_flags:
+        return {
+            (
+                tuple(int(i) for i in locate_ids(index, p)),
+                p.frag_length, p.align_length, p.score_sum,
+                p.min_mapq, p.is_simple,
+            )
+            for p in paths
+        }
+    return {
+        (
+            tuple(int(i) for i in locate_ids(index, p)),
+            p.frag_length, p.align_length, p.score_sum,
+        )
+        for p in paths
+    }
+
+
 def test_partial_with_full_length_match(engine):
+    # Full oracle rows per --max-par-offset (reference section
+    # :2503-2696 asserts sizes; the rows below additionally pin the
+    # located path ids, partial score penalties (-1/bp), clipped align
+    # lengths, mapq and simple flags from the spec engine — both
+    # engines must agree exactly).
     graph = Graph(LADDER_GRAPH)
     index = build_index(
         [L_THREAD_START2_END4, L_THREAD_START2, L_THREAD_END4, L_THREAD_FULL],
@@ -246,11 +273,27 @@ def test_partial_with_full_length_match(engine):
     )
     assert index.number_of_paths() == 4
 
-    sizes = {
-        k: len(make_finder(index, max_partial_offset=k, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)))
-        for k in (0, 2, 3, 4)
+    noise = ((), 0, 0, INT32_LOWEST)
+    full = ((3,), 18, 18, 0)
+    start2 = ((1, 3), 18, 16, -2)  # thread 2 differs by 2 bp at the start
+    end4 = ((2, 3), 18, 14, -4)  # thread 3 differs by 4 bp at the end
+
+    assert _single_rows(index, 0, engine) == {
+        noise + (10, True), full + (10, True),
     }
-    assert sizes == {0: 2, 2: 3, 3: 3, 4: 4}
+    # Any partial candidate in range clears the simple flag everywhere.
+    assert _single_rows(index, 2, engine) == {
+        noise + (10, False), full + (10, False), start2 + (10, False),
+    }
+    assert _single_rows(index, 3, engine) == {
+        noise + (10, False), full + (10, False), start2 + (10, False),
+    }
+    # 4 bp admits the end-partial path but never the one differing at
+    # BOTH ends (2+4 bp > limit).
+    assert _single_rows(index, 4, engine) == {
+        noise + (10, False), full + (10, False),
+        start2 + (10, False), end4 + (10, False),
+    }
 
 
 def test_partial_end_only_no_longer_match(engine):
@@ -259,7 +302,12 @@ def test_partial_end_only_no_longer_match(engine):
 
     assert make_finder(index, max_partial_offset=0, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
     assert make_finder(index, max_partial_offset=3, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert len(make_finder(index, max_partial_offset=8, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
+    # Sole-candidate partials keep the noise row's zero score (no real
+    # full-length competitor to diff against).
+    assert _single_rows(index, 8, engine, with_flags=False) == {
+        ((), 0, 0, 0),
+        ((0,), 18, 14, -4),
+    }
 
 
 def test_partial_start_and_end_no_longer_match(engine):
@@ -268,5 +316,9 @@ def test_partial_start_and_end_no_longer_match(engine):
 
     assert make_finder(index, max_partial_offset=0, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
     assert make_finder(index, max_partial_offset=3, engine=engine).find_alignment_paths(aln(L_ALIGNMENT)) == []
-    assert len(make_finder(index, max_partial_offset=4, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
-    assert len(make_finder(index, max_partial_offset=8, engine=engine).find_alignment_paths(aln(L_ALIGNMENT))) == 2
+    expected = {
+        ((), 0, 0, 0),
+        ((0,), 18, 12, -6),  # 2 bp start + 4 bp end partial penalties
+    }
+    assert _single_rows(index, 4, engine, with_flags=False) == expected
+    assert _single_rows(index, 8, engine, with_flags=False) == expected
