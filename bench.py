@@ -28,7 +28,8 @@ import time
 BASELINE_PAIRS_PER_S = 1700.0
 
 
-def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
+def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str,
+                 qual: bool = False) -> None:
     """Generate the reference-example-shaped dataset once (shared by
     every backend attempt): a four-haplotype GENE-STRUCTURED
     pantranscriptome with `haplotype-transcripts` inputs — the bundled
@@ -55,9 +56,12 @@ def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
         variant_sites=3,
         seed=5,
     )
+    # `qual` = the reference's DEFAULT regime (quality-adjusted scoring,
+    # src/main.cpp:385): quality-driven sequencing errors + per-base
+    # qualities + GSSW qual-adjusted scores.
     records, _ = sim.simulate_read_pairs(
         panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17,
-        abundances=sim.gene_abundances(panel, seed=7),
+        abundances=sim.gene_abundances(panel, seed=7), with_errors=qual,
     )
 
     sim.write_alignment_json(records, os.path.join(out_dir, "bench_aln.json"))
@@ -73,7 +77,8 @@ def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str) -> None:
         pickle.dump(panel, handle)
 
 
-def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
+def run_workload(num_pairs: int, num_transcripts: int, data_dir: str,
+                 qual: bool = False) -> dict:
     """Measure the pipeline end-to-end from prebuilt binary inputs,
     exactly as the reference measures from its prebuilt .gamp."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -99,7 +104,7 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str) -> dict:
         path_info=os.path.join(data_dir, "bench_info.tsv"),
         threads=min(8, multiprocessing.cpu_count()),
         rng_seed=42,
-        score_not_qual=True,
+        score_not_qual=not qual,
     )
 
     # Ten runs, best kept: the first pays one-time jit
@@ -135,7 +140,10 @@ def child_main() -> None:
 
         jax.config.update("jax_platforms", "cpu")
     args = json.loads(sys.argv[2])
-    result = run_workload(args["num_pairs"], args["num_transcripts"], args["data_dir"])
+    result = run_workload(
+        args["num_pairs"], args["num_transcripts"], args["data_dir"],
+        qual=args.get("qual", False),
+    )
     print(json.dumps(result), flush=True)
     os._exit(0)  # skip accelerator teardown (tunnel hangs on exit)
 
@@ -150,6 +158,11 @@ def main() -> int:
     # escalating timeouts so one slow init doesn't erase the TPU result.
     parser.add_argument("--probe-timeout", type=float, default=150.0)
     parser.add_argument("--probe-retries", type=int, default=3)
+    parser.add_argument(
+        "--qual", action="store_true",
+        help="reference-default regime: quality-driven sequencing errors "
+        "with quality-adjusted scoring (score_not_qual=False)",
+    )
     args = parser.parse_args()
 
     # Persistent XLA compile cache: repeat runs skip the 20-40s compiles.
@@ -160,13 +173,14 @@ def main() -> int:
 
     data_dir = tempfile.mkdtemp(prefix="rpvg_bench_")
     print(f"bench: generating dataset ({args.pairs} pairs) ...", file=sys.stderr)
-    make_dataset(args.pairs, args.transcripts, data_dir)
+    make_dataset(args.pairs, args.transcripts, data_dir, qual=args.qual)
 
     payload = json.dumps(
         {
             "num_pairs": args.pairs,
             "num_transcripts": args.transcripts,
             "data_dir": data_dir,
+            "qual": args.qual,
         }
     )
 

@@ -719,8 +719,43 @@ def _batched_haplotype_transcripts_fused(
         if host_streams is None:
             return False
         sections.append(([meta[i] for i in host_pos], host_streams, None))
-        sections.append(([meta[i] for i in device_pos], dev_streams, (pending, dev_inputs)))
+        sections.append(
+            ([meta[i] for i in device_pos], dev_streams,
+             (pending, dev_inputs, list(range(len(dev_inputs)))))
+        )
         stage_floor = 0
+    elif em_bound > 0 and len(meta) > 64:
+        # Bounded escalation with OVERLAP: the native pass splits into
+        # the big-slot quarter (rank order = largest first, so it holds
+        # most of the heavy EM tail) and the rest — the first half's
+        # escalated tasks fly to the device WHILE the second half runs
+        # natively, hiding the link round trip under host compute.
+        from .batching import dispatch_em_device
+
+        esc_min_area = int(os.environ.get("RPVG_TPU_ESC_MIN_AREA", 60_000))
+        cut = max(1, len(meta) // 4)
+        for positions in (list(range(cut)), list(range(cut, len(meta)))):
+            streams_h = native_call(positions, 0, em_bound)
+            if streams_h is None:
+                return False
+            deferred = np.flatnonzero(streams_h["has_fracs"] == 0)
+            pend = None
+            if deferred.size:
+                inputs = _section_task_matrices(
+                    streams_h, emit_matrices, task_ids=deferred
+                )
+                if sum(m.size for m, _ in inputs) >= esc_min_area:
+                    pend = (
+                        dispatch_em_device(
+                            inputs, range(len(inputs)),
+                            estimator.max_em_its, estimator.max_rel_em_conv,
+                            stage_floor=em_bound,
+                        ),
+                        inputs,
+                        deferred.tolist(),
+                    )
+            sections.append(([meta[i] for i in positions], streams_h, pend))
+        stage_floor = em_bound
     else:
         streams = native_call(range(len(meta)), em_area_cutoff, em_bound)
         if streams is None:
@@ -798,18 +833,23 @@ def _native_combine_slots(
     )
 
 
-def _section_task_matrices(streams, emit_matrices):
-    """Per-task (matrix, counts) views over an emit-only section's
-    streams (every task deferred, so mats/cnts cover all tasks)."""
+def _section_task_matrices(streams, emit_matrices, task_ids=None):
+    """Per-task (matrix, counts) views over a section's emitted
+    streams.  `task_ids` selects a subset (default: every task that has
+    an emitted matrix — all of them for emit-only sections)."""
     n_col_arr = streams["n_col"]
     kept_arr = streams["kept"]
+    has_fracs = streams["has_fracs"].astype(bool)
     T = n_col_arr.size
+    has_mat = np.ones(T, dtype=bool) if emit_matrices else ~has_fracs
     mat_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(kept_arr * (n_col_arr + 1), out=mat_bounds[1:])
+    np.cumsum(np.where(has_mat, kept_arr * (n_col_arr + 1), 0), out=mat_bounds[1:])
     cnt_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(kept_arr, out=cnt_bounds[1:])
+    np.cumsum(np.where(has_mat, kept_arr, 0), out=cnt_bounds[1:])
     mats_all = streams["mats"]
     cnts_all = streams["cnts"]
+    if task_ids is None:
+        task_ids = range(T)
     return [
         (
             mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
@@ -817,7 +857,7 @@ def _section_task_matrices(streams, emit_matrices):
             ),
             cnts_all[cnt_bounds[t] : cnt_bounds[t + 1]],
         )
-        for t in range(T)
+        for t in task_ids
     ]
 
 
@@ -829,6 +869,7 @@ def _process_nested_section(
     (pre-dispatched handles are gathered here), read-count Gibbs, and
     the per-cluster posterior-weighted combine.  Returns the section's
     columnar-output arrays for _merge_nested_columnar."""
+    import os
     import sys
     import time
 
@@ -873,19 +914,36 @@ def _process_nested_section(
     if pre_dispatched is not None:
         from .batching import gather_em_device
 
-        pending, dev_inputs = pre_dispatched
+        pending, dev_inputs, task_ids = pre_dispatched
         device_results = [None] * len(dev_inputs)
         gather_em_device(pending, dev_inputs, device_results)
-        device_of = dict(enumerate(device_results))
+        device_of = dict(zip(task_ids, device_results))
     else:
         device_tasks = np.flatnonzero(~has_fracs)
         if device_tasks.size:
-            device_results = run_batched_em(
-                [task_matrix(t) for t in device_tasks],
-                estimator.max_em_its,
-                estimator.max_rel_em_conv,
-                stage_floor=stage_floor,
+            task_inputs = [task_matrix(t) for t in device_tasks]
+            # Escalated sets below the link's pay-off floor run on the
+            # host instead — REBATCHED across worker threads, which
+            # already beats the in-slot execution (one slot's heavy
+            # tasks all sit on one thread there); the device only gets
+            # sets big enough to amortise its ~25ms/chunk round trips.
+            esc_min_area = int(
+                os.environ.get("RPVG_TPU_ESC_MIN_AREA", 60_000)
             )
+            total_area = sum(m.size for m, _ in task_inputs)
+            if stage_floor > 0 and total_area < esc_min_area:
+                from .batching import run_native_em
+
+                device_results = run_native_em(
+                    task_inputs, estimator.max_em_its, estimator.max_rel_em_conv
+                )
+            else:
+                device_results = run_batched_em(
+                    task_inputs,
+                    estimator.max_em_its,
+                    estimator.max_rel_em_conv,
+                    stage_floor=stage_floor,
+                )
             device_of = dict(zip(device_tasks.tolist(), device_results))
         else:
             device_of = {}

@@ -81,6 +81,7 @@ _FORK_STATE: Dict = {}
 
 
 def _shard_worker(args):
+    import dataclasses
     import time as _time
 
     config, shard, num_shards = args
@@ -90,6 +91,11 @@ def _shard_worker(args):
         graph, paths_index = load_inputs(config)
         pre_dist = resolve_pre_fragment_dist(config)
         finder = build_finder(config, paths_index, pre_dist)
+    # One thread per worker process: the process axis IS the fragment
+    # pass's parallelism (running config.threads inside every worker
+    # oversubscribes the host N*threads-fold).
+    if config.threads != 1:
+        config = dataclasses.replace(config, threads=1)
     scan_start = _time.perf_counter()
     index = collect_fragments(config, finder, pre_dist, shard=shard, num_shards=num_shards)
     scan_s = _time.perf_counter() - scan_start
