@@ -724,7 +724,11 @@ def _batched_haplotype_transcripts_fused(
              (pending, dev_inputs, list(range(len(dev_inputs)))))
         )
         stage_floor = 0
-    elif em_bound > 0 and len(meta) > 64:
+    elif (
+        em_bound > 0
+        and len(meta) > 64
+        and os.environ.get("RPVG_TPU_EM_SPLIT", "1") != "0"
+    ):
         # Bounded escalation with OVERLAP: the native pass splits into
         # the big-slot quarter (rank order = largest first, so it holds
         # most of the heavy EM tail) and the rest — the first half's
