@@ -665,12 +665,16 @@ def _batched_haplotype_transcripts_fused(
         if env_bound is not None:
             em_bound = int(env_bound)
         elif jax.default_backend() != "cpu":
-            # Measured on the tunnelled v5e (tools/bench notes): 4096
-            # escalates only the handful of truly heavy tasks — a few
-            # hundred KB of matrices holding most of the EM wall time —
-            # which is the profitable regime even at ~25ms/round-trip
-            # link latency; smaller bounds ship too many cheap tasks.
-            em_bound = 4096
+            # Paired measurements on THIS host's tunnelled v5e (~10-40
+            # MB/s, ~25ms dispatch; ROADMAP round-3) show device
+            # escalation loses at every bound — the link is ~1000x
+            # slower than host memory bandwidth, so even the
+            # >=5000-iteration EM tail (the best compute/byte work in
+            # the pipeline) cannot pay for its transfers.  The measured
+            # default is therefore OFF; a PCIe/ICI-attached part clears
+            # the bar by orders of magnitude — enable with
+            # RPVG_TPU_EM_BOUND (and see parallel/linkprobe.py).
+            em_bound = 0
 
     emit_matrices = estimator.num_gibbs_samples > 0
 
