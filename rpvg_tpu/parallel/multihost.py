@@ -97,15 +97,136 @@ def _shard_worker(args):
     if config.threads != 1:
         config = dataclasses.replace(config, threads=1)
     scan_start = _time.perf_counter()
-    index = collect_fragments(config, finder, pre_dist, shard=shard, num_shards=num_shards)
+    index = collect_fragments(
+        config, finder, pre_dist, shard=shard, num_shards=num_shards,
+        columnar=True,
+    )
     scan_s = _time.perf_counter() - scan_start
-    # Ship only picklable state.
+    from ..pipeline import ColumnarFragmentIndex
+
+    if isinstance(index, ColumnarFragmentIndex):
+        # Ship the native columnar dump raw: no per-entry Python objects
+        # cross the process boundary, and the parent's merge stays
+        # columnar (fast inference path).
+        cols = index.columnar
+        return (
+            "columnar",
+            (
+                bytes(cols.data), np.asarray(cols.counts),
+                np.asarray(cols.anchors), np.asarray(cols.id_bounds),
+                np.asarray(cols.all_ids), np.asarray(cols.raw_bounds),
+                np.asarray(cols.histogram), int(cols.unaligned),
+            ),
+            scan_s,
+        )
+    # Python-engine fallback: ship parsed entries.
     return (
-        list(index.entries.values()),
-        index.frag_length_counts,
-        index.unaligned_count,
+        "entries",
+        (
+            list(index.entries.values()),
+            index.frag_length_counts,
+            index.unaligned_count,
+        ),
         scan_s,
     )
+
+
+def _merge_columnar_shards(payloads, pre_dist, is_single_end):
+    """Cross-shard dedup of native columnar dumps: entries keyed by their
+    canonical raw serialization (minus the embedded count), counts
+    summed and rewritten into the merged blob, located-id CSR and
+    anchors gathered from the first-seen shard.  Everything downstream
+    keeps the columnar fast path."""
+    from ..native import ColumnarFragments
+    from ..pipeline import ColumnarFragmentIndex
+
+    key_index: Dict[bytes, int] = {}
+    sel = []  # (shard, entry) first-seen
+    merged_counts: list = []
+    for si, (data, counts, _anchors, _idb, _ids, raw_bounds, _h, _u) in enumerate(payloads):
+        mv = memoryview(data)
+        rb = raw_bounds
+        for e in range(counts.size):
+            key = bytes(mv[int(rb[e]) + 8 : int(rb[e + 1])])
+            idx = key_index.get(key)
+            if idx is None:
+                key_index[key] = len(merged_counts)
+                sel.append((si, e))
+                merged_counts.append(int(counts[e]))
+            else:
+                merged_counts[idx] += int(counts[e])
+
+    n = len(merged_counts)
+    counts_arr = np.asarray(merged_counts, dtype=np.int64)
+    # Per-shard gathers of the selected entries' raw bytes and id runs.
+    sel_shard = np.fromiter((s for s, _ in sel), np.int64, n)
+    sel_entry = np.fromiter((e for _, e in sel), np.int64, n)
+    blob_parts, id_parts = [], []
+    anchors = np.empty(n, dtype=payloads[0][2].dtype) if n else np.empty(0, np.int64)
+    raw_lens = np.empty(n, dtype=np.int64)
+    id_lens = np.empty(n, dtype=np.int64)
+    order = np.argsort(sel_shard, kind="stable")
+    for si, payload in enumerate(payloads):
+        data, counts, sh_anchors, idb, ids, rb, _h, _u = payload
+        mine = order[sel_shard[order] == si]
+        entries = sel_entry[mine]
+        if entries.size == 0:
+            continue
+        data_arr = np.frombuffer(data, dtype=np.uint8)
+        starts = rb[entries]
+        lens = rb[entries + 1] - starts
+        gather = np.repeat(starts, lens) + _run_aranges(lens)
+        blob_parts.append((mine, data_arr[gather], lens))
+        raw_lens[mine] = lens
+        anchors[mine] = sh_anchors[entries]
+        istarts = idb[entries]
+        ilens = idb[entries + 1] - istarts
+        igather = np.repeat(istarts, ilens) + _run_aranges(ilens)
+        id_parts.append((mine, ids[igather], ilens))
+        id_lens[mine] = ilens
+
+    raw_bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(raw_lens, out=raw_bounds[1:])
+    id_bounds = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(id_lens, out=id_bounds[1:])
+    blob = np.empty(int(raw_bounds[-1]), dtype=np.uint8)
+    all_ids = np.empty(int(id_bounds[-1]), dtype=payloads[0][4].dtype)
+    for mine, chunk, lens in blob_parts:
+        dest = np.repeat(raw_bounds[mine], lens) + _run_aranges(lens)
+        blob[dest] = chunk
+    for mine, chunk, ilens in id_parts:
+        dest = np.repeat(id_bounds[mine], ilens) + _run_aranges(ilens)
+        all_ids[dest] = chunk
+    # Rewrite the embedded count field (first 8 bytes of every entry)
+    # with the merged totals — downstream consumers (matrix builder,
+    # probability formatter) read counts from the blob.
+    if n:
+        le_counts = counts_arr.astype("<i8").view(np.uint8).reshape(n, 8)
+        positions = raw_bounds[:-1, None] + np.arange(8)
+        blob[positions] = le_counts
+
+    histogram = sum(p[6] for p in payloads)
+    unaligned = sum(p[7] for p in payloads)
+    cols = ColumnarFragments(
+        blob.tobytes(), counts_arr, anchors, id_bounds, all_ids,
+        raw_bounds, histogram, unaligned,
+    )
+    return ColumnarFragmentIndex(cols, pre_dist, is_single_end)
+
+
+def _run_aranges(lens: np.ndarray) -> np.ndarray:
+    """Concatenated [0..len) ranges for variable-length runs
+    (zero-length runs contribute nothing)."""
+    lens = np.asarray(lens, dtype=np.int64)
+    lens = lens[lens > 0]
+    total = int(lens.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    out = np.ones(total, dtype=np.int64)
+    starts = np.zeros(lens.size, dtype=np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    out[starts] = np.concatenate(([0], 1 - lens[:-1]))
+    return np.cumsum(out)
 
 
 def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
@@ -150,26 +271,35 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # Critical path of the distributed scan itself (per-worker startup —
     # interpreter spawn + index build — is a fixed cost amortised over
     # real workloads and overlapped on real pods).
-    fragment_scan_s = max(payload[3] for payload in shard_payloads)
+    fragment_scan_s = max(payload[2] for payload in shard_payloads)
 
-    fragment_index = FragmentIndex(pre_dist, config.is_single_end())
-    for entries, frag_counts, unaligned, _ in shard_payloads:
-        shard_index = FragmentIndex(pre_dist, config.is_single_end())
-        shard_index.entries = {
-            (
-                entry[2][8:]  # native canonical key (raw minus count)
-                if entry[2] is not None
-                else tuple(ap.key() for ap in entry[0])
-            ): entry
-            for entry in entries
-        }
-        shard_index.frag_length_counts = frag_counts
-        shard_index.unaligned_count = unaligned
-        fragment_index.merge_from(shard_index)
+    if all(payload[0] == "columnar" for payload in shard_payloads):
+        fragment_index = _merge_columnar_shards(
+            [payload[1] for payload in shard_payloads],
+            pre_dist, config.is_single_end(),
+        )
+        num_lists = fragment_index.num_entries()
+    else:
+        fragment_index = FragmentIndex(pre_dist, config.is_single_end())
+        for kind, (entries, frag_counts, unaligned), _ in shard_payloads:
+            assert kind == "entries"
+            shard_index = FragmentIndex(pre_dist, config.is_single_end())
+            shard_index.entries = {
+                (
+                    entry[2][8:]  # native canonical key (raw minus count)
+                    if entry[2] is not None
+                    else tuple(ap.key() for ap in entry[0])
+                ): entry
+                for entry in entries
+            }
+            shard_index.frag_length_counts = frag_counts
+            shard_index.unaligned_count = unaligned
+            fragment_index.merge_from(shard_index)
+        num_lists = len(fragment_index.entries)
 
     log(
         f"Merged {num_workers} worker shards: "
-        f"{len(fragment_index.entries)} distinct alignment path lists"
+        f"{num_lists} distinct alignment path lists"
     )
     # The parent needs its own finder: native-engine shards ship
     # pre-located entries whose probabilities are built from the raw
