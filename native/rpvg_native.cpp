@@ -1437,6 +1437,9 @@ namespace {
 
 struct NativeFragmentIndex {
   std::unordered_map<std::string, uint64_t> entries;
+  // RPVG_TPU_NATIVE_PROF=1 sub-phase thread-CPU accounting (ns).
+  std::atomic<uint64_t> prof_project_ns{0};
+  std::atomic<uint64_t> prof_dedup_ns{0};
   // Per-worker dedup maps: workers accumulate across every projected
   // block (fragment f of a block goes to worker f*T/N, so the final
   // content is schedule-independent) and merge ONCE at dump time —
@@ -1533,7 +1536,16 @@ void* rpvg_indexer_create(int64_t hist_size, int32_t pre_loc, int32_t is_single_
 }
 
 void rpvg_indexer_free(void* handle) {
-  delete static_cast<NativeFragmentIndex*>(handle);
+  auto* fidx = static_cast<NativeFragmentIndex*>(handle);
+  const uint64_t proj = fidx->prof_project_ns.load();
+  const uint64_t dedup = fidx->prof_dedup_ns.load();
+  if (proj + dedup) {
+    std::fprintf(stderr,
+                 "  [native-prof] fragment pass thread-CPU: projection "
+                 "%.3fs, dedup %.3fs\n",
+                 proj * 1e-9, dedup * 1e-9);
+  }
+  delete fidx;
 }
 
 // Project a batch and fold the results straight into the native
@@ -1592,21 +1604,52 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
     l.is_single_end = fidx->is_single_end;
   }
 
+  static const bool prof_enabled = [] {
+    const char* env = std::getenv("RPVG_TPU_NATIVE_PROF");
+    return env != nullptr && env[0] == '1';
+  }();
+  auto thread_ns = [] {
+    timespec ts;
+    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+    return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+  };
   auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local,
                            std::unordered_map<std::string, uint64_t>* entries) {
     Finder finder(idx, params, tables);
     Reader reader{offsets[begin], input + input_len};
+    uint64_t project_ns = 0, dedup_ns = 0, t0 = 0;
     for (int32_t f = begin; f < end; ++f) {
       uint8_t kind = reader.get<uint8_t>();
       bool is_multipath = kind & 1;
       bool is_paired = kind & 2;
       AlignmentRec aln_1 = read_alignment(&reader, is_multipath);
+      if (prof_enabled) t0 = thread_ns();
       if (is_paired) {
         AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
-        index_fragment(local, entries, finder.find_paired(aln_1, aln_2));
+        auto found = finder.find_paired(aln_1, aln_2);
+        if (prof_enabled) {
+          uint64_t t1 = thread_ns();
+          project_ns += t1 - t0;
+          index_fragment(local, entries, std::move(found));
+          dedup_ns += thread_ns() - t1;
+        } else {
+          index_fragment(local, entries, std::move(found));
+        }
       } else {
-        index_fragment(local, entries, finder.find_single(aln_1));
+        auto found = finder.find_single(aln_1);
+        if (prof_enabled) {
+          uint64_t t1 = thread_ns();
+          project_ns += t1 - t0;
+          index_fragment(local, entries, std::move(found));
+          dedup_ns += thread_ns() - t1;
+        } else {
+          index_fragment(local, entries, std::move(found));
+        }
       }
+    }
+    if (prof_enabled) {
+      fidx->prof_project_ns.fetch_add(project_ns, std::memory_order_relaxed);
+      fidx->prof_dedup_ns.fetch_add(dedup_ns, std::memory_order_relaxed);
     }
   };
 
