@@ -24,6 +24,7 @@
 #include <string>
 #include <thread>
 #include <map>
+#include <functional>
 #include <unordered_map>
 #include <vector>
 
@@ -72,6 +73,22 @@ struct Index {
 };
 
 // Search state: occurrence positions of the matched suffix's last node.
+// RPVG_TPU_NATIVE_PROF=1: projection sub-phase thread-CPU accounting.
+static std::atomic<uint64_t> g_prof_extend_ns{0};
+static std::atomic<uint64_t> g_prof_pair_ns{0};
+static bool prof_on() {
+  static const bool on = [] {
+    const char* env = std::getenv("RPVG_TPU_NATIVE_PROF");
+    return env != nullptr && env[0] == '1';
+  }();
+  return on;
+}
+static uint64_t prof_now() {
+  timespec ts;
+  clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+  return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+}
+
 struct SearchState {
   int64_t node = ENDMARKER;
   std::vector<int64_t> positions;
@@ -811,10 +828,22 @@ class Finder {
   void find_paired_search_paths(std::vector<SearchPath>* out,
                                 const AlignmentRec& start_aln,
                                 const AlignmentRec& end_aln) const {
+    uint64_t t0 = prof_on() ? prof_now() : 0;
     std::vector<SearchPath> start_candidates =
         extend_with_alignment(SearchPath(), start_aln);
     std::vector<SearchPath> end_candidates =
         extend_with_alignment(SearchPath(), end_aln);
+    if (prof_on()) {
+      uint64_t t1 = prof_now();
+      g_prof_extend_ns.fetch_add(t1 - t0, std::memory_order_relaxed);
+      t0 = t1;
+    }
+    struct PairProf {
+      uint64_t t0; bool on;
+      ~PairProf() {
+        if (on) g_prof_pair_ns.fetch_add(prof_now() - t0, std::memory_order_relaxed);
+      }
+    } pair_prof{t0, prof_on()};
     if (start_candidates.empty() || end_candidates.empty()) return;
 
     auto cmp = [](const SearchPath& a, const SearchPath& b) { return a.sort_greater(b); };
@@ -899,11 +928,13 @@ class Finder {
       stack.push_back({std::move(extended), false});
     }
 
-    while (!stack.empty()) {
-      SearchPath cur = std::move(stack.back().first);
-      bool try_complete = stack.back().second;
-      stack.pop_back();
-
+    // DFS over panel out-edges, backtracking IN PLACE on one working
+    // SearchPath (the copy-per-pushed-edge formulation dominated the
+    // fragment pass: 3-4 vector allocations per explored node).  The
+    // explicit-stack version popped LIFO, so seeds and edges recurse in
+    // REVERSE order here to emit the same output sequence.
+    std::function<void(SearchPath&, bool)> dfs = [&](SearchPath& cur,
+                                                     bool try_complete) {
       if (try_complete) {
         auto it = end_start_node_index.find(cur.path.back());
         if (it != end_start_node_index.end()) {
@@ -923,33 +954,44 @@ class Finder {
 
       if (!end_alignment_in_cycle) {
         auto it = end_node_counts.find(cur.path.back());
-        if (it != end_node_counts.end() && it->second == num_unique_end) continue;
+        if (it != end_node_counts.end() && it->second == num_unique_end) return;
       }
 
       if (cur.fragment_length() + end_seq_length - end_max_left_softclip >
           p_.max_pair_frag_length) {
-        continue;
+        return;
       }
 
-      int64_t blocked_node = cur.read_stats.back().internal_end_next_node;
-      int64_t node = cur.search.node;
-      int64_t edge_begin = idx_.edge_offsets[node];
-      int64_t edge_end = idx_.edge_offsets[node + 1];
-      for (int64_t e = edge_begin; e < edge_end; ++e) {
+      const int64_t blocked_node = cur.read_stats.back().internal_end_next_node;
+      const int64_t node = cur.search.node;
+      const int64_t edge_begin = idx_.edge_offsets[node];
+      const int64_t edge_end = idx_.edge_offsets[node + 1];
+      for (int64_t e = edge_end - 1; e >= edge_begin; --e) {
         int64_t succ = idx_.edge_targets[e];
         if (succ == ENDMARKER || succ == blocked_node) continue;
         SearchState new_search = cur.search;
         index_extend(idx_, &new_search, succ);
         if (new_search.empty()) continue;
-        SearchPath nxt = cur;
-        nxt.path.push_back(succ);
-        nxt.search = std::move(new_search);
-        nxt.end_offset = idx_.node_length(succ >> 1);
-        nxt.insert_length += nxt.end_offset;
-        nxt.read_stats.back().internal_end_next_node = ENDMARKER;
-        stack.push_back({std::move(nxt), true});
+        // Descend in place; undo on return.
+        const int32_t saved_end_offset = cur.end_offset;
+        const int64_t saved_blocked = blocked_node;
+        std::swap(cur.search, new_search);  // new_search now holds parent state
+        cur.path.push_back(succ);
+        cur.end_offset = idx_.node_length(succ >> 1);
+        cur.insert_length += cur.end_offset;
+        cur.read_stats.back().internal_end_next_node = ENDMARKER;
+        dfs(cur, true);
+        cur.read_stats.back().internal_end_next_node = saved_blocked;
+        cur.insert_length -= cur.end_offset;
+        cur.end_offset = saved_end_offset;
+        cur.path.pop_back();
+        std::swap(cur.search, new_search);
       }
+    };
+    for (size_t s = stack.size(); s-- > 0;) {
+      dfs(stack[s].first, stack[s].second);
     }
+    stack.clear();
 
     SearchPath noise;
     AlignmentStats stats_1;
@@ -1542,8 +1584,9 @@ void rpvg_indexer_free(void* handle) {
   if (proj + dedup) {
     std::fprintf(stderr,
                  "  [native-prof] fragment pass thread-CPU: projection "
-                 "%.3fs, dedup %.3fs\n",
-                 proj * 1e-9, dedup * 1e-9);
+                 "%.3fs (extend %.3fs, pair %.3fs), dedup %.3fs\n",
+                 proj * 1e-9, g_prof_extend_ns.exchange(0) * 1e-9,
+                 g_prof_pair_ns.exchange(0) * 1e-9, dedup * 1e-9);
   }
   delete fidx;
 }
