@@ -108,6 +108,17 @@ void index_find(const Index& idx, int64_t node, SearchState* state) {
   }
 }
 
+// Filter `src` positions through one extension step into `dst`
+// (reusable buffer — no allocation once capacity is warm).
+void index_extend_into(const Index& idx, const std::vector<int64_t>& src,
+                       int64_t node, std::vector<int64_t>* dst) {
+  dst->clear();
+  for (int64_t pos : src) {
+    int64_t next = pos + 1;
+    if (idx.concat[next] == node) dst->push_back(next);
+  }
+}
+
 void index_extend(const Index& idx, SearchState* state, int64_t node) {
   if (state->positions.empty()) {
     state->node = node;
@@ -483,6 +494,12 @@ class Finder {
   const Index& idx_;
   const Params& p_;
   const ScoreTables& tables_;
+  // Reusable per-Finder scratch (one Finder per worker thread): the
+  // pair-completion maps and per-depth extension buffers would
+  // otherwise allocate per fragment / per explored edge.
+  mutable std::unordered_map<int64_t, uint32_t> end_node_counts_;
+  mutable std::unordered_map<int64_t, std::vector<uint32_t>> end_start_node_index_;
+  mutable std::vector<std::vector<int64_t>> depth_scratch_;
 
   static bool has_path(const AlignmentRec& aln) {
     return aln.is_multipath ? !aln.subpaths.empty() : !aln.path.mappings.empty();
@@ -854,8 +871,10 @@ class Finder {
 
     uint32_t num_unique_end = 0;
     int32_t end_max_left_softclip = 0;
-    std::unordered_map<int64_t, uint32_t> end_node_counts;
-    std::unordered_map<int64_t, std::vector<uint32_t>> end_start_node_index;
+    auto& end_node_counts = end_node_counts_;
+    auto& end_start_node_index = end_start_node_index_;
+    end_node_counts.clear();
+    end_start_node_index.clear();
 
     double joint_end = LOWEST, joint_empty_end = LOWEST;
 
@@ -933,8 +952,9 @@ class Finder {
     // fragment pass: 3-4 vector allocations per explored node).  The
     // explicit-stack version popped LIFO, so seeds and edges recurse in
     // REVERSE order here to emit the same output sequence.
-    std::function<void(SearchPath&, bool)> dfs = [&](SearchPath& cur,
-                                                     bool try_complete) {
+    std::function<void(SearchPath&, bool, size_t)> dfs = [&](SearchPath& cur,
+                                                             bool try_complete,
+                                                             size_t depth) {
       if (try_complete) {
         auto it = end_start_node_index.find(cur.path.back());
         if (it != end_start_node_index.end()) {
@@ -966,30 +986,38 @@ class Finder {
       const int64_t node = cur.search.node;
       const int64_t edge_begin = idx_.edge_offsets[node];
       const int64_t edge_end = idx_.edge_offsets[node + 1];
+      if (depth_scratch_.size() <= depth) depth_scratch_.resize(depth + 1);
       for (int64_t e = edge_end - 1; e >= edge_begin; --e) {
         int64_t succ = idx_.edge_targets[e];
         if (succ == ENDMARKER || succ == blocked_node) continue;
-        SearchState new_search = cur.search;
-        index_extend(idx_, &new_search, succ);
-        if (new_search.empty()) continue;
+        // Filter into the per-depth scratch buffer (capacity reused
+        // across edges, fragments and blocks — no allocation warm).
+        // NOTE: deeper frames may resize depth_scratch_, so the slot is
+        // re-indexed (never held by reference) across the recursion.
+        index_extend_into(idx_, cur.search.positions, succ,
+                          &depth_scratch_[depth]);
+        if (depth_scratch_[depth].empty()) continue;
         // Descend in place; undo on return.
         const int32_t saved_end_offset = cur.end_offset;
+        const int64_t saved_node = cur.search.node;
         const int64_t saved_blocked = blocked_node;
-        std::swap(cur.search, new_search);  // new_search now holds parent state
+        std::swap(cur.search.positions, depth_scratch_[depth]);  // scratch: parent state
+        cur.search.node = succ;
         cur.path.push_back(succ);
         cur.end_offset = idx_.node_length(succ >> 1);
         cur.insert_length += cur.end_offset;
         cur.read_stats.back().internal_end_next_node = ENDMARKER;
-        dfs(cur, true);
+        dfs(cur, true, depth + 1);
         cur.read_stats.back().internal_end_next_node = saved_blocked;
         cur.insert_length -= cur.end_offset;
         cur.end_offset = saved_end_offset;
         cur.path.pop_back();
-        std::swap(cur.search, new_search);
+        cur.search.node = saved_node;
+        std::swap(cur.search.positions, depth_scratch_[depth]);
       }
     };
     for (size_t s = stack.size(); s-- > 0;) {
-      dfs(stack[s].first, stack[s].second);
+      dfs(stack[s].first, stack[s].second, 0);
     }
     stack.clear();
 
