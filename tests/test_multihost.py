@@ -190,3 +190,57 @@ def test_distributed_matches_single_host(dataset, tmp_path):
         prefix + "_probs.txt.gz", "rt"
     ) as b:
         assert a.read() == b.read()
+
+
+def test_columnar_shard_merge_direct():
+    """_merge_columnar_shards: cross-shard duplicates sum their counts
+    (rewritten into the blob), first-seen order wins, histograms and
+    unaligned counts add."""
+    import numpy as np
+
+    from rpvg_tpu.fragments import FragmentLengthDist
+    from rpvg_tpu.parallel.multihost import _merge_columnar_shards
+
+    def shard(entries, hist, unaligned):
+        # entries: list of (count, anchor, ids, payload_bytes)
+        blob = bytearray()
+        raw_bounds = [0]
+        counts, anchors, id_bounds, all_ids = [], [], [0], []
+        for count, anchor, ids, payload in entries:
+            blob += int(count).to_bytes(8, "little") + payload
+            raw_bounds.append(len(blob))
+            counts.append(count)
+            anchors.append(anchor)
+            all_ids.extend(ids)
+            id_bounds.append(len(all_ids))
+        return (
+            bytes(blob), np.array(counts, np.int64), np.array(anchors, np.int64),
+            np.array(id_bounds, np.int64), np.array(all_ids, np.int64),
+            np.array(raw_bounds, np.int64), np.array(hist, np.int64), unaligned,
+        )
+
+    s0 = shard(
+        [(2, 7, [7, 9], b"AAA"), (1, 3, [3], b"BB")], [0, 1, 0], 1,
+    )
+    s1 = shard(
+        [(5, 7, [7, 9], b"AAA"), (4, 11, [], b"CCCC")], [0, 2, 1], 2,
+    )
+    pre = FragmentLengthDist.from_normal(2, 1, 1)
+    merged = _merge_columnar_shards([s0, s1], pre, False)
+    cols = merged.columnar
+    assert merged.num_entries() == 3
+    np.testing.assert_array_equal(cols.counts, [7, 1, 4])
+    np.testing.assert_array_equal(cols.anchors, [7, 3, 11])
+    # Rewritten blob counts match the merged totals.
+    data = np.frombuffer(cols.data, np.uint8)
+    for e in range(3):
+        start = int(cols.raw_bounds[e])
+        embedded = int.from_bytes(bytes(data[start : start + 8]), "little")
+        assert embedded == int(cols.counts[e])
+    # Payload bytes preserved after the count field.
+    assert bytes(data[int(cols.raw_bounds[0]) + 8 : int(cols.raw_bounds[1])]) == b"AAA"
+    # Located-id CSR gathered from first-seen shard (incl. an empty run).
+    np.testing.assert_array_equal(cols.id_bounds, [0, 2, 3, 3])
+    np.testing.assert_array_equal(cols.all_ids, [7, 9, 3])
+    np.testing.assert_array_equal(merged.frag_length_counts, [0, 3, 1])
+    assert merged.unaligned_count == 3
