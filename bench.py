@@ -121,7 +121,7 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str,
 
     import jax
 
-    return {
+    result = {
         "num_pairs": num_pairs,
         "elapsed_s": min(elapsed),
         "cold_elapsed_s": elapsed[0],
@@ -130,6 +130,21 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str,
         "num_fragment_lists": stats["num_fragment_lists"],
         "backend": jax.default_backend(),
     }
+    if jax.default_backend() != "cpu":
+        # Record the measured device link: the hybrid routing policy's
+        # inputs (parallel/linkprobe.py), and the physical reason the
+        # backends tie when the link is orders of magnitude below host
+        # memory bandwidth (see ROADMAP round 3).
+        try:
+            from rpvg_tpu.parallel.linkprobe import probe_link
+
+            link = probe_link()
+            if link:
+                result["link_h2d_mbps"] = round(link["h2d_bps"] / 1e6, 1)
+                result["link_dispatch_ms"] = round(link["dispatch_s"] * 1e3, 2)
+        except Exception:
+            pass
+    return result
 
 
 def child_main() -> None:
@@ -287,20 +302,23 @@ def main() -> int:
         print(f"bench: {key} = {value}", file=sys.stderr)
 
     value = result["pairs_per_s"]
-    print(
-        json.dumps(
-            {
-                "metric": "read_pairs_per_s",
-                "value": round(value, 2),
-                "unit": "pairs/s",
-                "vs_baseline": round(value / BASELINE_PAIRS_PER_S, 4),
-                "backend": result["backend"],
-                "all_backends": {
-                    c["backend"]: round(c["pairs_per_s"], 2) for c in candidates
-                },
+    out = {
+        "metric": "read_pairs_per_s",
+        "value": round(value, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(value / BASELINE_PAIRS_PER_S, 4),
+        "backend": result["backend"],
+        "all_backends": {
+            c["backend"]: round(c["pairs_per_s"], 2) for c in candidates
+        },
+    }
+    for cand in candidates:
+        if "link_h2d_mbps" in cand:
+            out["device_link"] = {
+                "h2d_mbps": cand["link_h2d_mbps"],
+                "dispatch_ms": cand["link_dispatch_ms"],
             }
-        )
-    )
+    print(json.dumps(out))
     return 0
 
 
