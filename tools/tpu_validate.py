@@ -104,8 +104,109 @@ def main() -> int:
     print(f"  {'OK' if ok else 'MISMATCH'} ({time.time() - t0:.2f}s, max diff {np.abs(pair - ref_pair).max():.2e})", flush=True)
     failures += not ok
 
+    if "--bench" in sys.argv:
+        failures += kernel_bench()
+
     print(f"RESULT: {'PASS' if failures == 0 else f'{failures} FAILURES'}", flush=True)
     return 1 if failures else 0
+
+
+def kernel_bench() -> int:
+    """Device-vs-host KERNEL throughput (independent of the e2e link
+    economics): identical forced-iteration workloads through the Pallas
+    EM, the XLA EM, the native C++ EM, and the diploid pair scorer.
+    Writes TPU_KERNELS_<backend>.json next to the repo root."""
+    import json
+
+    import jax.numpy as jnp
+
+    from rpvg_tpu.infer.batching import native_em_available, run_native_em
+    from rpvg_tpu.infer.em import em_abundances_batched
+    from rpvg_tpu.infer.posteriors import _diploid_pair_scores_batched
+    from rpvg_tpu.ops.em_pallas import em_pallas_batched
+
+    rng = np.random.default_rng(1)
+    results = {"backend": jax.default_backend()}
+
+    # ---- EM: fixed 512 iterations (conv=0 never converges early), so
+    # every engine does EXACTLY B*R*C*its element-updates.
+    B, R, C, its = 64, 256, 64, 512
+    probs = rng.random((B, R, C)).astype(np.float32)
+    probs /= probs.sum(axis=2, keepdims=True)
+    counts = rng.integers(1, 20, size=(B, R)).astype(np.float32)
+    masks = np.ones((B, C), dtype=np.float32)
+    updates = float(B) * R * C * its
+
+    def best_of(fn, n=5):
+        times = []
+        for _ in range(n):
+            t0 = time.time()
+            fn()
+            times.append(time.time() - t0)
+        return min(times)
+
+    def device_rate(fn, sync, n=8):
+        """Pipelined on-device timing: n queued executions, one sync —
+        dispatch latency and H2D transfers amortise out, so this is the
+        KERNEL rate (the e2e bench carries the link costs)."""
+        fn()  # warm
+        sync(fn())
+        t0 = time.time()
+        outs = [fn() for _ in range(n)]
+        sync(outs[-1])
+        return (time.time() - t0) / n
+
+    print(f"bench: EM {B}x{R}x{C}, {its} forced iterations", flush=True)
+    probs_d = jnp.asarray(probs)
+    counts_d = jnp.asarray(counts)
+    masks_d = jnp.asarray(masks)
+    try:
+        t = device_rate(
+            lambda: em_pallas_batched(probs_d, counts_d, masks_d, its, 0.0),
+            lambda out: out.block_until_ready(),
+        )
+        results["em_pallas_geups"] = round(updates / t / 1e9, 2)
+        print(f"  pallas EM: {t:.4f}s = {updates / t / 1e9:.2f} G element-updates/s (on-device)", flush=True)
+    except Exception as exc:
+        print(f"  pallas EM unavailable: {type(exc).__name__}", flush=True)
+    from rpvg_tpu.infer.em import _em_solve_batched
+
+    t = device_rate(
+        lambda: _em_solve_batched(probs_d, counts_d, masks_d, jnp.int32(its), np.float32(0.0))[0],
+        lambda out: out.block_until_ready(),
+    )
+    results["em_xla_geups"] = round(updates / t / 1e9, 2)
+    print(f"  XLA EM:    {t:.4f}s = {updates / t / 1e9:.2f} G element-updates/s (on-device)", flush=True)
+    if native_em_available():
+        native_inputs = [(probs[b].astype(np.float64), counts[b].astype(np.float64)) for b in range(B)]
+        run_native_em(native_inputs, its, 0.0)
+        t = best_of(lambda: run_native_em(native_inputs, its, 0.0), n=3)
+        results["em_native_geups"] = round(updates / t / 1e9, 2)
+        print(f"  native EM: {t:.4f}s = {updates / t / 1e9:.2f} G element-updates/s (all host cores)", flush=True)
+
+    # ---- Diploid pair scoring: (B,R,P) dense all-pairs, 2*B*R*P^2 FLOPs.
+    Bp, Rp, P = 16, 256, 128
+    pprobs = rng.random((Bp, Rp, P)).astype(np.float32)
+    pnoise = (rng.random((Bp, Rp)) * 0.1 + 0.01).astype(np.float32)
+    pcounts = rng.integers(1, 20, size=(Bp, Rp)).astype(np.float32)
+    plf = np.log(np.full((Bp, P), 1.0 / P, dtype=np.float32))
+    flops = 2.0 * Bp * Rp * P * P * 2  # group-sum + log/einsum passes
+    args = tuple(jnp.asarray(x) for x in (pprobs, pnoise, pcounts, plf))
+    t = device_rate(
+        lambda: _diploid_pair_scores_batched(*args),
+        lambda out: out.block_until_ready(),
+    )
+    results["diploid_gflops"] = round(flops / t / 1e9, 1)
+    print(f"bench: diploid scoring {Bp}x{Rp}x{P}^2: {t:.4f}s = {flops / t / 1e9:.1f} GFLOP/s", flush=True)
+
+    out_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        f"TPU_KERNELS_{jax.default_backend()}.json",
+    )
+    with open(out_path, "w") as handle:
+        json.dump(results, handle, indent=1)
+    print(f"bench: wrote {out_path}", flush=True)
+    return 0
 
 
 if __name__ == "__main__":
