@@ -72,7 +72,7 @@ def test_bgzf_empty_file_is_just_eof(tmp_path):
         assert handle.read() == ""
 
 
-def test_pipeline_gz_outputs_are_bgzf(tmp_path, e2e_pipeline_outputs=None):
+def test_pipeline_gz_outputs_are_bgzf(tmp_path):
     # End-to-end: the pipeline's _probs/_gibbs gz files carry BGZF framing.
     from tests.helpers import run_tiny_pipeline
 

@@ -93,3 +93,33 @@ def test_gene_panel_builds_wide_clusters(gene_dataset):
     sizes = np.bincount(clusters.path_to_cluster)
     # At least one cluster spans >= 3 isoforms x 4 haplotypes paths.
     assert sizes.max() >= 12
+
+
+@pytest.mark.parametrize("opts", [
+    {"ploidy": 3},
+    {"ind_hap_inference": True},
+    {"use_hap_gibbs": True},
+])
+def test_gene_panel_variant_configs(gene_dataset, opts):
+    """The variant nested configurations (full-enumeration ploidy 3,
+    independent groups, posterior Gibbs) run end-to-end on the
+    gene-structured multimapping panel and produce well-formed rows."""
+    ds = gene_dataset
+    prefix = str(ds["tmp"] / ("var_" + "_".join(opts)))
+    run_pipeline(
+        PipelineConfig(
+            graph=ds["panel"].graph, paths=ds["panel"].paths_index,
+            alignments=ds["alns"], output_prefix=prefix,
+            inference_model="haplotype-transcripts", path_info=ds["info"],
+            threads=2, rng_seed=42, score_not_qual=True,
+            frag_mean=220.0, frag_sd=20.0, **opts,
+        )
+    )
+    with open(prefix + ".txt") as handle:
+        header = handle.readline().rstrip("\n").split("\t")
+        rows = [line.rstrip("\n").split("\t") for line in handle if line.strip()]
+    assert header[0] == "Name" and rows[-1][0] == "Unknown"
+    assert len(rows) > len(ds["panel"].path_names) // 2
+    count_col = header.index("ReadCount")
+    total = sum(float(r[count_col]) for r in rows)
+    assert total > 0
