@@ -952,9 +952,17 @@ class Finder {
     // fragment pass: 3-4 vector allocations per explored node).  The
     // explicit-stack version popped LIFO, so seeds and edges recurse in
     // REVERSE order here to emit the same output sequence.
-    std::function<void(SearchPath&, bool, size_t)> dfs = [&](SearchPath& cur,
-                                                             bool try_complete,
-                                                             size_t depth) {
+    // Iterative DFS over panel out-edges, backtracking IN PLACE on one
+    // working SearchPath with heap-allocated frames (depth is bounded
+    // only by max_pair_frag_length in graph nodes — a long-fragment
+    // library over 1-bp nodes must not recurse the thread stack away).
+    // Frames recurse seeds and edges in REVERSE so the emission order
+    // matches the original explicit-stack formulation exactly.
+    //
+    // visit(): completions + prune checks; returns true when the node
+    // should expand its out-edges (and then fills *blocked_out).
+    auto visit = [&](SearchPath& cur, bool try_complete,
+                     int64_t* blocked_out) -> bool {
       if (try_complete) {
         auto it = end_start_node_index.find(cur.path.back());
         if (it != end_start_node_index.end()) {
@@ -974,50 +982,87 @@ class Finder {
 
       if (!end_alignment_in_cycle) {
         auto it = end_node_counts.find(cur.path.back());
-        if (it != end_node_counts.end() && it->second == num_unique_end) return;
+        if (it != end_node_counts.end() && it->second == num_unique_end) {
+          return false;
+        }
       }
 
       if (cur.fragment_length() + end_seq_length - end_max_left_softclip >
           p_.max_pair_frag_length) {
-        return;
+        return false;
       }
 
-      const int64_t blocked_node = cur.read_stats.back().internal_end_next_node;
-      const int64_t node = cur.search.node;
-      const int64_t edge_begin = idx_.edge_offsets[node];
-      const int64_t edge_end = idx_.edge_offsets[node + 1];
-      if (depth_scratch_.size() <= depth) depth_scratch_.resize(depth + 1);
-      for (int64_t e = edge_end - 1; e >= edge_begin; --e) {
-        int64_t succ = idx_.edge_targets[e];
-        if (succ == ENDMARKER || succ == blocked_node) continue;
-        // Filter into the per-depth scratch buffer (capacity reused
-        // across edges, fragments and blocks — no allocation warm).
-        // NOTE: deeper frames may resize depth_scratch_, so the slot is
-        // re-indexed (never held by reference) across the recursion.
+      *blocked_out = cur.read_stats.back().internal_end_next_node;
+      return true;
+    };
+
+    struct DfsFrame {
+      int64_t e;           // next edge to try (counting down)
+      int64_t edge_begin;
+      int64_t blocked;     // this node's blocked successor
+      // Undo info for THIS node's entry (unused on the seed frame).
+      int32_t saved_end_offset = 0;
+      int64_t saved_node = 0;
+      int64_t saved_blocked = 0;
+    };
+    std::vector<DfsFrame> frames;
+    for (size_t s = stack.size(); s-- > 0;) {
+      SearchPath& cur = stack[s].first;
+      int64_t blocked;
+      if (!visit(cur, stack[s].second, &blocked)) continue;
+      frames.clear();
+      frames.push_back({idx_.edge_offsets[cur.search.node + 1] - 1,
+                        idx_.edge_offsets[cur.search.node], blocked});
+      while (!frames.empty()) {
+        const size_t depth = frames.size() - 1;
+        DfsFrame& f = frames.back();
+        if (f.e < f.edge_begin) {
+          // Out of edges: undo this node's entry (seed frame owns no
+          // entry) and pop.
+          if (depth > 0) {
+            cur.read_stats.back().internal_end_next_node = f.saved_blocked;
+            cur.insert_length -= cur.end_offset;
+            cur.end_offset = f.saved_end_offset;
+            cur.path.pop_back();
+            cur.search.node = f.saved_node;
+            std::swap(cur.search.positions, depth_scratch_[depth - 1]);
+          }
+          frames.pop_back();
+          continue;
+        }
+        const int64_t succ = idx_.edge_targets[f.e--];
+        if (succ == ENDMARKER || succ == f.blocked) continue;
+        if (depth_scratch_.size() <= depth) depth_scratch_.resize(depth + 1);
         index_extend_into(idx_, cur.search.positions, succ,
                           &depth_scratch_[depth]);
         if (depth_scratch_[depth].empty()) continue;
-        // Descend in place; undo on return.
-        const int32_t saved_end_offset = cur.end_offset;
-        const int64_t saved_node = cur.search.node;
-        const int64_t saved_blocked = blocked_node;
-        std::swap(cur.search.positions, depth_scratch_[depth]);  // scratch: parent state
+        // Descend in place; the child frame carries the undo info.
+        DfsFrame child;
+        child.saved_end_offset = cur.end_offset;
+        child.saved_node = cur.search.node;
+        child.saved_blocked = f.blocked;
+        std::swap(cur.search.positions, depth_scratch_[depth]);
         cur.search.node = succ;
         cur.path.push_back(succ);
         cur.end_offset = idx_.node_length(succ >> 1);
         cur.insert_length += cur.end_offset;
         cur.read_stats.back().internal_end_next_node = ENDMARKER;
-        dfs(cur, true, depth + 1);
-        cur.read_stats.back().internal_end_next_node = saved_blocked;
-        cur.insert_length -= cur.end_offset;
-        cur.end_offset = saved_end_offset;
-        cur.path.pop_back();
-        cur.search.node = saved_node;
-        std::swap(cur.search.positions, depth_scratch_[depth]);
+        int64_t child_blocked;
+        if (visit(cur, true, &child_blocked)) {
+          child.e = idx_.edge_offsets[succ + 1] - 1;
+          child.edge_begin = idx_.edge_offsets[succ];
+          child.blocked = child_blocked;
+          frames.push_back(child);  // f may dangle after this push
+        } else {
+          // Pruned: undo immediately.
+          cur.read_stats.back().internal_end_next_node = child.saved_blocked;
+          cur.insert_length -= cur.end_offset;
+          cur.end_offset = child.saved_end_offset;
+          cur.path.pop_back();
+          cur.search.node = child.saved_node;
+          std::swap(cur.search.positions, depth_scratch_[depth]);
+        }
       }
-    };
-    for (size_t s = stack.size(); s-- > 0;) {
-      dfs(stack[s].first, stack[s].second, 0);
     }
     stack.clear();
 
@@ -1675,15 +1720,8 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
     l.is_single_end = fidx->is_single_end;
   }
 
-  static const bool prof_enabled = [] {
-    const char* env = std::getenv("RPVG_TPU_NATIVE_PROF");
-    return env != nullptr && env[0] == '1';
-  }();
-  auto thread_ns = [] {
-    timespec ts;
-    clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
-    return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
-  };
+  const bool prof_enabled = prof_on();
+  auto thread_ns = prof_now;
   auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local,
                            std::unordered_map<std::string, uint64_t>* entries) {
     Finder finder(idx, params, tables);
@@ -2435,6 +2473,69 @@ __attribute__((noinline)) static bool em_fixed_point_one(
     std::swap(abund, fresh);
   }
   return conv_its >= MIN_CONV_ITS;
+}
+
+
+// Shared combine-tail accumulation (reference inferPathSubsetAbundance
+// :608-750): one task's posterior-weighted per-transcript-group
+// contributions fold into the ge_* accumulator with a first-seen group
+// split.  ONE definition shared by the fused kernel and
+// rpvg_nested_combine so device-deferred slots can never drift from the
+// natively-combined ones.
+struct CombineScratch {
+  std::vector<int64_t> bg_groups;
+  std::vector<std::vector<int64_t>> bg_paths;
+  std::vector<std::vector<double>> bg_vals;
+};
+
+__attribute__((noinline)) static void combine_task_into(
+    const int64_t* collapsed, const int64_t* mult, int64_t n_col,
+    const double* pc, double subset_prob, const int64_t* gid,
+    CombineScratch& scratch, std::vector<std::vector<int64_t>>& ge_keys,
+    std::vector<double>& ge_post, std::vector<std::vector<double>>& ge_abund,
+    std::map<std::vector<int64_t>, size_t>& ge_index) {
+  auto& bg_groups = scratch.bg_groups;
+  auto& bg_paths = scratch.bg_paths;
+  auto& bg_vals = scratch.bg_vals;
+  bg_groups.clear();
+  bg_paths.clear();
+  bg_vals.clear();
+  for (int64_t j = 0; j < n_col; ++j) {
+    const int64_t pid = collapsed[j];
+    const int64_t m = mult[j];
+    const int64_t g = gid[pid];
+    const double contrib = pc[j] * subset_prob / m;
+    size_t gi = 0;
+    for (; gi < bg_groups.size(); ++gi) {
+      if (bg_groups[gi] == g) break;
+    }
+    if (gi == bg_groups.size()) {
+      bg_groups.push_back(g);
+      bg_paths.emplace_back();
+      bg_vals.emplace_back();
+    }
+    for (int64_t rep = 0; rep < m; ++rep) {
+      bg_paths[gi].push_back(pid);
+      bg_vals[gi].push_back(contrib);
+    }
+  }
+  for (size_t gi = 0; gi < bg_groups.size(); ++gi) {
+    auto it = ge_index.find(bg_paths[gi]);
+    size_t idx;
+    if (it == ge_index.end()) {
+      idx = ge_keys.size();
+      ge_index.emplace(bg_paths[gi], idx);
+      ge_keys.push_back(bg_paths[gi]);
+      ge_post.push_back(0.0);
+      ge_abund.emplace_back(bg_paths[gi].size(), 0.0);
+    } else {
+      idx = it->second;
+    }
+    ge_post[idx] += subset_prob;
+    auto& acc = ge_abund[idx];
+    const auto& vals = bg_vals[gi];
+    for (size_t i = 0; i < acc.size(); ++i) acc[i] += vals[i];
+  }
 }
 
 // The reference's sub-threshold folding (src/path_abundance_estimator.
@@ -3453,9 +3554,7 @@ uint8_t* rpvg_nested_diploid_infer(
       std::vector<std::vector<double>> ge_abund;
       std::map<std::vector<int64_t>, size_t> ge_index;
       std::vector<double> pc_buf;
-      std::vector<int64_t> bg_groups;
-      std::vector<std::vector<int64_t>> bg_paths;
-      std::vector<std::vector<double>> bg_vals;
+      CombineScratch combine_scratch;
       double sum_hap = 0.0;
       double noise_combined = 0.0;
       bool all_em = true;
@@ -3508,47 +3607,10 @@ uint8_t* rpvg_nested_diploid_infer(
                                pc_buf.data(), &tnoise);
             sum_hap += subset_prob;
             noise_combined += tnoise * subset_prob;
-
-            // First-seen transcript-group split of the expanded subset.
-            bg_groups.clear();
-            bg_paths.clear();
-            bg_vals.clear();
-            for (int64_t j = 0; j < n_col; ++j) {
-              const int64_t pid = out.collapsed[col_base + j];
-              const int64_t m = out.mult[col_base + j];
-              const int64_t g = gid[pid];
-              const double contrib = pc_buf[j] * subset_prob / m;
-              size_t gi = 0;
-              for (; gi < bg_groups.size(); ++gi) {
-                if (bg_groups[gi] == g) break;
-              }
-              if (gi == bg_groups.size()) {
-                bg_groups.push_back(g);
-                bg_paths.emplace_back();
-                bg_vals.emplace_back();
-              }
-              for (int64_t rep = 0; rep < m; ++rep) {
-                bg_paths[gi].push_back(pid);
-                bg_vals[gi].push_back(contrib);
-              }
-            }
-            for (size_t gi = 0; gi < bg_groups.size(); ++gi) {
-              auto it = ge_index.find(bg_paths[gi]);
-              size_t idx;
-              if (it == ge_index.end()) {
-                idx = ge_keys.size();
-                ge_index.emplace(bg_paths[gi], idx);
-                ge_keys.push_back(bg_paths[gi]);
-                ge_post.push_back(0.0);
-                ge_abund.emplace_back(bg_paths[gi].size(), 0.0);
-              } else {
-                idx = it->second;
-              }
-              ge_post[idx] += subset_prob;
-              auto& acc = ge_abund[idx];
-              const auto& vals = bg_vals[gi];
-              for (size_t i = 0; i < acc.size(); ++i) acc[i] += vals[i];
-            }
+            combine_task_into(out.collapsed.data() + col_base,
+                              out.mult.data() + col_base, n_col,
+                              pc_buf.data(), subset_prob, gid, combine_scratch,
+                              ge_keys, ge_post, ge_abund, ge_index);
           }
         } else {
           all_em = false;
@@ -4309,9 +4371,7 @@ uint8_t* rpvg_nested_combine(
     std::vector<double> ge_post;
     std::vector<std::vector<double>> ge_abund;
     std::map<std::vector<int64_t>, size_t> ge_index;
-    std::vector<int64_t> bg_groups;
-    std::vector<std::vector<int64_t>> bg_paths;
-    std::vector<std::vector<double>> bg_vals;
+    CombineScratch combine_scratch;
     for (;;) {
       int64_t b = next.fetch_add(1);
       if (b >= n_slots) return;
@@ -4330,45 +4390,9 @@ uint8_t* rpvg_nested_combine(
         noise_combined += em_noise[t] * sp;
         const int64_t base = col_offsets[t];
         const int64_t nc = n_col[t];
-        bg_groups.clear();
-        bg_paths.clear();
-        bg_vals.clear();
-        for (int64_t j = 0; j < nc; ++j) {
-          const int64_t pid = collapsed[base + j];
-          const int64_t m = mult[base + j];
-          const int64_t g = gid[pid];
-          const double contrib = em_counts[base + j] * sp / m;
-          size_t gi = 0;
-          for (; gi < bg_groups.size(); ++gi) {
-            if (bg_groups[gi] == g) break;
-          }
-          if (gi == bg_groups.size()) {
-            bg_groups.push_back(g);
-            bg_paths.emplace_back();
-            bg_vals.emplace_back();
-          }
-          for (int64_t rep = 0; rep < m; ++rep) {
-            bg_paths[gi].push_back(pid);
-            bg_vals[gi].push_back(contrib);
-          }
-        }
-        for (size_t gi = 0; gi < bg_groups.size(); ++gi) {
-          auto it = ge_index.find(bg_paths[gi]);
-          size_t idx;
-          if (it == ge_index.end()) {
-            idx = ge_keys.size();
-            ge_index.emplace(bg_paths[gi], idx);
-            ge_keys.push_back(bg_paths[gi]);
-            ge_post.push_back(0.0);
-            ge_abund.emplace_back(bg_paths[gi].size(), 0.0);
-          } else {
-            idx = it->second;
-          }
-          ge_post[idx] += sp;
-          auto& acc = ge_abund[idx];
-          const auto& vals = bg_vals[gi];
-          for (size_t i = 0; i < acc.size(); ++i) acc[i] += vals[i];
-        }
+        combine_task_into(collapsed + base, mult + base, nc,
+                          em_counts + base, sp, gid, combine_scratch,
+                          ge_keys, ge_post, ge_abund, ge_index);
       }
       noise_combined += (1.0 - sum_hap) * total_count;
       out.noise_count = noise_combined;

@@ -659,22 +659,17 @@ def _batched_haplotype_transcripts_fused(
     # ~half the EM time in a few hundred KB of matrices — defer to the
     # device, which re-runs them with identical convergence semantics.
     # Self-measuring: only tasks PROVEN slow pay the link.
+    # Default OFF on every backend: paired measurements on this host's
+    # tunnelled v5e (~10-40MB/s, ~25ms dispatch; ROADMAP round-3) show
+    # device escalation losing at every bound — the link is ~1000x
+    # slower than host memory bandwidth, so even the >=5000-iteration
+    # EM tail (the best compute/byte work in the pipeline) cannot pay
+    # for its transfers.  A PCIe/ICI-attached part clears the bar by
+    # orders of magnitude — enable with RPVG_TPU_EM_BOUND (and see
+    # parallel/linkprobe.py).
     em_bound = 0
     if not device_pos and em_area_cutoff == 0:
-        env_bound = os.environ.get("RPVG_TPU_EM_BOUND")
-        if env_bound is not None:
-            em_bound = int(env_bound)
-        elif jax.default_backend() != "cpu":
-            # Paired measurements on THIS host's tunnelled v5e (~10-40
-            # MB/s, ~25ms dispatch; ROADMAP round-3) show device
-            # escalation loses at every bound — the link is ~1000x
-            # slower than host memory bandwidth, so even the
-            # >=5000-iteration EM tail (the best compute/byte work in
-            # the pipeline) cannot pay for its transfers.  The measured
-            # default is therefore OFF; a PCIe/ICI-attached part clears
-            # the bar by orders of magnitude — enable with
-            # RPVG_TPU_EM_BOUND (and see parallel/linkprobe.py).
-            em_bound = 0
+        em_bound = int(os.environ.get("RPVG_TPU_EM_BOUND", "0"))
 
     emit_matrices = estimator.num_gibbs_samples > 0
 
@@ -841,10 +836,10 @@ def _native_combine_slots(
     )
 
 
-def _section_task_matrices(streams, emit_matrices, task_ids=None):
-    """Per-task (matrix, counts) views over a section's emitted
-    streams.  `task_ids` selects a subset (default: every task that has
-    an emitted matrix — all of them for emit-only sections)."""
+def _task_matrix_bounds(streams, emit_matrices):
+    """CSR bounds into the emitted mats/cnts streams — the Python
+    mirror of the kernel's '!run_em || emit_matrices' emission rule
+    (one definition, shared by every consumer)."""
     n_col_arr = streams["n_col"]
     kept_arr = streams["kept"]
     has_fracs = streams["has_fracs"].astype(bool)
@@ -854,10 +849,20 @@ def _section_task_matrices(streams, emit_matrices, task_ids=None):
     np.cumsum(np.where(has_mat, kept_arr * (n_col_arr + 1), 0), out=mat_bounds[1:])
     cnt_bounds = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(np.where(has_mat, kept_arr, 0), out=cnt_bounds[1:])
+    return mat_bounds, cnt_bounds
+
+
+def _section_task_matrices(streams, emit_matrices, task_ids=None):
+    """Per-task (matrix, counts) views over a section's emitted
+    streams.  `task_ids` selects a subset (default: every task that has
+    an emitted matrix — all of them for emit-only sections)."""
+    mat_bounds, cnt_bounds = _task_matrix_bounds(streams, emit_matrices)
+    kept_arr = streams["kept"]
+    n_col_arr = streams["n_col"]
     mats_all = streams["mats"]
     cnts_all = streams["cnts"]
     if task_ids is None:
-        task_ids = range(T)
+        task_ids = range(n_col_arr.size)
     return [
         (
             mats_all[mat_bounds[t] : mat_bounds[t + 1]].reshape(
@@ -900,13 +905,7 @@ def _process_nested_section(
     np.cumsum(n_col_arr, out=col_bounds[1:])
     fr_bounds = np.zeros(T + 1, dtype=np.int64)
     np.cumsum(np.where(has_fracs, n_col_arr + 1, 0), out=fr_bounds[1:])
-    has_mat = (
-        np.ones(T, dtype=bool) if emit_matrices else ~has_fracs
-    )
-    mat_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(np.where(has_mat, kept_arr * (n_col_arr + 1), 0), out=mat_bounds[1:])
-    cnt_bounds = np.zeros(T + 1, dtype=np.int64)
-    np.cumsum(np.where(has_mat, kept_arr, 0), out=cnt_bounds[1:])
+    mat_bounds, cnt_bounds = _task_matrix_bounds(streams, emit_matrices)
 
     def task_matrix(t):
         return (

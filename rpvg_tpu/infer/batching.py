@@ -241,11 +241,14 @@ def dispatch_em_device(
 
     indices = list(indices)
     buckets: Dict[Tuple[int, int], List[int]] = {}
-    # Small escalated sets are link-latency bound (each bucket is a
+    # Small ESCALATED sets are link-latency bound (each bucket is a
     # ~25ms round trip on a tunnelled device): unify the column pad so
     # only the row classes remain — <=4 chunks instead of ~a dozen.
+    # Gated on stage_floor (escalation) — a general dispatch with
+    # power-law widths would otherwise pad every cluster to the global
+    # max and blow up the padded FLOPs/bytes.
     c_pad_all = 0
-    if 0 < len(indices) <= 512:
+    if stage_floor > 0 and 0 < len(indices) <= 512:
         c_pad_all = _ceil_pow2(
             max(cluster_inputs[idx][0].shape[1] for idx in indices)
         )
