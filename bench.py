@@ -59,9 +59,13 @@ def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str,
     # `qual` = the reference's DEFAULT regime (quality-adjusted scoring,
     # src/main.cpp:385): quality-driven sequencing errors + per-base
     # qualities + GSSW qual-adjusted scores.
+    # Multipath subpath DAGs over the variant bubbles: reads crossing a
+    # site carry scored alternatives for every allele, like real mpmap
+    # output — the multipath DFS machinery runs at full scale.
     records, _ = sim.simulate_read_pairs(
         panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25, seed=17,
         abundances=sim.gene_abundances(panel, seed=7), with_errors=qual,
+        multipath_dag=True,
     )
 
     sim.write_alignment_json(records, os.path.join(out_dir, "bench_aln.json"))

@@ -659,17 +659,19 @@ def _batched_haplotype_transcripts_fused(
     # ~half the EM time in a few hundred KB of matrices — defer to the
     # device, which re-runs them with identical convergence semantics.
     # Self-measuring: only tasks PROVEN slow pay the link.
-    # Default OFF on every backend: paired measurements on this host's
-    # tunnelled v5e (~10-40MB/s, ~25ms dispatch; ROADMAP round-3) show
-    # device escalation losing at every bound — the link is ~1000x
-    # slower than host memory bandwidth, so even the >=5000-iteration
-    # EM tail (the best compute/byte work in the pipeline) cannot pay
-    # for its transfers.  A PCIe/ICI-attached part clears the bar by
-    # orders of magnitude — enable with RPVG_TPU_EM_BOUND (and see
-    # parallel/linkprobe.py).
+    # Bounded escalation defaults ON (every backend): the escalated
+    # heavy tail re-runs REBATCHED across worker threads — paired
+    # measurements show a consistent win because one slot's heavy tasks
+    # no longer serialise on a single kernel thread.  Escalating to the
+    # DEVICE stays opt-in (lower RPVG_TPU_ESC_MIN_AREA): on this host's
+    # tunnelled v5e (~10-40MB/s, ~25ms dispatch; ROADMAP round-3) it
+    # loses at every bound — the link is ~1000x slower than host memory
+    # bandwidth, so even the >=5000-iteration EM tail (the best
+    # compute/byte work in the pipeline) cannot pay for its transfers;
+    # a PCIe/ICI-attached part clears the bar by orders of magnitude.
     em_bound = 0
     if not device_pos and em_area_cutoff == 0:
-        em_bound = int(os.environ.get("RPVG_TPU_EM_BOUND", "0"))
+        em_bound = int(os.environ.get("RPVG_TPU_EM_BOUND", "1024"))
 
     emit_matrices = estimator.num_gibbs_samples > 0
 
@@ -726,7 +728,7 @@ def _batched_haplotype_transcripts_fused(
     elif (
         em_bound > 0
         and len(meta) > 64
-        and os.environ.get("RPVG_TPU_EM_SPLIT", "1") != "0"
+        and os.environ.get("RPVG_TPU_EM_SPLIT", "0") == "1"
     ):
         # Bounded escalation with OVERLAP: the native pass splits into
         # the big-slot quarter (rank order = largest first, so it holds
@@ -735,7 +737,7 @@ def _batched_haplotype_transcripts_fused(
         # natively, hiding the link round trip under host compute.
         from .batching import dispatch_em_device
 
-        esc_min_area = int(os.environ.get("RPVG_TPU_ESC_MIN_AREA", 60_000))
+        esc_min_area = int(os.environ.get("RPVG_TPU_ESC_MIN_AREA", 10**12))
         cut = max(1, len(meta) // 4)
         for positions in (list(range(cut)), list(range(cut, len(meta)))):
             streams_h = native_call(positions, 0, em_bound)
@@ -935,7 +937,7 @@ def _process_nested_section(
             # tasks all sit on one thread there); the device only gets
             # sets big enough to amortise its ~25ms/chunk round trips.
             esc_min_area = int(
-                os.environ.get("RPVG_TPU_ESC_MIN_AREA", 60_000)
+                os.environ.get("RPVG_TPU_ESC_MIN_AREA", 10**12)
             )
             total_area = sum(m.size for m, _ in task_inputs)
             if stage_floor > 0 and total_area < esc_min_area:

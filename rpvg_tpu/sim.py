@@ -28,6 +28,9 @@ class SimulatedPanel:
     info: Dict[str, Tuple[str, List[str]]]
     node_lengths: Dict[int, int]
     path_nodes: List[List[Tuple[int, bool]]]
+    # variant-site metadata: allele node id -> ordered sibling allele
+    # node ids at the same site (used by the multipath-DAG simulator).
+    allele_siblings: Dict[int, List[int]] = None
 
     def write_graph_json(self, path: str) -> None:
         obj = {
@@ -85,6 +88,7 @@ def build_panel(
     path_names: List[str] = []
     path_nodes: List[List[Tuple[int, bool]]] = []
     info: Dict[str, Tuple[str, List[str]]] = {}
+    allele_siblings: Dict[int, List[int]] = {}
 
     for t in range(num_transcripts):
         exons = [new_node(exon_length) for _ in range(exons_per_transcript)]
@@ -96,6 +100,9 @@ def build_panel(
             [new_node(max(4, exon_length // 8)) for _ in range(num_haplotypes)]
             for _ in site_positions
         ]
+        for alleles in site_alleles:
+            for a in alleles:
+                allele_siblings[a] = alleles
 
         for h in range(num_haplotypes):
             nodes: List[Tuple[int, bool]] = []
@@ -113,7 +120,8 @@ def build_panel(
     paths_index = PathIndex.from_node_tuples(
         path_nodes, graph, names=path_names, bidirectional=bidirectional
     )
-    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
+    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths,
+                          path_nodes, allele_siblings)
 
 
 def build_gene_panel(
@@ -154,6 +162,7 @@ def build_gene_panel(
     path_names: List[str] = []
     path_nodes: List[List[Tuple[int, bool]]] = []
     info: Dict[str, Tuple[str, List[str]]] = {}
+    allele_siblings: Dict[int, List[int]] = {}
 
     for g in range(num_genes):
         exons = [new_node(exon_length) for _ in range(exons_per_gene)]
@@ -165,6 +174,9 @@ def build_gene_panel(
             e: [new_node(max(4, exon_length // 8)) for _ in range(num_haplotypes)]
             for e in site_exons
         }
+        for alleles in allele_of.values():
+            for a in alleles:
+                allele_siblings[a] = alleles
 
         n_iso = max(
             1, int(round(rng.lognormal(np.log(max(1.0, isoforms_per_gene)), 0.35)))
@@ -199,7 +211,8 @@ def build_gene_panel(
     paths_index = PathIndex.from_node_tuples(
         path_nodes, graph, names=path_names, bidirectional=bidirectional
     )
-    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths, path_nodes)
+    return SimulatedPanel(graph, paths_index, path_names, info, node_lengths,
+                          path_nodes, allele_siblings)
 
 
 def gene_abundances(
@@ -353,6 +366,138 @@ def _qual_adjusted_score(quals: np.ndarray, errs: np.ndarray) -> int:
     )
 
 
+MISMATCH_DELTA = 5  # match(+1) -> mismatch(-4), reference scoring
+
+
+def _multipath_dag_record(
+    panel: SimulatedPanel,
+    mappings: List[dict],
+    read_length: int,
+    mapq: int,
+    per_base_scores: Optional[np.ndarray],
+    quals: Optional[np.ndarray],
+) -> Optional[dict]:
+    """mpmap-shaped subpath DAG for a read: contiguous runs of
+    non-variant mappings become shared subpaths; each variant-site
+    mapping fans out into one subpath per allele, the true allele
+    scoring as matches and each sibling carrying a 1-base mismatch
+    penalty — the scored alternative alignments a real multipath
+    aligner reports over a pangenome bubble (what the reference's
+    multipath DFS + branch-and-bound exist for,
+    /root/reference/src/alignment_path_finder.cpp:685-806).
+
+    `per_base_scores`: per read position (match table values; error
+    positions already hold mismatch scores); None = score-only mode
+    (1/base).  Returns None when the read crosses no variant site (the
+    caller emits the plain single-subpath record)."""
+    siblings = panel.allele_siblings or {}
+    # Read-coordinate span per mapping.
+    spans = []
+    pos = 0
+    for m in mappings:
+        length = sum(e["to_length"] for e in m["edit"])
+        spans.append((pos, pos + length))
+        pos += length
+    if not any(
+        len(siblings.get(m["position"]["node_id"], ())) > 1 for m in mappings
+    ):
+        return None
+
+    def span_score(a: int, b: int) -> int:
+        if per_base_scores is None:
+            return b - a
+        return int(per_base_scores[a:b].sum())
+
+    def bonus(read_pos: int) -> int:
+        if quals is None:
+            return 5
+        from .scoring import QUAL_FULL_LENGTH_BONUSES
+
+        return int(QUAL_FULL_LENGTH_BONUSES[quals[read_pos]])
+
+    # Layers: each a list of subpath dicts; consecutive layers connect
+    # all-to-all (variant layers carry one subpath per allele).
+    layers: List[List[dict]] = []
+    run: List[dict] = []
+    run_start = None
+
+    def flush_run(run_end: int) -> None:
+        nonlocal run, run_start
+        if not run:
+            return
+        score = span_score(run_start, run_end)
+        if run_start == 0:
+            score += bonus(0)
+        if run_end == read_length:
+            score += bonus(read_length - 1)
+        layers.append([{"path": {"mapping": run}, "score": score}])
+        run = []
+        run_start = None
+
+    for m, (a, b) in zip(mappings, spans):
+        node = m["position"]["node_id"]
+        alleles = siblings.get(node, ())
+        if len(alleles) > 1:
+            flush_run(a)
+            base = span_score(a, b)
+            if a == 0:
+                base += bonus(0)
+            if b == read_length:
+                base += bonus(read_length - 1)
+            layer = []
+            for allele in alleles:
+                if allele == node:
+                    layer.append({"path": {"mapping": [m]}, "score": base})
+                    continue
+                # Sibling allele: same walk through the sibling node,
+                # one mismatched base at the site (first covered base).
+                alt = {
+                    "position": dict(m["position"], node_id=allele),
+                    "edit": [],
+                }
+                covered = b - a
+                alt["edit"].append(
+                    {"from_length": 1, "to_length": 1, "sequence": "C"}
+                )
+                if covered > 1:
+                    alt["edit"].append(
+                        {"from_length": covered - 1, "to_length": covered - 1}
+                    )
+                if per_base_scores is None:
+                    delta = MISMATCH_DELTA
+                else:
+                    from .scoring import QUAL_MATCH_SCORES, QUAL_SCORE_TENSOR
+
+                    q = quals[a]
+                    delta = int(QUAL_MATCH_SCORES[q]) - int(
+                        QUAL_SCORE_TENSOR[q, 0, 1]
+                    )
+                layer.append({"path": {"mapping": [alt]}, "score": base - delta})
+            layers.append(layer)
+        else:
+            if not run:
+                run_start = a
+            run.append(m)
+    flush_run(read_length)
+
+    subpaths: List[dict] = []
+    layer_index: List[List[int]] = []
+    for layer in layers:
+        idxs = []
+        for sp in layer:
+            idxs.append(len(subpaths))
+            subpaths.append(sp)
+        layer_index.append(idxs)
+    for prev, nxt in zip(layer_index, layer_index[1:]):
+        for i in prev:
+            subpaths[i]["next"] = list(nxt)
+    return {
+        "mapping_quality": mapq,
+        "start": list(layer_index[0]),
+        "subpath": subpaths,
+    }
+
+
 def simulate_read_pairs(
     panel: SimulatedPanel,
     num_pairs: int,
@@ -365,6 +510,7 @@ def simulate_read_pairs(
     as_multipath: bool = True,
     with_qualities: bool = False,
     with_errors: bool = False,
+    multipath_dag: bool = False,
 ) -> Tuple[List[dict], np.ndarray]:
     """Simulate paired-end fragments; returns (records, true per-path
     fragment counts).  Records are interleaved protobuf-JSON dicts
@@ -374,7 +520,13 @@ def simulate_read_pairs(
     `with_errors` produces the reference's DEFAULT regime (quality-
     adjusted scoring, src/main.cpp:385): Illumina-shaped per-base
     qualities, quality-driven sequencing errors as mismatch edits, and
-    quality-adjusted alignment scores."""
+    quality-adjusted alignment scores.
+
+    `multipath_dag` emits mpmap-shaped subpath DAGs for reads crossing
+    variant sites: scored alternative subpaths over every allele of the
+    bubble (1-base mismatch penalty on the non-sampled alleles), so the
+    projection's multipath DFS weighs soft evidence exactly as with
+    real aligner output."""
     rng = np.random.default_rng(seed)
     num_paths = len(panel.path_names)
     if abundances is None:
@@ -447,6 +599,15 @@ def simulate_read_pairs(
                 read["sequence"] = "".join(
                     "C" if e else "A" for e in errs
                 )
+                if multipath_dag:
+                    from .scoring import QUAL_MATCH_SCORES, QUAL_SCORE_TENSOR
+
+                    read["_dag_scores"] = np.where(
+                        errs,
+                        QUAL_SCORE_TENSOR[quals, 0, 1].astype(np.int64),
+                        QUAL_MATCH_SCORES[quals].astype(np.int64),
+                    )
+                    read["_dag_quals"] = quals
         elif with_qualities:
             import base64
 
@@ -456,14 +617,26 @@ def simulate_read_pairs(
 
         for read in (read_1, read_2):
             if as_multipath:
-                record = {
-                    "sequence": read["sequence"],
-                    "mapping_quality": read["mapping_quality"],
-                    "start": [0],
-                    "subpath": [
-                        {"path": {"mapping": read["mapping"]}, "score": read["score"]}
-                    ],
-                }
+                record = None
+                if multipath_dag:
+                    record = _multipath_dag_record(
+                        panel, read["mapping"], read_length,
+                        read["mapping_quality"],
+                        read.get("_dag_scores"), read.get("_dag_quals"),
+                    )
+                    if record is not None:
+                        record["sequence"] = read["sequence"]
+                        if "quality" in read:
+                            record["quality"] = read["quality"]
+                if record is None:
+                    record = {
+                        "sequence": read["sequence"],
+                        "mapping_quality": read["mapping_quality"],
+                        "start": [0],
+                        "subpath": [
+                            {"path": {"mapping": read["mapping"]}, "score": read["score"]}
+                        ],
+                    }
             else:
                 record = {
                     "sequence": read["sequence"],

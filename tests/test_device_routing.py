@@ -123,3 +123,66 @@ def test_gene_panel_variant_configs(gene_dataset, opts):
     count_col = header.index("ReadCount")
     total = sum(float(r[count_col]) for r in rows)
     assert total > 0
+
+
+def test_multipath_dag_projection_soft_evidence(gene_dataset):
+    """mpmap-shaped DAG records: a variant-crossing read projects to its
+    true haplotype at full score AND to every sibling haplotype at a
+    1-base mismatch penalty (-5 = match 1 -> mismatch -4), through both
+    projection engines — the soft allele evidence the reference's
+    multipath DFS weighs (alignment_path_finder.cpp:685-806)."""
+    from rpvg_tpu import sim
+    from rpvg_tpu.alignments import parse_multipath_alignment
+    from tests.helpers import build_index, locate_ids
+
+    panel = gene_dataset["panel"]
+    recs, _ = sim.simulate_read_pairs(
+        panel, 400, read_length=90, frag_mean=220, frag_sd=20, seed=23,
+        multipath_dag=True,
+    )
+    singles, _ = sim.simulate_read_pairs(
+        panel, 400, read_length=90, frag_mean=220, frag_sd=20, seed=23,
+    )
+    dag_pairs = [
+        (i, parse_multipath_alignment(recs[2 * i]), parse_multipath_alignment(recs[2 * i + 1]))
+        for i in range(200)
+        if len(recs[2 * i].get("subpath", [])) > 1
+        or len(recs[2 * i + 1].get("subpath", [])) > 1
+    ]
+    assert dag_pairs, "no variant-crossing fragments simulated"
+
+    import sys as _sys
+
+    _sys.path.insert(0, str(__import__("pathlib").Path(__file__).parent))
+    from test_projection_partial import make_finder
+
+    checked = 0
+    for engine in ("python", "native"):
+        # Partials off: every candidate is a full-length walk, so score
+        # deltas are exact multiples of the per-site mismatch penalty.
+        finder = make_finder(
+            panel.paths_index, max_partial_offset=0, engine=engine,
+            min_best_score_filter=0.0, score_not_qual=True,
+        )
+        for i, a, b in dag_pairs[:20]:
+            sa = parse_multipath_alignment(singles[2 * i])
+            sb = parse_multipath_alignment(singles[2 * i + 1])
+            dag_paths = finder.find_paired_alignment_paths(a, b)
+            single_paths = finder.find_paired_alignment_paths(sa, sb)
+            best_single = max(p.score_sum for p in single_paths)
+            by_score = {}
+            for p in dag_paths:
+                if p.frag_length == 0:
+                    continue
+                for pid in locate_ids(panel.paths_index, p):
+                    by_score.setdefault(int(pid), p.score_sum)
+            # The true haplotype keeps the full single-record score.
+            assert max(by_score.values()) == best_single
+            # Sibling haplotypes appear at >= 1 mismatch penalty below.
+            penalised = [s for s in by_score.values() if s < best_single]
+            if penalised:
+                assert all(
+                    (best_single - s) % sim.MISMATCH_DELTA == 0 for s in penalised
+                )
+                checked += 1
+    assert checked > 0

@@ -41,6 +41,7 @@ def evaluate(
     with_errors: bool = False,
     score_not_qual: bool = True,
     gene_panel: bool = False,
+    multipath_dag: bool = False,
 ):
     """Returns {model: metrics} for the two abundance models.
 
@@ -105,6 +106,7 @@ def evaluate(
     records, true_counts = sim.simulate_read_pairs(
         panel, num_pairs, read_length=100, frag_mean=250, frag_sd=25,
         abundances=abundances, seed=seed + 2, with_errors=with_errors,
+        multipath_dag=multipath_dag,
     )
 
     out_dir = tempfile.mkdtemp(prefix="rpvg_acc_")
@@ -174,11 +176,15 @@ def main() -> int:
         "--gene-panel", action="store_true",
         help="gene-structured panel (isoforms sharing exons)",
     )
+    parser.add_argument(
+        "--multipath-dag", action="store_true",
+        help="mpmap-shaped subpath DAGs with scored allele alternatives",
+    )
     args = parser.parse_args()
     results = evaluate(
         args.pairs, args.transcripts, args.seed,
         with_errors=args.qual, score_not_qual=not args.qual,
-        gene_panel=args.gene_panel,
+        gene_panel=args.gene_panel, multipath_dag=args.multipath_dag,
     )
     for model, metrics in results.items():
         line = " ".join(f"{key}={value:.4f}" for key, value in metrics.items())
