@@ -54,10 +54,13 @@ def test_gene_panel_haplotype_model_beats_transcripts_on_false_mass():
     diplotype per gene, the haplotype-aware nested model must place
     less mass on unexpressed haplotypes than the plain transcripts
     model — the reference paper's core claim, reproduced under the
-    quality-adjusted error regime."""
+    FULL realism regime: quality-driven sequencing errors,
+    quality-adjusted scoring, and mpmap-shaped multipath DAGs with
+    scored allele alternatives."""
     results = evaluate(
         num_pairs=12000, num_transcripts=420, seed=11,
         with_errors=True, score_not_qual=False, gene_panel=True,
+        multipath_dag=True,
     )
     nested = results["haplotype-transcripts"]
     plain = results["transcripts"]
