@@ -263,3 +263,57 @@ def test_pipeline_from_binary_gamp_matches_json(tmp_path):
         with open(prefix + ".txt", "rb") as handle:
             outputs[label] = handle.read()
     assert outputs["binary"] == outputs["json"]
+
+
+def test_multipath_dag_roundtrip_and_binary_pipeline(tmp_path):
+    """mpmap-shaped subpath DAGs (multi-subpath, next connections,
+    scored allele alternatives) survive the binary .gamp wire codec and
+    drive the pipeline byte-identically to the JSON route."""
+    from rpvg_tpu import sim
+    from rpvg_tpu.pipeline import PipelineConfig, run_pipeline
+
+    panel = sim.build_gene_panel(
+        num_genes=10, isoforms_per_gene=4, num_haplotypes=4,
+        exons_per_gene=6, exon_length=60, variant_sites=2, seed=5,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=21,
+        multipath_dag=True, with_errors=True,
+    )
+    dag_records = [r for r in records if len(r.get("subpath", [])) > 1]
+    assert dag_records, "no DAG records simulated"
+    import base64
+
+    for rec in dag_records[:5]:
+        wire = dict(rec)
+        if isinstance(wire.get("quality"), str):
+            wire["quality"] = base64.b64decode(wire["quality"])
+        out = vgproto.decode_multipath_alignment(
+            vgproto.encode_multipath_alignment(wire)
+        )
+        # The decoder normalises absent defaults; compare the DAG shape.
+        assert len(out["subpath"]) == len(rec["subpath"])
+        assert out["start"] == rec["start"]
+        for a, b in zip(out["subpath"], rec["subpath"]):
+            assert a.get("next", []) == b.get("next", [])
+            assert a.get("score", 0) == b.get("score", 0)
+
+    json_aln = str(tmp_path / "aln.json")
+    gamp_aln = str(tmp_path / "aln.gamp")
+    info = str(tmp_path / "info.tsv")
+    sim.write_alignment_json(records, json_aln)
+    write_gam_dicts(gamp_aln, records, is_multipath=True)
+    panel.write_info_tsv(info)
+    outputs = {}
+    for label, alns in (("json", json_aln), ("binary", gamp_aln)):
+        prefix = str(tmp_path / f"dag_{label}")
+        run_pipeline(
+            PipelineConfig(
+                graph=panel.graph, paths=panel.paths_index, alignments=alns,
+                output_prefix=prefix, inference_model="haplotype-transcripts",
+                path_info=info, threads=2, rng_seed=42,
+                frag_mean=150.0, frag_sd=12.0,
+            )
+        )
+        outputs[label] = open(prefix + ".txt", "rb").read()
+    assert outputs["json"] == outputs["binary"]
