@@ -2433,23 +2433,32 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
 // nested kernel call these same compiled bodies (noinline), so their
 // results are bitwise identical regardless of caller-specific codegen
 // (FP contraction may otherwise differ between inlined copies).
-// Returns true when the convergence contract (10 consecutive iterations
-// under `conv`) was met within max_its — callers running with a bounded
-// iteration budget use this to escalate slow-converging tasks to the
-// device (the EM time distribution is heavy-tailed: a handful of tasks
-// run thousands of iterations and dominate the host inference phase).
-__attribute__((noinline)) static bool em_fixed_point_one(
+// Returns the consecutive-converged-iteration counter at exit
+// (>= MIN_CONV_ITS means the convergence contract was met within
+// max_its) — callers running with a bounded iteration budget use this
+// to escalate slow-converging tasks (the EM time distribution is
+// heavy-tailed: a handful of tasks run thousands of iterations and
+// dominate the host inference phase), and a resumed run continuing
+// from (abund, counter) is bitwise identical to an uninterrupted one
+// (the fixed-point iteration is memoryless given its state).
+// init_conv_its < 0 starts fresh (uniform abundances); >= 0 resumes
+// from the caller-provided abund.
+__attribute__((noinline)) static int32_t em_fixed_point_one(
     const double* P, const double* counts, int64_t R, int64_t C,
     int64_t max_its, double conv, std::vector<double>& abund,
-    std::vector<double>& fresh) {
+    std::vector<double>& fresh, int32_t init_conv_its = -1) {
   constexpr double MIN_ABUNDANCE = 1e-8;
   constexpr int32_t MIN_CONV_ITS = 10;
   double total = 0.0;
   for (int64_t r = 0; r < R; ++r) total += counts[r];
   const double denom = std::max(total, 1.0);
-  abund.assign(C, 1.0 / static_cast<double>(C));
-  fresh.assign(C, 0.0);
   int32_t conv_its = 0;
+  if (init_conv_its >= 0) {
+    conv_its = init_conv_its;
+  } else {
+    abund.assign(C, 1.0 / static_cast<double>(C));
+  }
+  fresh.assign(C, 0.0);
   for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
     std::fill(fresh.begin(), fresh.end(), 0.0);
     for (int64_t r = 0; r < R; ++r) {
@@ -2472,7 +2481,7 @@ __attribute__((noinline)) static bool em_fixed_point_one(
     conv_its = has_conv ? conv_its + 1 : 0;
     std::swap(abund, fresh);
   }
-  return conv_its >= MIN_CONV_ITS;
+  return conv_its;
 }
 
 
@@ -2656,14 +2665,17 @@ void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
 // cluster C_b-1 path read counts (floored mass folded to noise) and a
 // noise count.  out_counts_concat is laid out at col_offsets[b] - b
 // (each cluster is one narrower than its fraction vector).
-void rpvg_em_ragged_counts(const double* probs_concat,
-                           const double* counts_concat,
-                           const int64_t* mat_offsets,
-                           const int64_t* row_offsets,
-                           const int64_t* col_offsets, const int64_t* n_rows,
-                           const int64_t* n_cols, int64_t n_clusters,
-                           int64_t max_its, double conv, int32_t n_threads,
-                           double* out_counts_concat, double* out_noise) {
+void rpvg_em_ragged_counts_resume(
+    const double* probs_concat, const double* counts_concat,
+    const int64_t* mat_offsets, const int64_t* row_offsets,
+    const int64_t* col_offsets, const int64_t* n_rows,
+    const int64_t* n_cols, int64_t n_clusters, int64_t max_its, double conv,
+    int32_t n_threads, const double* init_fracs_concat,
+    const int64_t* init_conv_its, double* out_counts_concat,
+    double* out_noise) {
+  // Warm-start variant: init_fracs_concat (CSR by col_offsets) + the
+  // per-cluster convergence counters resume a bounded run
+  // bitwise-identically (null inits = fresh uniform start).
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> abund, fresh;
@@ -2674,7 +2686,14 @@ void rpvg_em_ragged_counts(const double* probs_concat,
       const int64_t C = n_cols[b];
       const double* P = probs_concat + mat_offsets[b];
       const double* counts = counts_concat + row_offsets[b];
-      em_fixed_point_one(P, counts, R, C, max_its, conv, abund, fresh);
+      int32_t init_conv = -1;
+      if (init_fracs_concat != nullptr) {
+        abund.assign(init_fracs_concat + col_offsets[b],
+                     init_fracs_concat + col_offsets[b + 1]);
+        init_conv = static_cast<int32_t>(init_conv_its[b]);
+      }
+      em_fixed_point_one(P, counts, R, C, max_its, conv, abund, fresh,
+                         init_conv);
       double total = 0.0;
       for (int64_t r = 0; r < R; ++r) total += counts[r];
       em_postprocess_one(abund.data(), C, total,
@@ -2691,6 +2710,20 @@ void rpvg_em_ragged_counts(const double* probs_concat,
     for (int32_t t = 0; t < threads; ++t) pool.emplace_back(worker);
     for (auto& th : pool) th.join();
   }
+}
+
+void rpvg_em_ragged_counts(const double* probs_concat,
+                           const double* counts_concat,
+                           const int64_t* mat_offsets,
+                           const int64_t* row_offsets,
+                           const int64_t* col_offsets, const int64_t* n_rows,
+                           const int64_t* n_cols, int64_t n_clusters,
+                           int64_t max_its, double conv, int32_t n_threads,
+                           double* out_counts_concat, double* out_noise) {
+  rpvg_em_ragged_counts_resume(
+      probs_concat, counts_concat, mat_offsets, row_offsets, col_offsets,
+      n_rows, n_cols, n_clusters, max_its, conv, n_threads, nullptr, nullptr,
+      out_counts_concat, out_noise);
 }
 
 }  // extern "C"
@@ -3424,6 +3457,11 @@ struct SlotStreams {
   std::vector<double> fracs;
   std::vector<double> mats;
   std::vector<double> cnts;
+  // Bounded-EM escalation state (one entry per has_fracs==0 task when
+  // em_bound_its is active): the exit abundances + convergence counter
+  // so the rebatched resume continues bitwise-identically.
+  std::vector<double> esc_fracs;
+  std::vector<int64_t> esc_conv;
   // Combine outputs (valid when `combined`): the finished per-cluster
   // estimate — group sets, posteriors, abundances, noise count.
   uint8_t combined = 0;
@@ -3590,12 +3628,23 @@ uint8_t* rpvg_nested_diploid_infer(
         out.kept.push_back(kept);
         bool run_em =
             em_area_cutoff <= 0 || kept * width < em_area_cutoff;
+        bool escalated = false;
         if (run_em) {
-          const bool converged = em_fixed_point_one(
+          const int32_t conv_its = em_fixed_point_one(
               tmat.data(), tcnt.data(), kept, width, em_budget, em_conv,
               abund, fresh);
-          if (!converged && em_budget < max_em_its) run_em = false;
+          if (conv_its < 10 && em_budget < max_em_its) {
+            run_em = false;
+            escalated = true;
+            // Emit the bounded EM's exit state so the rebatched resume
+            // continues bitwise-identically instead of re-running the
+            // budget from scratch.
+            out.esc_fracs.insert(out.esc_fracs.end(), abund.begin(),
+                                 abund.begin() + width);
+            out.esc_conv.push_back(conv_its);
+          }
         }
+        (void)escalated;
         out.has_fracs.push_back(run_em ? 1 : 0);
         if (run_em) {
           out.fracs.insert(out.fracs.end(), abund.begin(), abund.begin() + width);
@@ -3655,6 +3704,7 @@ uint8_t* rpvg_nested_diploid_infer(
   int64_t n_tasks_total = 0, collapsed_total = 0, fracs_total = 0;
   int64_t mat_total = 0, cnt_total = 0;
   int64_t sets_total = 0, set_ids_total = 0;
+  int64_t esc_fracs_total = 0, esc_conv_total = 0;
   for (const auto& s : slots) {
     n_tasks_total += static_cast<int64_t>(s.subset_prob.size());
     collapsed_total += static_cast<int64_t>(s.collapsed.size());
@@ -3663,11 +3713,14 @@ uint8_t* rpvg_nested_diploid_infer(
     cnt_total += static_cast<int64_t>(s.cnts.size());
     sets_total += static_cast<int64_t>(s.set_lens.size());
     set_ids_total += static_cast<int64_t>(s.set_ids.size());
+    esc_fracs_total += static_cast<int64_t>(s.esc_fracs.size());
+    esc_conv_total += static_cast<int64_t>(s.esc_conv.size());
   }
   const size_t total_bytes =
       16 + n_slots * 16 + n_tasks_total * 25 + 8 + collapsed_total * 16 +
       8 + fracs_total * 8 + 16 + mat_total * 8 + cnt_total * 8 +
-      n_slots * 17 + 16 + sets_total * 16 + set_ids_total * 16;
+      n_slots * 17 + 16 + sets_total * 16 + set_ids_total * 16 +
+      16 + esc_fracs_total * 8 + esc_conv_total * 8;
   auto* buf = static_cast<uint8_t*>(std::malloc(total_bytes));
   size_t off = 0;
   auto put_i64 = [&](int64_t v) {
@@ -3708,6 +3761,12 @@ uint8_t* rpvg_nested_diploid_infer(
   put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.set_ids; }, 8);
   put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.set_posteriors; }, 8);
   put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.set_abundances; }, 8);
+  // Bounded-EM escalation state (appended last; width-per-task implied
+  // by the deferred tasks' n_col+1 in stream order).
+  put_i64(esc_fracs_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<double>& { return s.esc_fracs; }, 8);
+  put_i64(esc_conv_total);
+  put_stream([](const nested::SlotStreams& s) -> const std::vector<int64_t>& { return s.esc_conv; }, 8);
   *out_len = static_cast<int64_t>(off);
   return buf;
 }

@@ -943,8 +943,21 @@ def _process_nested_section(
             if stage_floor > 0 and total_area < esc_min_area:
                 from .batching import run_native_em
 
+                # Resume from the bounded run's exit state (emitted by
+                # the kernel): bitwise-identical to an uninterrupted
+                # run, without re-paying the stage_floor iterations.
+                resume = None
+                remaining_its = estimator.max_em_its
+                esc_conv = streams.get("esc_conv")
+                if esc_conv is not None and esc_conv.size == device_tasks.size:
+                    widths = n_col_arr[device_tasks] + 1
+                    esc_fracs = streams["esc_fracs"]
+                    if esc_fracs.size == int(widths.sum()):
+                        resume = (esc_fracs, esc_conv)
+                        remaining_its = max(1, estimator.max_em_its - stage_floor)
                 device_results = run_native_em(
-                    task_inputs, estimator.max_em_its, estimator.max_rel_em_conv
+                    task_inputs, remaining_its, estimator.max_rel_em_conv,
+                    resume_state=resume,
                 )
             else:
                 device_results = run_batched_em(

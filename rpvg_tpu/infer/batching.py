@@ -55,11 +55,17 @@ def run_native_em(
     max_em_its: int,
     max_rel_em_conv: float,
     n_threads: int = 0,
+    resume_state=None,
 ) -> List[Tuple[np.ndarray, float]]:
     """Ragged batched EM through the C++ kernel (CPU speed path): no
     padding, no shape buckets, per-cluster loops on worker threads —
     bitwise identical to calling the kernel per cluster.  Returns the
-    same (path read counts, noise count) contract as run_batched_em."""
+    same (path read counts, noise count) contract as run_batched_em.
+
+    `resume_state`: optional (init_fracs list (C_i+... = width per
+    cluster), conv_its array) — continues a bounded run from its exit
+    state bitwise-identically (escalated tasks skip re-running the
+    budget)."""
     import ctypes
     import os
 
@@ -96,21 +102,33 @@ def run_native_em(
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     if not getattr(lib, "_em_counts_configured", False):
-        lib.rpvg_em_ragged_counts.restype = None
-        lib.rpvg_em_ragged_counts.argtypes = [
+        lib.rpvg_em_ragged_counts_resume.restype = None
+        lib.rpvg_em_ragged_counts_resume.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_int64), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_double, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int64),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
         ]
         lib._em_counts_configured = True
-    lib.rpvg_em_ragged_counts(
+    init_fracs_ptr = ctypes.POINTER(ctypes.c_double)()
+    init_conv_ptr = ctypes.POINTER(ctypes.c_int64)()
+    if resume_state is not None:
+        init_fracs, init_conv = resume_state
+        init_fracs = np.ascontiguousarray(init_fracs, dtype=np.float64)
+        init_conv = np.ascontiguousarray(init_conv, dtype=np.int64)
+        assert init_fracs.size == int(col_offsets[-1])
+        assert init_conv.size == n
+        init_fracs_ptr = as_f64(init_fracs)
+        init_conv_ptr = as_i64(init_conv)
+    lib.rpvg_em_ragged_counts_resume(
         as_f64(probs_concat), as_f64(counts_concat),
         as_i64(mat_offsets), as_i64(row_offsets), as_i64(col_offsets),
         as_i64(n_rows), as_i64(n_cols), n,
         int(max_em_its), float(max_rel_em_conv), int(n_threads),
+        init_fracs_ptr, init_conv_ptr,
         as_f64(out_counts), as_f64(out_noise),
     )
 

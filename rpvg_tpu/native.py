@@ -1099,6 +1099,10 @@ def nested_diploid_infer(
     streams["set_ids"] = take_sized(np.int64)
     streams["set_posteriors"] = take(np.float64, streams["set_lens"].size)
     streams["set_abundances"] = take(np.float64, streams["set_ids"].size)
+    # Bounded-EM escalation exit state (one entry per deferred task in
+    # stream order when em_bound_its was active).
+    streams["esc_fracs"] = take_sized(np.float64)
+    streams["esc_conv"] = take_sized(np.int64)
     return streams
 
 
