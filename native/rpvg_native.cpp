@@ -22,6 +22,7 @@
 #include <random>
 #include <limits>
 #include <string>
+#include <string_view>
 #include <thread>
 #include <map>
 #include <functional>
@@ -86,6 +87,11 @@ static bool prof_on() {
 static uint64_t prof_now() {
   timespec ts;
   clock_gettime(CLOCK_THREAD_CPUTIME_ID, &ts);
+  return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
+}
+static uint64_t prof_wall() {
+  timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
   return static_cast<uint64_t>(ts.tv_sec) * 1000000000ull + ts.tv_nsec;
 }
 
@@ -2318,18 +2324,87 @@ extern "C" {
 uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
                                    int64_t* out_len, int32_t n_threads) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
-  fidx->merge_workers();
+  const bool prof = prof_on();
+  uint64_t tp0 = prof ? prof_wall() : 0;
   const Index& idx = *static_cast<Index*>(index_handle);
-  const int64_t n = static_cast<int64_t>(fidx->entries.size());
 
-  // Entry order = map iteration order (deterministic for a given input
-  // sequence); collect pointers so the locate pass can run threaded
-  // over contiguous ranges without touching the order.
-  std::vector<std::pair<const std::string*, uint64_t>> entry_list;
-  entry_list.reserve(n);
-  for (const auto& [key, count] : fidx->entries) {
-    entry_list.emplace_back(&key, count);
+  // Merge the per-worker dedup maps hash-sharded in parallel: shard s
+  // owns the keys whose (cheap content-derived) mix lands on s, so the
+  // same fragment list always merges in one shard regardless of which
+  // workers saw it.  Entry order = shard 0..S-1, within a shard the
+  // first-seen scan order over worker maps — deterministic for a given
+  // input and thread count; downstream consumers canonicalise row
+  // order anyway (collapse sorts rows), which the cross-worker-count
+  // byte-identity tests pin.  Keys stay owned by the worker maps (not
+  // cleared) so entry pointers remain valid for the locate pass.
+  const int32_t merge_shards = std::max(
+      1, std::min<int32_t>(n_threads > 0 ? n_threads : 1, 16));
+  std::vector<std::vector<std::pair<const std::string*, uint64_t>>>
+      shard_lists(merge_shards);
+  {
+    // Worker maps plus any legacy pre-merged content.
+    std::vector<const std::unordered_map<std::string, uint64_t>*> sources;
+    if (!fidx->entries.empty()) sources.push_back(&fidx->entries);
+    for (const auto& local : fidx->worker_entries) sources.push_back(&local);
+
+    auto shard_of = [merge_shards](const std::string& key) -> int32_t {
+      // First path's node id (bytes 4..12) carries the entropy; the
+      // serialized prefix (path count) does not.
+      uint64_t x = static_cast<uint64_t>(key.size());
+      if (key.size() >= 12) {
+        uint64_t node;
+        std::memcpy(&node, key.data() + 4, 8);
+        x ^= node;
+      }
+      x *= 0x9e3779b97f4a7c15ull;
+      x ^= x >> 32;
+      return static_cast<int32_t>(x % static_cast<uint64_t>(merge_shards));
+    };
+
+    size_t total_src = 0;
+    for (const auto* src : sources) total_src += src->size();
+    auto merge_shard = [&](int32_t s) {
+      auto& list = shard_lists[s];
+      list.reserve(total_src / merge_shards + 16);
+      std::unordered_map<std::string_view, size_t> seen;
+      seen.reserve(total_src / merge_shards + 16);
+      for (const auto* src : sources) {
+        for (const auto& [key, count] : *src) {
+          if (shard_of(key) != s) continue;
+          auto [it, inserted] =
+              seen.emplace(std::string_view(key), list.size());
+          if (inserted) {
+            list.emplace_back(&key, count);
+          } else {
+            list[it->second].second += count;
+          }
+        }
+      }
+    };
+    if (merge_shards == 1) {
+      merge_shard(0);
+    } else {
+      std::vector<std::thread> pool;
+      pool.reserve(merge_shards);
+      for (int32_t s = 0; s < merge_shards; ++s)
+        pool.emplace_back(merge_shard, s);
+      for (auto& th : pool) th.join();
+    }
   }
+
+  std::vector<std::pair<const std::string*, uint64_t>> entry_list;
+  {
+    size_t total = 0;
+    for (const auto& list : shard_lists) total += list.size();
+    entry_list.reserve(total);
+    for (auto& list : shard_lists) {
+      entry_list.insert(entry_list.end(), list.begin(), list.end());
+      list.clear();
+      list.shrink_to_fit();
+    }
+  }
+  const int64_t n = static_cast<int64_t>(entry_list.size());
+  uint64_t tp1 = prof ? prof_wall() : 0;
 
   std::vector<uint64_t> counts(n);
   std::vector<int64_t> anchors(n);
@@ -2377,6 +2452,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
     }
   };
 
+  uint64_t tp2 = prof ? prof_wall() : 0;
   if (threads == 1) {
     process_range(0);
   } else {
@@ -2385,6 +2461,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
     for (int32_t t = 0; t < threads; ++t) pool.emplace_back(process_range, t);
     for (auto& th : pool) th.join();
   }
+  uint64_t tp3 = prof ? prof_wall() : 0;
 
   std::vector<int64_t> all_ids;
   {
@@ -2422,6 +2499,14 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   *out_len = static_cast<int64_t>(w.buf.size());
   auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
   std::memcpy(out, w.buf.data(), w.buf.size());
+  if (prof) {
+    std::fprintf(stderr,
+                 "  [native-prof] dump wall: merge %.3fs locate %.3fs "
+                 "serialize %.3fs (%lld entries, %zu bytes)\n",
+                 (tp1 - tp0) * 1e-9, (tp3 - tp2) * 1e-9,
+                 (prof_wall() - tp3) * 1e-9,
+                 static_cast<long long>(n), w.buf.size());
+  }
   return out;
 }
 

@@ -1240,22 +1240,33 @@ def _merge_nested_columnar(estimator, col_parts) -> None:
     if not parts:
         estimator._columnar_outputs = None
         return
-    order = sorted(
-        ((ci, pi, slot) for pi, p in enumerate(parts) for slot, ci in enumerate(p["meta"])),
-    )
-    meta = [ci for ci, _, _ in order]
-    combined = np.array(
-        [parts[pi]["combined"][slot] for _, pi, slot in order], dtype=bool
-    )
-    n_sets = np.array(
-        [parts[pi]["n_sets"][slot] for _, pi, slot in order], dtype=np.int64
-    )
     if len(parts) == 1:
+        # Single section: cluster ids are unique, so the (ci, pi, slot)
+        # tuple sort reduces to one argsort over the meta array.
+        meta_arr = np.asarray(parts[0]["meta"], dtype=np.int64)
+        perm = np.argsort(meta_arr)
+        meta = meta_arr[perm].tolist()
+        combined = np.asarray(parts[0]["combined"], dtype=bool)[perm]
+        n_sets = np.asarray(parts[0]["n_sets"], dtype=np.int64)[perm]
         set_lens = parts[0]["set_lens"]
         set_ids = parts[0]["set_ids"]
         set_posteriors = parts[0]["set_posteriors"]
         set_abundances = parts[0]["set_abundances"]
     else:
+        order = sorted(
+            (
+                (ci, pi, slot)
+                for pi, p in enumerate(parts)
+                for slot, ci in enumerate(p["meta"])
+            ),
+        )
+        meta = [ci for ci, _, _ in order]
+        combined = np.array(
+            [parts[pi]["combined"][slot] for _, pi, slot in order], dtype=bool
+        )
+        n_sets = np.array(
+            [parts[pi]["n_sets"][slot] for _, pi, slot in order], dtype=np.int64
+        )
         # Only combined slots own stream segments; they must land in
         # merged meta order.  Gather each combined slot's segment.
         lens_segs, post_segs, ids_segs, ab_segs = [], [], [], []

@@ -1038,7 +1038,7 @@ def run_inference_phases(
         sort_idx = np.argsort(entry_cluster, kind="stable")
         entry_idx_per_cluster = np.split(sort_idx, np.cumsum(cluster_sizes)[:-1])
         per_cluster = None
-        size_of = lambda c: int(cluster_sizes[c])  # noqa: E731
+        all_sizes = cluster_sizes
     else:
         fragment_lists = fragment_index.lists()
         located_entries = bool(fragment_lists) and hasattr(fragment_lists[0][0], "anchor")
@@ -1050,7 +1050,9 @@ def run_inference_phases(
         if config.path_node_cluster or collapse_haps:
             clusters.add_node_clusters(paths_index)
         per_cluster = partition_fragments(paths_index, clusters, fragment_lists)
-        size_of = lambda c: len(per_cluster[c])  # noqa: E731
+        all_sizes = np.fromiter(
+            (len(fl) for fl in per_cluster), np.int64, len(per_cluster)
+        )
     log(f"Clustered alignment paths ({time.perf_counter() - t_phase:.2f}s, {_mem_gb():.2f}GB)")
 
     haplotype_info = None
@@ -1064,11 +1066,10 @@ def run_inference_phases(
     # Clusters processed largest-first (reference sorts by fragment count
     # for load balance; the rank also seeds the per-cluster RNG and
     # becomes the output ClusterID).
-    order = sorted(
-        range(clusters.num_clusters()),
-        key=lambda c: (size_of(c), c),
-        reverse=True,
-    )
+    # (np.lexsort ascending by (size, index), reversed == sorting
+    # (size, index) tuples descending — the reference's largest-first
+    # schedule with descending-index tie-break.)
+    order = np.lexsort((np.arange(all_sizes.size), all_sizes))[::-1].tolist()
     # Multi-host split: each host owns a strided subset of cluster RANKS
     # (rank, not index, drives the RNG and the output cluster id, so the
     # union across hosts reproduces the single-host run exactly).
