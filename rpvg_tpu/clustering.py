@@ -127,7 +127,26 @@ class PathClusters:
         # Stable argsort keeps member ids ascending within each cluster.
         order = np.argsort(self.path_to_cluster, kind="stable")
         sizes = np.bincount(self.path_to_cluster, minlength=uniq.size)
+        self._member_order = order
+        self._member_bounds = np.zeros(sizes.size + 1, dtype=np.int64)
+        np.cumsum(sizes, out=self._member_bounds[1:])
         self.cluster_to_paths = np.split(order, np.cumsum(sizes)[:-1])
+
+    def members_concat(self, cluster_order: Sequence[int]):
+        """Member path ids of the given clusters concatenated in that
+        cluster order, plus per-cluster offsets — one vectorised ranges
+        gather over the argsort base (equivalent to concatenating
+        cluster_to_paths[ci] per ci, without 1 array per cluster)."""
+        cluster_order = np.asarray(cluster_order, dtype=np.int64)
+        starts = self._member_bounds[cluster_order]
+        lens = self._member_bounds[cluster_order + 1] - starts
+        offsets = np.zeros(cluster_order.size + 1, dtype=np.int64)
+        np.cumsum(lens, out=offsets[1:])
+        if offsets[-1] == 0:
+            return np.empty(0, dtype=np.int64), offsets
+        idx = np.arange(offsets[-1], dtype=np.int64)
+        idx += np.repeat(starts - offsets[:-1], lens)
+        return self._member_order[idx], offsets
 
     def num_clusters(self) -> int:
         return len(self.cluster_to_paths)

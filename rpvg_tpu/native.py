@@ -238,6 +238,62 @@ class LocatedPaths:
         self.ids = ids
 
 
+def _marshal_cluster_columns(
+    cluster_path_ids, cluster_eff_lengths, cluster_group_of,
+    cluster_log_source_counts, n_clusters, concats,
+):
+    """Concatenated (path ids, eff lengths, group ids, log source
+    counts) columns for the multi-cluster native kernels.  `concats`
+    (from pipeline._clusters_meta) short-circuits the per-cluster
+    np.concatenate calls with arrays built in one pass."""
+    if concats is not None:
+        path_offsets = concats["offsets"]
+        path_sizes = np.diff(path_offsets)
+        path_ids_concat = np.ascontiguousarray(concats["ids"], dtype=np.int64)
+        eff_concat = np.ascontiguousarray(concats["eff"], dtype=np.float64)
+        total = path_ids_concat.size
+        group_of_concat = (
+            np.ascontiguousarray(concats["group_of"], dtype=np.int32)
+            if concats["group_of"] is not None
+            else np.full(total, -1, dtype=np.int32)
+        )
+        log_src_concat = (
+            np.ascontiguousarray(concats["log_src"], dtype=np.float64)
+            if concats["log_src"] is not None
+            else np.zeros(total, dtype=np.float64)
+        )
+        return (
+            path_sizes, path_offsets, path_ids_concat, eff_concat,
+            group_of_concat, log_src_concat,
+        )
+
+    path_sizes = [ids.size for ids in cluster_path_ids]
+    path_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
+    np.cumsum(path_sizes, out=path_offsets[1:])
+    path_ids_concat = np.ascontiguousarray(
+        np.concatenate(cluster_path_ids), dtype=np.int64
+    )
+    eff_concat = np.ascontiguousarray(
+        np.concatenate(cluster_eff_lengths), dtype=np.float64
+    )
+    group_of_concat = np.concatenate(
+        [
+            g if g is not None else np.full(n, -1, dtype=np.int32)
+            for g, n in zip(cluster_group_of, path_sizes)
+        ]
+    ).astype(np.int32, copy=False)
+    log_src_concat = np.concatenate(
+        [
+            s if s is not None else np.zeros(n, dtype=np.float64)
+            for s, n in zip(cluster_log_source_counts, path_sizes)
+        ]
+    ).astype(np.float64, copy=False)
+    return (
+        path_sizes, path_offsets, path_ids_concat, eff_concat,
+        group_of_concat, log_src_concat,
+    )
+
+
 class ColumnarFragments:
     """Columnar view of the native dedup index dump: per-entry count,
     anchor path id, located-id CSR and raw serialized-entry byte bounds,
@@ -622,12 +678,16 @@ class NativeFinder:
         min_noise_prob: float,
         prob_precision: float,
         n_threads: int = 1,
+        concats=None,
     ):
         """Dense probability matrices for every cluster in ONE native
         call, built by `n_threads` C++ workers.  Returns per cluster
         (probs (R, C), noise (R,), counts (R,)) as read-only views into
         one shared buffer; elementwise identical to assembling
-        construct_probability_matrix from build_cluster_probs rows."""
+        construct_probability_matrix from build_cluster_probs rows.
+        `concats` (pipeline._clusters_meta) carries the marshalling
+        arrays pre-concatenated, skipping the per-cluster np.concatenate
+        calls."""
         # cluster_blobs: either a sequence of per-cluster bytes, or the
         # pre-concatenated fast path (uint8 array, int64 offsets (n+1,))
         # from ColumnarFragments.gather_blob — no join, no buffer copy.
@@ -645,27 +705,13 @@ class NativeFinder:
             in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
         entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
 
-        path_sizes = [ids.size for ids in cluster_path_ids]
-        path_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
-        np.cumsum(path_sizes, out=path_offsets[1:])
-        path_ids_concat = np.ascontiguousarray(
-            np.concatenate(cluster_path_ids), dtype=np.int64
+        (
+            path_sizes, path_offsets, path_ids_concat, eff_concat,
+            group_of_concat, log_src_concat,
+        ) = _marshal_cluster_columns(
+            cluster_path_ids, cluster_eff_lengths, cluster_group_of,
+            cluster_log_source_counts, n_clusters, concats,
         )
-        eff_concat = np.ascontiguousarray(
-            np.concatenate(cluster_eff_lengths), dtype=np.float64
-        )
-        group_of_concat = np.concatenate(
-            [
-                g if g is not None else np.full(n, -1, dtype=np.int32)
-                for g, n in zip(cluster_group_of, path_sizes)
-            ]
-        ).astype(np.int32, copy=False)
-        log_src_concat = np.concatenate(
-            [
-                s if s is not None else np.zeros(n, dtype=np.float64)
-                for s, n in zip(cluster_log_source_counts, path_sizes)
-            ]
-        ).astype(np.float64, copy=False)
         n_groups_arr = np.asarray(cluster_n_groups, dtype=np.int64)
         frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
 
@@ -727,6 +773,7 @@ class NativeFinder:
         prob_precision: float,
         digits: int,
         n_threads: int = 1,
+        concats=None,
     ):
         """'-b' probability rows for every cluster as text (native
         rpvg_format_prob_rows_multi) — the same ReadPathProbs rows the
@@ -762,27 +809,13 @@ class NativeFinder:
             in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
         entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
 
-        path_sizes = [ids.size for ids in cluster_path_ids]
-        path_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
-        np.cumsum(path_sizes, out=path_offsets[1:])
-        path_ids_concat = np.ascontiguousarray(
-            np.concatenate(cluster_path_ids), dtype=np.int64
+        (
+            path_sizes, path_offsets, path_ids_concat, eff_concat,
+            group_of_concat, log_src_concat,
+        ) = _marshal_cluster_columns(
+            cluster_path_ids, cluster_eff_lengths, cluster_group_of,
+            cluster_log_source_counts, n_clusters, concats,
         )
-        eff_concat = np.ascontiguousarray(
-            np.concatenate(cluster_eff_lengths), dtype=np.float64
-        )
-        group_of_concat = np.concatenate(
-            [
-                g if g is not None else np.full(n, -1, dtype=np.int32)
-                for g, n in zip(cluster_group_of, path_sizes)
-            ]
-        ).astype(np.int32, copy=False)
-        log_src_concat = np.concatenate(
-            [
-                s if s is not None else np.zeros(n, dtype=np.float64)
-                for s, n in zip(cluster_log_source_counts, path_sizes)
-            ]
-        ).astype(np.float64, copy=False)
         n_groups_arr = np.asarray(cluster_n_groups, dtype=np.int64)
         frag_log_probs = np.ascontiguousarray(frag_log_probs, dtype=np.float64)
 

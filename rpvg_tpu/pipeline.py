@@ -356,13 +356,19 @@ def _clusters_meta(
     collapse_haps: bool,
     all_lengths: np.ndarray,
     all_eff_lengths: Optional[np.ndarray],
+    id_concat: Optional[np.ndarray] = None,
+    id_offsets: Optional[np.ndarray] = None,
 ):
     """Per-cluster PathInfos and the column arrays the native matrix
     builder needs (shared by the list- and columnar-input drivers).
     Equivalent to mapping _build_cluster_path_infos over the clusters,
     restructured as one pass with table lookups (each path id belongs
     to exactly one cluster, so PathInfos are constructed directly
-    instead of copy-then-patch)."""
+    instead of copy-then-patch).  When the caller already holds the
+    clusters' member ids concatenated (PathClusters.members_concat),
+    the eff/length gathers run once over the concat and the native
+    marshalling arrays are returned pre-concatenated (meta[6]) so the
+    builder skips its 1-array-per-cluster concatenations."""
     names = getattr(paths_index, "names", None)
     if all_eff_lengths is not None:
         eff_table = all_eff_lengths
@@ -372,20 +378,40 @@ def _clusters_meta(
         eff_table = paths_index.all_effective_path_lengths(frag_length_dist)
     empty_fs = frozenset()
 
+    eff_concat = None
+    group_concat = None
+    log_src_concat = None
+    if id_concat is not None:
+        eff_concat = eff_table[id_concat]
+        len_concat = all_lengths[id_concat]
+        if collapse_haps:
+            group_concat = np.empty(id_concat.size, dtype=np.int32)
+            log_src_concat = np.empty(id_concat.size, dtype=np.float64)
+
     pid_arrays = []
     effs = []
     groups = []
     n_groups_list = []
     log_srcs = []
     all_paths = []
-    for cluster_path_ids in cluster_path_id_lists:
-        pid_arr = np.asarray(cluster_path_ids, dtype=np.int64)
-        pid_arrays.append(pid_arr)
-        eff_vec = eff_table[pid_arr]
-        effs.append(eff_vec)
-        pids = pid_arr.tolist()
-        lens = all_lengths[pid_arr].tolist()
-        effl = eff_vec.tolist()
+    for k, cluster_path_ids in enumerate(cluster_path_id_lists):
+        if id_concat is not None:
+            lo, hi = int(id_offsets[k]), int(id_offsets[k + 1])
+            pid_arr = id_concat[lo:hi]
+            pid_arrays.append(pid_arr)
+            eff_vec = eff_concat[lo:hi]
+            effs.append(eff_vec)
+            pids = pid_arr.tolist()
+            lens = len_concat[lo:hi].tolist()
+            effl = eff_vec.tolist()
+        else:
+            pid_arr = np.asarray(cluster_path_ids, dtype=np.int64)
+            pid_arrays.append(pid_arr)
+            eff_vec = eff_table[pid_arr]
+            effs.append(eff_vec)
+            pids = pid_arr.tolist()
+            lens = all_lengths[pid_arr].tolist()
+            effl = eff_vec.tolist()
 
         group_name_index: Dict[str, int] = {}
         paths = []
@@ -409,20 +435,39 @@ def _clusters_meta(
                 )
 
         if collapse_haps:
-            groups.append(
-                np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
-            )
+            if group_concat is not None:
+                gview = group_concat[lo:hi]
+                sview = log_src_concat[lo:hi]
+                for j, info in enumerate(paths):
+                    gview[j] = group_name_index[info.name]
+                    sview[j] = info.source_count
+                np.log(sview, out=sview)
+                groups.append(gview)
+                log_srcs.append(sview)
+            else:
+                groups.append(
+                    np.array([group_name_index[info.name] for info in paths], dtype=np.int32)
+                )
+                log_srcs.append(
+                    np.log(np.array([info.source_count for info in paths], dtype=np.float64))
+                )
             n_groups_list.append(len(group_name_index))
-            log_srcs.append(
-                np.log(np.array([info.source_count for info in paths], dtype=np.float64))
-            )
             paths = _collapse_cluster_paths(paths, group_name_index)
         else:
             groups.append(None)
             n_groups_list.append(0)
             log_srcs.append(None)
         all_paths.append(paths)
-    return all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs
+    concats = None
+    if id_concat is not None:
+        concats = {
+            "ids": id_concat,
+            "offsets": np.ascontiguousarray(id_offsets, dtype=np.int64),
+            "eff": eff_concat,
+            "group_of": group_concat,
+            "log_src": log_src_concat,
+        }
+    return all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs, concats
 
 
 def _run_native_matrix_build(
@@ -430,7 +475,7 @@ def _run_native_matrix_build(
 ):
     from .infer.matrices import DenseCluster
 
-    all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs = meta
+    all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs, concats = meta
     matrices = finder.build_cluster_matrices(
         blobs,
         entry_counts,
@@ -444,6 +489,7 @@ def _run_native_matrix_build(
         config.min_noise_prob,
         config.prob_precision,
         n_threads=config.threads,
+        concats=concats,
     )
     return [
         (paths, DenseCluster(probs, noise, counts))
@@ -504,6 +550,8 @@ def build_cluster_matrices_columnar(
     all_lengths: np.ndarray,
     all_eff_lengths: Optional[np.ndarray],
     prob_digits: Optional[int] = None,
+    id_concat: Optional[np.ndarray] = None,
+    id_offsets: Optional[np.ndarray] = None,
 ):
     """Columnar-input twin of build_cluster_matrices_batched: per-cluster
     blobs come from ONE vectorised byte gather over the native dump (the
@@ -523,6 +571,7 @@ def build_cluster_matrices_columnar(
     meta = _clusters_meta(
         config, paths_index, frag_length_dist, cluster_path_id_lists,
         haplotype_info, collapse_haps, all_lengths, all_eff_lengths,
+        id_concat=id_concat, id_offsets=id_offsets,
     )
     results = _run_native_matrix_build(
         config, finder, (blob_arr, blob_offsets), entry_counts, meta,
@@ -531,12 +580,13 @@ def build_cluster_matrices_columnar(
     if prob_digits is None:
         return results, None
     # '-b': the same native row derivation, formatted as writer text.
-    _, pid_arrays, effs, groups, n_groups_list, log_srcs = meta
+    _, pid_arrays, effs, groups, n_groups_list, log_srcs, concats = meta
     texts = finder.format_prob_rows(
         (blob_arr, blob_offsets), entry_counts, pid_arrays, effs, groups,
         n_groups_list, log_srcs, frag_log_probs, config.is_single_end(),
         config.min_noise_prob, config.prob_precision, prob_digits,
         n_threads=config.threads,
+        concats=concats,
     )
     return results, texts
 
@@ -1122,11 +1172,12 @@ def run_inference_phases(
         cluster_data = []
         prob_texts = None
         if cols is not None:
+            id_concat, id_offsets = clusters.members_concat(order)
             matrix_results, prob_texts = build_cluster_matrices_columnar(
                 config,
                 paths_index,
                 frag_length_dist,
-                [clusters.cluster_to_paths[ci] for ci in order],
+                np.split(id_concat, id_offsets[1:-1]),
                 cols,
                 [entry_idx_per_cluster[ci] for ci in order],
                 haplotype_info,
@@ -1136,6 +1187,8 @@ def run_inference_phases(
                 all_lengths,
                 all_eff_lengths,
                 prob_digits=prob_digits,
+                id_concat=id_concat,
+                id_offsets=id_offsets,
             )
             cluster_data = [
                 (owned_ranks[i], paths, dense)
