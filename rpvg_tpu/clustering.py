@@ -19,7 +19,7 @@ import numpy as np
 from scipy.sparse import coo_matrix
 from scipy.sparse.csgraph import connected_components
 
-from .constants import encode_node
+from .constants import ENDMARKER
 from .pathindex import PathIndex
 
 
@@ -85,23 +85,44 @@ class PathClusters:
 
     def add_node_clusters(self, paths_index: PathIndex) -> None:
         """Merge clusters whose paths share a graph node (reference
-        path_clusters.cpp:85-161)."""
-        edge_u: List[np.ndarray] = []
-        edge_v: List[np.ndarray] = []
-        for node_id in range(1, paths_index.number_of_nodes() + 1):
-            orientations = [False] if paths_index.is_bidirectional else [False, True]
-            for rev in orientations:
-                state = paths_index.find(encode_node(node_id, rev))
-                if state.empty():
-                    continue
-                ids = paths_index.locate(state)
-                if ids.size == 0:
-                    continue
-                edge_u.append(np.full(ids.size, int(ids[0]), dtype=np.int64))
-                edge_v.append(ids)
-        if edge_u:
-            self._edge_u.append(np.concatenate(edge_u))
-            self._edge_v.append(np.concatenate(edge_v))
+        path_clusters.cpp:85-161).
+
+        One vectorised pass over the panel's occurrence stream instead
+        of a per-graph-node find/locate loop: every (node, path)
+        incidence is deduplicated and each node contributes a star from
+        its smallest member path id.  For bidirectional indexes the
+        orientation is collapsed on both axes (node id and sequence
+        pair), exactly what per-node `locate(find(forward))` yields —
+        a path visiting the node in reverse stores the forward encoding
+        in its reverse-complement sequence.  Components are identical
+        to the reference loop (stars are anchor-invariant)."""
+        concat = paths_index.concat
+        pos = np.flatnonzero(concat != ENDMARKER)
+        if pos.size == 0 or self.num_paths == 0:
+            self._rebuild()
+            return
+        nodes = concat[pos]
+        seq_ids = np.searchsorted(paths_index.seq_starts, pos, side="right") - 1
+        if paths_index.is_bidirectional:
+            keys = nodes >> 1  # orientation-collapsed node id
+            path_ids = seq_ids >> 1  # sequence pair -> path id
+        else:
+            keys = nodes  # one star per (node, orientation), as the loop
+            path_ids = seq_ids
+        order = np.lexsort((path_ids, keys))
+        keys = keys[order]
+        path_ids = path_ids[order]
+        keep = np.empty(keys.size, dtype=bool)
+        keep[0] = True
+        np.logical_or(
+            keys[1:] != keys[:-1], path_ids[1:] != path_ids[:-1], out=keep[1:]
+        )
+        keys = keys[keep]
+        path_ids = path_ids[keep]
+        starts = np.flatnonzero(np.diff(keys, prepend=keys[0] - 1))
+        lens = np.diff(np.append(starts, keys.size))
+        self._edge_u.append(np.repeat(path_ids[starts], lens))
+        self._edge_v.append(path_ids)
         self._rebuild()
 
     def _rebuild(self) -> None:
