@@ -29,7 +29,7 @@ from typing import Dict, Iterable, List, Optional, Sequence, Tuple, Union
 import numpy as np
 
 from .alignments import Alignment, MultipathAlignment
-from .clustering import PathClusters
+from .clustering import PathClusters, split_by_bounds
 from .constants import FRAG_LENGTH_MIN_MAPQ
 from .fragments import FragmentLengthDist
 from .graph import Graph, load_graph
@@ -1086,7 +1086,9 @@ def run_inference_phases(
             entry_cluster, minlength=clusters.num_clusters()
         )
         sort_idx = np.argsort(entry_cluster, kind="stable")
-        entry_idx_per_cluster = np.split(sort_idx, np.cumsum(cluster_sizes)[:-1])
+        entry_bounds = np.zeros(cluster_sizes.size + 1, dtype=np.int64)
+        np.cumsum(cluster_sizes, out=entry_bounds[1:])
+        entry_idx_per_cluster = split_by_bounds(sort_idx, entry_bounds)
         per_cluster = None
         all_sizes = cluster_sizes
     else:
@@ -1177,7 +1179,7 @@ def run_inference_phases(
                 config,
                 paths_index,
                 frag_length_dist,
-                np.split(id_concat, id_offsets[1:-1]),
+                split_by_bounds(id_concat, id_offsets),
                 cols,
                 [entry_idx_per_cluster[ci] for ci in order],
                 haplotype_info,
