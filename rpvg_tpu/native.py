@@ -741,21 +741,28 @@ class NativeFinder:
         finally:
             self._lib.rpvg_buffer_free(out_ptr)
 
+        # Decode with two whole-buffer views; every record is a slice.
+        # Layout per cluster: i64 R, f64 probs[R*n_cols], f64 noise[R],
+        # f64 counts[R] — all 8-byte words, so one f64 view covers the
+        # payloads and one i64 view the R headers.
+        i64 = np.frombuffer(data, dtype=np.int64)
+        f64 = np.frombuffer(data, dtype=np.float64)
+        n_cols_list = np.where(
+            n_groups_arr > 0, n_groups_arr, np.asarray(path_sizes, dtype=np.int64)
+        ).tolist()
         results = []
-        offset = 0
+        pos = 0
         for c in range(n_clusters):
-            n_cols = int(n_groups_arr[c]) if n_groups_arr[c] > 0 else path_sizes[c]
-            (R,) = struct.unpack_from("<q", data, offset)
-            offset += 8
-            probs = np.frombuffer(
-                data, dtype=np.float64, count=R * n_cols, offset=offset
-            ).reshape(R, n_cols)
-            offset += 8 * R * n_cols
-            noise = np.frombuffer(data, dtype=np.float64, count=R, offset=offset)
-            offset += 8 * R
-            counts = np.frombuffer(data, dtype=np.float64, count=R, offset=offset)
-            offset += 8 * R
+            n_cols = n_cols_list[c]
+            R = int(i64[pos])
+            w = R * n_cols
+            probs = f64[pos + 1 : pos + 1 + w].reshape(R, n_cols)
+            pos += 1 + w
+            noise = f64[pos : pos + R]
+            counts = f64[pos + R : pos + 2 * R]
+            pos += 2 * R
             results.append((probs, noise, counts))
+        assert pos * 8 == len(data), "matrix stream decode mismatch"
         return results
 
     def format_prob_rows(
