@@ -384,6 +384,12 @@ def _clusters_meta(
     if id_concat is not None:
         eff_concat = eff_table[id_concat]
         len_concat = all_lengths[id_concat]
+        # One whole-concat tolist each (the per-cluster loop then slices
+        # plain lists — ~3x20k small ndarray.tolist calls hoisted).
+        pids_list = id_concat.tolist()
+        lens_list = len_concat.tolist()
+        effl_list = eff_concat.tolist()
+        off_list = id_offsets.tolist()
         if collapse_haps:
             group_concat = np.empty(id_concat.size, dtype=np.int32)
             log_src_concat = np.empty(id_concat.size, dtype=np.float64)
@@ -396,14 +402,12 @@ def _clusters_meta(
     all_paths = []
     for k, cluster_path_ids in enumerate(cluster_path_id_lists):
         if id_concat is not None:
-            lo, hi = int(id_offsets[k]), int(id_offsets[k + 1])
-            pid_arr = id_concat[lo:hi]
-            pid_arrays.append(pid_arr)
-            eff_vec = eff_concat[lo:hi]
-            effs.append(eff_vec)
-            pids = pid_arr.tolist()
-            lens = len_concat[lo:hi].tolist()
-            effl = eff_vec.tolist()
+            lo, hi = off_list[k], off_list[k + 1]
+            pid_arrays.append(id_concat[lo:hi])
+            effs.append(eff_concat[lo:hi])
+            pids = pids_list[lo:hi]
+            lens = lens_list[lo:hi]
+            effl = effl_list[lo:hi]
         else:
             pid_arr = np.asarray(cluster_path_ids, dtype=np.int64)
             pid_arrays.append(pid_arr)
@@ -467,6 +471,18 @@ def _clusters_meta(
             "group_of": group_concat,
             "log_src": log_src_concat,
         }
+        if not collapse_haps:
+            # Flat output-row metadata for the native composers, in the
+            # exact per-cluster PathInfo order (PathInfo.name equals the
+            # panel path name whenever collapse is off — the info dict
+            # is keyed by it), so write_outputs can skip re-gathering
+            # name/length/eff from ~sum(cluster sizes) objects.
+            concats["names"] = (
+                [names[p] for p in pids_list]
+                if names is not None
+                else [str(p + 1) for p in pids_list]
+            )
+            concats["lens"] = len_concat
     return all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs, concats
 
 
@@ -577,18 +593,25 @@ def build_cluster_matrices_columnar(
         config, finder, (blob_arr, blob_offsets), entry_counts, meta,
         frag_log_probs,
     )
+    path_meta = None
+    concats = meta[6]
+    if concats is not None and "names" in concats:
+        path_meta = (
+            concats["names"], concats["lens"], concats["eff"],
+            np.diff(concats["offsets"]),
+        )
     if prob_digits is None:
-        return results, None
+        return results, None, path_meta
     # '-b': the same native row derivation, formatted as writer text.
-    _, pid_arrays, effs, groups, n_groups_list, log_srcs, concats = meta
+    _, pid_arrays, effs, groups, n_groups_list, log_srcs, _ = meta
     texts = finder.format_prob_rows(
         (blob_arr, blob_offsets), entry_counts, pid_arrays, effs, groups,
         n_groups_list, log_srcs, frag_log_probs, config.is_single_end(),
         config.min_noise_prob, config.prob_precision, prob_digits,
         n_threads=config.threads,
-        concats=concats,
+        concats=meta[6],
     )
-    return results, texts
+    return results, texts, path_meta
 
 
 def build_cluster_probs(
@@ -1173,9 +1196,10 @@ def run_inference_phases(
 
         cluster_data = []
         prob_texts = None
+        path_meta = None
         if cols is not None:
             id_concat, id_offsets = clusters.members_concat(order)
-            matrix_results, prob_texts = build_cluster_matrices_columnar(
+            matrix_results, prob_texts, path_meta = build_cluster_matrices_columnar(
                 config,
                 paths_index,
                 frag_length_dist,
@@ -1348,6 +1372,7 @@ def run_inference_phases(
             write_outputs(
                 config, results, fragment_index.unaligned_count,
                 columnar=getattr(estimator, "_columnar_outputs", None),
+                path_meta=path_meta,
             )
             if os.environ.get("RPVG_TPU_PHASE_TIMING"):
                 log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
@@ -1404,6 +1429,7 @@ def _write_hapjoint_columnar(
     results: Sequence[ClusterResult],
     unaligned_read_count: int,
     columnar: Dict,
+    path_meta=None,
 ) -> bool:
     """Native composition of the haplotype-transcripts estimate files
     from the fused kernel's columnar set streams (byte-identical to the
@@ -1462,7 +1488,7 @@ def _write_hapjoint_columnar(
         set_ids = np.concatenate(ids_segs)
         set_abundances = np.concatenate(ab_segs)
 
-    meta_rows = _gather_path_row_meta(results)
+    meta_rows = _gather_path_row_meta(results, path_meta)
     if meta_rows is None:
         return False
     names, lengths, effs, cids, n_paths = meta_rows
@@ -1513,10 +1539,23 @@ def _write_hapjoint_columnar(
     return True
 
 
-def _gather_path_row_meta(results: Sequence[ClusterResult]):
+def _gather_path_row_meta(results: Sequence[ClusterResult], path_meta=None):
     """Flatten every result's path rows for the native output composers:
     (names, lengths, effs, cids, n_paths), or None when a name cannot be
-    ASCII-encoded (composer fallback to the object writers)."""
+    ASCII-encoded (composer fallback to the object writers).  When the
+    columnar builder already emitted the flat (names, lens, effs,
+    n_paths) in cluster order (`path_meta`), the per-object gather is
+    skipped — the streams are the exact per-cluster PathInfo order."""
+    if path_meta is not None:
+        names, lengths, effs, n_paths = path_meta
+        if (
+            len(n_paths) == len(results)
+            and len(names) == int(np.sum(n_paths))
+            and names
+            and all(name.isascii() for name in names)
+        ):
+            cids = [result.cluster_id for result in results]
+            return names, lengths, effs, cids, n_paths
     names: List[str] = []
     lengths: List[int] = []
     effs: List[float] = []
@@ -1543,13 +1582,14 @@ def _write_abundance_columnar(
     results: Sequence[ClusterResult],
     unaligned_read_count: int,
     columnar: Dict,
+    path_meta=None,
 ) -> bool:
     """Native composition of the transcripts/strains estimate file from
     per-path abundance streams (singleton group sets after reset(P, 1);
     byte-identical to AbundanceEstimatesWriter, regression-pinned)."""
     from .native import compose_abundance_rows, tpm_normalizer_perpath
 
-    meta_rows = _gather_path_row_meta(results)
+    meta_rows = _gather_path_row_meta(results, path_meta)
     if meta_rows is None:
         return False
     names, lengths, effs, cids, n_paths = meta_rows
@@ -1597,6 +1637,7 @@ def write_outputs(
     results: Sequence[ClusterResult],
     unaligned_read_count: int,
     columnar: Optional[Dict] = None,
+    path_meta=None,
 ) -> None:
     if config.inference_model == "haplotypes":
         writer = writers.JointHaplotypeEstimatesWriter(
@@ -1614,14 +1655,18 @@ def write_outputs(
         config.inference_model == "haplotype-transcripts"
         and compose_ok
         and columnar.get("kind") == "sets"
-        and _write_hapjoint_columnar(config, results, unaligned_read_count, columnar)
+        and _write_hapjoint_columnar(
+            config, results, unaligned_read_count, columnar, path_meta
+        )
     ):
         return
     if (
         config.inference_model in ("transcripts", "strains")
         and compose_ok
         and columnar.get("kind") in ("perpath", "cover")
-        and _write_abundance_columnar(config, results, unaligned_read_count, columnar)
+        and _write_abundance_columnar(
+            config, results, unaligned_read_count, columnar, path_meta
+        )
     ):
         return
 
