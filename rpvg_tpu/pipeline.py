@@ -394,6 +394,50 @@ def _clusters_meta(
             group_concat = np.empty(id_concat.size, dtype=np.int32)
             log_src_concat = np.empty(id_concat.size, dtype=np.float64)
 
+    if id_concat is not None and not collapse_haps:
+        # Flat fast path: no per-cluster grouping state to carry, so the
+        # PathInfo stream is built with whole-concat comprehensions and
+        # each cluster is a slice of it.
+        names_flat = (
+            [names[p] for p in pids_list]
+            if names is not None
+            else [str(p + 1) for p in pids_list]
+        )
+        if haplotype_info is None:
+            infos_flat = [
+                PathInfo(name, 0, 1, empty_fs, length, eff)
+                for name, length, eff in zip(names_flat, lens_list, effl_list)
+            ]
+        else:
+            info_get = haplotype_info.__getitem__
+            srcs = [info_get(name) for name in names_flat]
+            infos_flat = [
+                PathInfo(
+                    src.name, src.group_id, src.source_count,
+                    src.source_ids, length, eff,
+                )
+                for src, length, eff in zip(srcs, lens_list, effl_list)
+            ]
+        n = len(cluster_path_id_lists)
+        pid_arrays = [id_concat[off_list[k] : off_list[k + 1]] for k in range(n)]
+        effs = [eff_concat[off_list[k] : off_list[k + 1]] for k in range(n)]
+        all_paths = [infos_flat[off_list[k] : off_list[k + 1]] for k in range(n)]
+        return (
+            all_paths, pid_arrays, effs, [None] * n, [0] * n, [None] * n,
+            {
+                "ids": id_concat,
+                "offsets": np.ascontiguousarray(id_offsets, dtype=np.int64),
+                "eff": eff_concat,
+                "group_of": None,
+                "log_src": None,
+                # Flat output-row metadata for the native composers, in
+                # the exact per-cluster PathInfo order, so write_outputs
+                # can skip re-gathering name/length/eff from objects.
+                "names": names_flat,
+                "lens": len_concat,
+            },
+        )
+
     pid_arrays = []
     effs = []
     groups = []
@@ -471,18 +515,6 @@ def _clusters_meta(
             "group_of": group_concat,
             "log_src": log_src_concat,
         }
-        if not collapse_haps:
-            # Flat output-row metadata for the native composers, in the
-            # exact per-cluster PathInfo order (PathInfo.name equals the
-            # panel path name whenever collapse is off — the info dict
-            # is keyed by it), so write_outputs can skip re-gathering
-            # name/length/eff from ~sum(cluster sizes) objects.
-            concats["names"] = (
-                [names[p] for p in pids_list]
-                if names is not None
-                else [str(p + 1) for p in pids_list]
-            )
-            concats["lens"] = len_concat
     return all_paths, pid_arrays, effs, groups, n_groups_list, log_srcs, concats
 
 
