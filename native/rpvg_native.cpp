@@ -2546,7 +2546,54 @@ __attribute__((noinline)) static int32_t em_fixed_point_one(
   fresh.assign(C, 0.0);
   for (int64_t it = 0; it < max_its && conv_its < MIN_CONV_ITS; ++it) {
     std::fill(fresh.begin(), fresh.end(), 0.0);
-    for (int64_t r = 0; r < R; ++r) {
+    // Row dots are independent serial chains; interleaving four rows
+    // gives 4x ILP on the add-latency-bound reductions while keeping
+    // every row's c-ascending summation order (and the per-row E-step
+    // scatters in row order), so results stay bitwise identical to the
+    // one-row-at-a-time loop.
+    int64_t r = 0;
+    for (; r + 4 <= R; r += 4) {
+      const double* r0 = P + r * C;
+      const double* r1 = r0 + C;
+      const double* r2 = r1 + C;
+      const double* r3 = r2 + C;
+      double s0 = 0.0, s1 = 0.0, s2 = 0.0, s3 = 0.0;
+      for (int64_t c = 0; c < C; ++c) {
+        const double a = abund[c];
+        s0 += r0[c] * a;
+        s1 += r1[c] * a;
+        s2 += r2[c] * a;
+        s3 += r3[c] * a;
+      }
+      if (s0 > 0.0 && s1 > 0.0 && s2 > 0.0 && s3 > 0.0) {
+        // Common case: fused scatter with one fresh[c] load/store per
+        // four rows; the adds stay in row order per element.
+        const double w0 = counts[r] / s0;
+        const double w1 = counts[r + 1] / s1;
+        const double w2 = counts[r + 2] / s2;
+        const double w3 = counts[r + 3] / s3;
+        for (int64_t c = 0; c < C; ++c) {
+          const double a = abund[c];
+          double f = fresh[c];
+          f += r0[c] * a * w0;
+          f += r1[c] * a * w1;
+          f += r2[c] * a * w2;
+          f += r3[c] * a * w3;
+          fresh[c] = f;
+        }
+      } else {
+        const double sums[4] = {s0, s1, s2, s3};
+        const double* rows[4] = {r0, r1, r2, r3};
+        for (int64_t i = 0; i < 4; ++i) {
+          if (sums[i] > 0.0) {
+            const double w = counts[r + i] / sums[i];
+            const double* row = rows[i];
+            for (int64_t c = 0; c < C; ++c) fresh[c] += row[c] * abund[c] * w;
+          }
+        }
+      }
+    }
+    for (; r < R; ++r) {
       const double* row = P + r * C;
       double row_sum = 0.0;
       for (int64_t c = 0; c < C; ++c) row_sum += row[c] * abund[c];
