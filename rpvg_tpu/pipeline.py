@@ -1006,6 +1006,22 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
     finder = build_finder(config, paths_index, pre_frag_length_dist)
 
+    # The info-TSV parse is independent of the fragment pass, whose
+    # native calls release the GIL — overlap the two (the reference
+    # parses it between the read and inference passes, main.cpp:759).
+    info_future = None
+    if config.path_info is not None:
+        import concurrent.futures
+
+        _info_pool = concurrent.futures.ThreadPoolExecutor(1)
+        info_future = _info_pool.submit(
+            parse_haplotype_transcript_info,
+            config.path_info,
+            config.inference_model == "haplotype-transcripts",
+            config.inference_model == "transcripts",
+        )
+        _info_pool.shutdown(wait=False)
+
     t_phase = time.perf_counter()
     fragment_index = collect_fragments(
         config, finder, pre_frag_length_dist, columnar=True
@@ -1022,7 +1038,8 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     )
 
     stats = run_inference_phases(
-        config, paths_index, fragment_index, pre_frag_length_dist, log, finder=finder
+        config, paths_index, fragment_index, pre_frag_length_dist, log,
+        finder=finder, info_future=info_future,
     )
     stats["wall_seconds"] = time.perf_counter() - t_start
     return stats
@@ -1038,6 +1055,7 @@ def run_inference_phases(
     cluster_filter=None,
     skip_outputs: bool = False,
     prob_collector: Optional[List] = None,
+    info_future=None,
 ) -> Dict:
     """Everything downstream of the (possibly merged multi-shard)
     fragment index: distribution re-fit, clustering, per-cluster
@@ -1164,10 +1182,14 @@ def run_inference_phases(
 
     haplotype_info = None
     if config.path_info is not None:
-        haplotype_info = parse_haplotype_transcript_info(
-            config.path_info,
-            parse_haplotype_ids=config.inference_model == "haplotype-transcripts",
-            use_transcript_names=collapse_haps,
+        haplotype_info = (
+            info_future.result()
+            if info_future is not None
+            else parse_haplotype_transcript_info(
+                config.path_info,
+                parse_haplotype_ids=config.inference_model == "haplotype-transcripts",
+                use_transcript_names=collapse_haps,
+            )
         )
 
     # Clusters processed largest-first (reference sorts by fragment count
