@@ -64,3 +64,23 @@ def test_read_clustering():
     # No fragments: every path is its own cluster.
     clusters_empty = PathClusters(index, [])
     assert list(clusters_empty.path_to_cluster) == [0, 1, 2, 3]
+
+
+def test_split_by_bounds_matches_np_split():
+    import numpy as np
+
+    from rpvg_tpu.clustering import split_by_bounds
+
+    for sizes in [[], [0], [3, 0, 2], [5], [0, 0], [1, 4, 0, 2]]:
+        arr = np.arange(sum(sizes), dtype=np.int64)
+        bounds = np.zeros(len(sizes) + 1, dtype=np.int64)
+        np.cumsum(sizes, out=bounds[1:])
+        got = split_by_bounds(arr, bounds)
+        ref = np.split(arr, np.cumsum(sizes)[:-1]) if sizes else []
+        assert len(got) == len(ref)
+        for g, r in zip(got, ref):
+            assert np.array_equal(g, r)
+    # Sections are views, not copies.
+    arr = np.arange(6)
+    (a, b) = split_by_bounds(arr, np.array([0, 2, 6]))
+    assert a.base is arr and b.base is arr
