@@ -225,3 +225,49 @@ def test_cli_smoke(small_dataset, tmp_path):
     assert rc == 0
     header, rows = read_tsv(prefix + ".txt")
     assert rows[-1][0] == "Unknown"
+
+
+def test_path_meta_fast_stream_matches_object_gather(small_dataset, tmp_path, monkeypatch):
+    """The columnar (names, lens, effs, n_paths) stream handed to the
+    native composers must equal the per-object PathInfo gather exactly
+    — guards the est.paths <-> concat-stream invariant the fast path
+    relies on (PathInfo.name == panel path name when collapse is off)."""
+    from rpvg_tpu import pipeline as pl
+
+    orig = pl._gather_path_row_meta
+    checked = {}
+
+    def spy(results, path_meta=None):
+        fast = orig(results, path_meta)
+        if path_meta is not None:
+            slow = orig(results, None)
+            assert fast is not None and slow is not None
+            assert list(fast[0]) == list(slow[0])  # names
+            assert [int(x) for x in fast[1]] == [int(x) for x in slow[1]]
+            assert [float(x) for x in fast[2]] == [float(x) for x in slow[2]]
+            assert list(fast[3]) == list(slow[3])  # cluster ids
+            assert [int(x) for x in fast[4]] == [int(x) for x in slow[4]]
+            checked["ok"] = True
+        return fast
+
+    monkeypatch.setattr(pl, "_gather_path_row_meta", spy)
+    prefix = str(tmp_path / "meta_out")
+    config = PipelineConfig(
+        graph=small_dataset["graph"],
+        paths=small_dataset["paths"],
+        alignments=small_dataset["alignments"],
+        output_prefix=prefix,
+        inference_model="haplotype-transcripts",
+        path_info=small_dataset["info"],
+        threads=2,
+        rng_seed=7,
+        score_not_qual=True,
+    )
+    run_pipeline(config)
+    if checked.get("ok"):
+        return
+    # The fast stream only exists on the native columnar path; without
+    # the native engine the object gather is the only implementation.
+    from rpvg_tpu.native import native_available
+
+    assert not native_available()
