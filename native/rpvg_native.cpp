@@ -62,6 +62,7 @@ struct Index {
   std::vector<int64_t> occ_positions;
   std::vector<int64_t> edge_offsets; // distinct successors per encoded node
   std::vector<int64_t> edge_targets;
+  std::vector<uint8_t> node_in_cycle; // some sequence visits the node twice
   std::vector<int32_t> node_lengths; // by node id (-1 = absent)
   bool bidirectional = false;
   int64_t max_enc_node = 0;
@@ -906,9 +907,7 @@ class Finder {
 
     bool end_alignment_in_cycle = false;
     for (const auto& [node, indices] : end_start_node_index) {
-      SearchState state;
-      index_find(idx_, node, &state);
-      if (num_located(state) < state.size()) {
+      if (node >= 0 && node <= idx_.max_enc_node && idx_.node_in_cycle[node]) {
         end_alignment_in_cycle = true;
         break;
       }
@@ -1082,20 +1081,6 @@ class Finder {
     out->push_back(std::move(noise));
   }
 
-  size_t num_located(const SearchState& state) const {
-    // Distinct sequence ids among occurrence positions.
-    size_t count = 0;
-    int64_t prev_seq = -1;
-    for (int64_t pos : state.positions) {
-      auto it = std::upper_bound(idx_.seq_starts.begin(), idx_.seq_starts.end(), pos);
-      int64_t seq = (it - idx_.seq_starts.begin()) - 1;
-      if (seq != prev_seq) {
-        ++count;
-        prev_seq = seq;
-      }
-    }
-    return count;
-  }
 
   void merge_paired(SearchPath* main, size_t main_start_idx,
                     const SearchPath& second) const {
@@ -1452,6 +1437,30 @@ void* rpvg_index_create(const int64_t* concat, int64_t concat_len,
   for (int64_t v = 0; v <= max_node; ++v) {
     std::copy(succ[v].begin(), succ[v].end(),
               idx->edge_targets.begin() + idx->edge_offsets[v]);
+  }
+
+  // Cycle table: node v is cyclic iff one sequence visits it twice —
+  // exactly `num_located(find(v)) < find(v).size()`, which the paired
+  // DFS otherwise recomputes per fragment with per-position binary
+  // searches.  One linear pass over the concat at build time.
+  idx->node_in_cycle.assign(max_node + 1, 0);
+  {
+    std::vector<int64_t> last_seq(max_node + 1, -1);
+    int64_t seq = -1;
+    int64_t next_start = 0;
+    for (int64_t i = 0; i < concat_len; ++i) {
+      while (next_start < n_seqs && seq_starts[next_start] <= i) {
+        ++seq;
+        ++next_start;
+      }
+      const int64_t node = idx->concat[i];
+      if (node == ENDMARKER) continue;
+      if (last_seq[node] == seq) {
+        idx->node_in_cycle[node] = 1;
+      } else {
+        last_seq[node] = seq;
+      }
+    }
   }
   return idx;
 }
