@@ -36,6 +36,14 @@ def _fast_columns(
         if not body:
             return None
     num_rows = body.count("\n") + 1
+    # The total-count check alone accepts ragged rows whose field counts
+    # happen to balance (e.g. a 3-field row plus a 5-field row) and
+    # silently column-shifts; every row must carry num_cols - 1 tabs.
+    # (A whole-body tab count is implied by the flat count, so the check
+    # has to be per row.)
+    expected_tabs = num_cols - 1
+    if any(line.count("\t") != expected_tabs for line in body.split("\n")):
+        return None
     flat = body.replace("\n", "\t").split("\t")
     if len(flat) != num_rows * num_cols:
         return None
@@ -85,6 +93,9 @@ def parse_haplotype_transcript_info(
         infos = []
         append = infos.append
         for name, transcript, haplotypes in zip(names, transcripts, haps):
+            # Match the fallback's .rstrip() on the haplotypes field so
+            # trailing whitespace never mints a distinct haplotype id.
+            haplotypes = haplotypes.rstrip()
             cached = hap_cache_get(haplotypes) or hap_entry(haplotypes)
             append(
                 PathInfo(

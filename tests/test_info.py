@@ -101,6 +101,41 @@ def test_irregular_layouts(tmp_path, body_tail):
     assert parsed["t3_h0"].source_count == 1
 
 
+def test_balanced_ragged_rows_rejected_by_fast_path(tmp_path):
+    # One 3-field row plus one 5-field row: the flattened field count
+    # balances (2 rows x 4 cols), but the layout is ragged — the fast
+    # path must refuse it so the per-line loop can fail loudly instead
+    # of silently column-shifting (ADVICE round 3).
+    path = str(tmp_path / "info.tsv")
+    with open(path, "w") as handle:
+        handle.write(
+            "Name\tLength\tTranscript\tHaplotypes\n"
+            "a\tb\tc\n"
+            "d\te\tf\tg\th\n"
+        )
+    assert info_mod._fast_columns("a\tb\tc\nd\te\tf\tg\th\n", 4) is None
+    with pytest.raises(AssertionError, match="malformed info line"):
+        parse_haplotype_transcript_info(path, True, False)
+
+
+def test_trailing_whitespace_haplotypes_match_fallback(tmp_path, monkeypatch):
+    # Trailing spaces on the haplotypes column must strip identically on
+    # the fast and fallback paths (same haplotype id either way).
+    body = (
+        "Name\tLength\tTranscript\tHaplotypes\n"
+        "t1_h0\t100\tt1\thap0 \n"
+        "t1_h1\t101\tt1\thap0\n"
+    )
+    path = str(tmp_path / "info.tsv")
+    with open(path, "w") as handle:
+        handle.write(body)
+    fast = parse_haplotype_transcript_info(path, True, False)
+    monkeypatch.setattr(info_mod, "_fast_columns", lambda body, n: None)
+    slow = parse_haplotype_transcript_info(path, True, False)
+    for parsed in (fast, slow):
+        assert parsed["t1_h0"].source_ids == parsed["t1_h1"].source_ids
+
+
 def test_old_format(tmp_path):
     path = str(tmp_path / "info.tsv")
     with open(path, "w") as handle:
