@@ -173,10 +173,12 @@ def main() -> int:
     parser.add_argument("--transcripts", type=int, default=9000)
     parser.add_argument("--timeout", type=float, default=600.0)
     # The accelerator tunnel takes ~80-90s just to initialise the backend
-    # on this host, and wedges intermittently: probe with retries and
-    # escalating timeouts so one slow init doesn't erase the TPU result.
-    parser.add_argument("--probe-timeout", type=float, default=150.0)
-    parser.add_argument("--probe-retries", type=int, default=3)
+    # on this host, and wedges intermittently.  The probe starts BEFORE
+    # dataset generation and runs concurrently with it and the CPU
+    # windows, so a healthy device costs nothing and a wedged tunnel
+    # costs at most the residual budget (round-3 runs burned 375s in
+    # serial probe timeouts before falling back to CPU).
+    parser.add_argument("--probe-budget", type=float, default=150.0)
     parser.add_argument(
         "--qual", action="store_true",
         help="reference-default regime: quality-driven sequencing errors "
@@ -189,6 +191,61 @@ def main() -> int:
         "JAX_COMPILATION_CACHE_DIR",
         os.path.join(tempfile.gettempdir(), "rpvg_tpu_xla_cache"),
     )
+
+    probe_src = (
+        "import jax, jax.numpy as jnp, os\n"
+        "assert jax.default_backend() != 'cpu'\n"
+        "x = jnp.ones((128, 128), jnp.float32)\n"
+        "print(float((x @ x).sum()))\n"
+        "os._exit(0)\n"
+    )
+
+    class DeviceProbe:
+        """Accelerator health check overlapped with the CPU-side work."""
+
+        def __init__(self, budget_s: float):
+            self.deadline = time.monotonic() + budget_s
+            self.proc = self._start()
+            self.verdict = None
+
+        def _start(self):
+            return subprocess.Popen(
+                [sys.executable, "-c", probe_src],
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+
+        def healthy(self) -> bool:
+            """Blocks (only when first consulted) until the probe
+            resolves or the wall budget runs out."""
+            while self.verdict is None:
+                remaining = self.deadline - time.monotonic()
+                if remaining <= 0:
+                    self.proc.kill()
+                    print(
+                        "bench: device probe budget exhausted; "
+                        "skipping accelerator windows",
+                        file=sys.stderr,
+                    )
+                    self.verdict = False
+                    break
+                try:
+                    rc = self.proc.wait(timeout=remaining)
+                except subprocess.TimeoutExpired:
+                    continue
+                if rc == 0:
+                    self.verdict = True
+                elif self.deadline - time.monotonic() > 5.0:
+                    print(
+                        f"bench: device probe failed (rc={rc}); retrying",
+                        file=sys.stderr,
+                    )
+                    self.proc = self._start()
+                else:
+                    self.verdict = False
+            return self.verdict
+
+    probe = DeviceProbe(args.probe_budget)
 
     data_dir = tempfile.mkdtemp(prefix="rpvg_bench_")
     print(f"bench: generating dataset ({args.pairs} pairs) ...", file=sys.stderr)
@@ -225,45 +282,6 @@ def main() -> int:
                 continue
         return None, "no result line"
 
-    def device_healthy() -> bool:
-        """Accelerator probe in a throwaway process: a wedged device
-        tunnel hangs transfers, so don't waste the main attempt.  Backend
-        init alone takes ~80-90s here, so retry with escalating timeouts
-        before giving up on the device."""
-        probe = (
-            "import jax, jax.numpy as jnp, os\n"
-            "assert jax.default_backend() != 'cpu'\n"
-            "x = jnp.ones((128, 128), jnp.float32)\n"
-            "print(float((x @ x).sum()))\n"
-            "os._exit(0)\n"
-        )
-        timeout = args.probe_timeout
-        for attempt in range(max(1, args.probe_retries)):
-            try:
-                proc = subprocess.run(
-                    [sys.executable, "-c", probe],
-                    capture_output=True,
-                    timeout=timeout,
-                )
-                if proc.returncode == 0:
-                    return True
-                print(
-                    f"bench: probe attempt {attempt + 1} failed "
-                    f"(rc={proc.returncode})",
-                    file=sys.stderr,
-                )
-            except subprocess.TimeoutExpired:
-                print(
-                    f"bench: probe attempt {attempt + 1} timed out ({timeout:.0f}s)",
-                    file=sys.stderr,
-                )
-            timeout *= 1.5
-        return False
-
-    healthy = device_healthy()
-    if not healthy:
-        print("bench: accelerator probe failed; running on CPU backend", file=sys.stderr)
-
     # Measure every available backend configuration; the headline is the
     # fastest backend, full stop.  Children run in ALTERNATING windows
     # (cpu, tpu, cpu, tpu) with the per-backend best kept: both backends
@@ -288,7 +306,10 @@ def main() -> int:
 
     for window in range(2):
         record("cpu", {"RPVG_TPU_FORCE_CPU": "1"})
-        if healthy:
+        # probe.healthy() blocks at most until the probe budget runs
+        # out, and only before the first accelerator window — the probe
+        # has been running since before dataset generation.
+        if probe.healthy():
             # One retry on the first window: transient tunnel wedges are
             # the common failure.
             record("tpu", {}, retry=1 if window == 0 else 0)

@@ -251,8 +251,10 @@ def dispatch_em_device(
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
-    # reference to ~2e-7 and beats the XLA while-loop by >100x steady
-    # state.  RPVG_TPU_PALLAS=0 force-disables.
+    # reference to ~3e-7.  Measured on v5e (TPU_KERNELS_tpu.json,
+    # round 4): 94 vs 45 GEUPS at the 64x256x64 reference shape and
+    # faster than the XLA while-loop at every production bucket shape
+    # (mix aggregate 13.7 vs 11.3).  RPVG_TPU_PALLAS=0 force-disables.
     pallas_enabled = use_pallas == "on" or (
         use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") != "0"
     )

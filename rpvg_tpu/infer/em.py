@@ -120,10 +120,13 @@ def em_abundances(
 
 
 def _masked_em_step(probs, counts, abundances, total_count, col_mask):
-    weighted = probs * (abundances * col_mask)[None, :]
-    row_sums = weighted.sum(axis=1, keepdims=True)
-    posteriors = jnp.where(row_sums > 0, weighted / row_sums, 0.0)
-    return (counts @ posteriors) / jnp.maximum(total_count, 1.0)
+    # q-formulation: new_c = a_c * (sum_r counts_r/rowsum_r * P_rc) /
+    # total — two matvecs and O(R + C) elementwise, never materialising
+    # the (R, C) weighted/posterior temporaries of the textbook step.
+    a = abundances * col_mask
+    row_sums = probs @ a
+    q = jnp.where(row_sums > 0, counts / row_sums, 0.0)
+    return a * (q @ probs) / jnp.maximum(total_count, 1.0)
 
 
 @jax.jit

@@ -1,19 +1,34 @@
 """Pallas TPU kernel for the EM abundance fixed point.
 
-The EM iteration is HBM-bandwidth bound: XLA streams the (R, C)
-probability matrix from HBM on every iteration.  This kernel instead
-pins one padded cluster block in VMEM per grid step and runs the entire
-fixed-point loop on-chip — the matrix is read from HBM exactly once per
-cluster, turning an O(iterations x R x C) HBM traffic pattern into
-O(R x C).
+The EM iteration is bandwidth/latency bound: XLA re-streams the padded
+(B, R, C) probability stack through HBM (and pays while-loop dispatch
+overhead) every iteration.  This kernel pins a CHUNK of G clusters in
+VMEM per grid step and runs the entire fixed-point loop on-chip, with
+two structural choices that the measured round-3 kernel (one cluster
+per grid step, (R, C) layout) got wrong:
 
-Grid: one program per cluster in the padded batch.  The batching layer
-pads R and C to powers of two >= 8, which satisfies TPU tiling.
+* **Chunked grid.** One grid step owns G clusters, so every while-loop
+  iteration works on G*R*C elements instead of R*C — the serial
+  dependency chain of the fixed point is amortised across the whole
+  chunk exactly like the XLA batched loop, while the matrices still
+  load from HBM exactly once.
+* **(C, G, R) layout.** The row axis is the largest padded dimension
+  (the batcher pads rows to powers of four, columns to powers of two —
+  infer/batching.py), so rows ride the 128-wide lane dimension and
+  clusters ride sublanes.  The round-3 (R, C) layout put the SMALL
+  column axis on lanes: C=64 buckets wasted half the VPU, C=8 buckets
+  15/16 of it.
+* **q-formulation.** new_c = a_c * (sum_r counts_r/rowsum_r * P_rc) /
+  total needs two multiply-reduce passes over the block and never
+  materialises the (R, C) `weighted`/`posteriors` temporaries of the
+  textbook step.
 
 Convergence follows the engine contract
 (/root/reference/src/path_abundance_estimator.cpp:47-99): every
 abundance >= 1e-8 must move relatively less than `max_rel_em_conv` for
-10 consecutive iterations.
+10 consecutive iterations — per cluster, with converged clusters frozen
+so batchmates can keep iterating without changing them (bit-matching
+the XLA batched loop's semantics in infer/em.py).
 """
 
 from __future__ import annotations
@@ -29,9 +44,9 @@ from ..constants import MIN_EM_ABUNDANCE, MIN_EM_CONV_ITS
 
 def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
                max_em_its: int, max_rel_em_conv: float):
-    probs = probs_ref[:]          # (R, C), resident in VMEM for all iterations
-    counts = counts_ref[:]        # (1, R)
-    col_mask = col_mask_ref[:]    # (1, C)
+    probs = probs_ref[:]          # (C, G, R), resident in VMEM for all iterations
+    counts = counts_ref[:]        # (G, R)
+    col_mask = col_mask_ref[:]    # (C, G)
 
     # All constants explicitly typed: Mosaic rejects stray f64 scalars
     # that weak Python literals can introduce under x64.
@@ -41,68 +56,85 @@ def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
     conv_threshold = jnp.asarray(max_rel_em_conv, dt)
     min_abundance = jnp.asarray(MIN_EM_ABUNDANCE, dt)
 
-    n_cols = jnp.maximum(jnp.sum(col_mask), one)
-    total = jnp.maximum(jnp.sum(counts), one)
-    init = jnp.where(col_mask > zero, one / n_cols, zero)  # (1, C)
+    n_cols = jnp.maximum(jnp.sum(col_mask, axis=0, keepdims=True), one)  # (1, G)
+    # (G, 1) lane-reduce, re-laid out once to a (1, G) row for the
+    # column-shaped broadcasts below.
+    totals = jnp.maximum(jnp.sum(counts, axis=1, keepdims=True), one).reshape(
+        1, counts.shape[0]
+    )
+    inv_totals = one / totals
+    init = col_mask / n_cols      # (C, G): zero on masked columns
 
     def cond(state):
         _, conv_its, it = state
-        return (it < max_em_its) & (conv_its < MIN_EM_CONV_ITS)
+        return (it < max_em_its) & jnp.any(conv_its < MIN_EM_CONV_ITS)
 
     def body(state):
-        abundances, conv_its, it = state
-        weighted = probs * abundances                  # (R, C) broadcast over rows
-        row_sums = jnp.sum(weighted, axis=1, keepdims=True)
-        posteriors = jnp.where(row_sums > zero, weighted / row_sums, zero)
-        # HIGHEST precision: the MXU's default bf16 passes cost ~1e-3
-        # relative error on the count contraction, outside tolerance.
-        new = (
-            jax.lax.dot_general(
-                counts,
-                posteriors,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=dt,
-            )
-            / total
-        )
+        a, conv_its, it = state
+        # rs_gr = sum_c P_cgr * a_cg  — multiply-reduce over sublanes.
+        rs = jnp.sum(probs * a[:, :, None], axis=0)            # (G, R)
+        q = jnp.where(rs > zero, counts / rs, zero)            # (G, R)
+        # t_cg = sum_r P_cgr * q_gr  — multiply-reduce over lanes.
+        t = jnp.sum(probs * q[None, :, :], axis=2)             # (C, G)
+        new = a * t * inv_totals                               # (C, G)
 
+        already_done = conv_its >= MIN_EM_CONV_ITS             # (1, G)
+        new = jnp.where(already_done, a, new)
         active = (new >= min_abundance) & (col_mask > zero)
         rel_diff = jnp.where(
-            active, jnp.abs(new - abundances) / jnp.where(active, new, one), zero
+            active, jnp.abs(new - a) / jnp.where(active, new, one), zero
         )
-        has_converged = jnp.all(rel_diff <= conv_threshold)
-        conv_its = jnp.where(has_converged, conv_its + 1, 0)
+        has_converged = jnp.all(rel_diff <= conv_threshold, axis=0, keepdims=True)
+        conv_its = jnp.where(
+            already_done, conv_its, jnp.where(has_converged, conv_its + 1, 0)
+        )
         return new, conv_its, it + 1
 
+    G = probs.shape[1]
     abundances, _, _ = jax.lax.while_loop(
-        cond, body, (init, jnp.int32(0), jnp.int32(0))
+        cond, body, (init, jnp.zeros((1, G), jnp.int32), jnp.int32(0))
     )
     abundances_ref[:] = abundances
+
+
+# One chunk's probability block must sit in VMEM for the whole loop
+# (plus rs/q temporaries and pipeline headroom out of ~16MB/core).
+_VMEM_BLOCK_BYTES = 8 * 2**20
+
+
+def _chunk_clusters(B: int, R: int, C: int, itemsize: int) -> int:
+    """Clusters per grid step: as many as fit the VMEM block budget,
+    power-of-two so the padded batch (already power-of-two) divides."""
+    per_cluster = max(1, R * C * itemsize)
+    g = 1
+    while g * 2 <= B and (g * 2) * per_cluster <= _VMEM_BLOCK_BYTES:
+        g *= 2
+    return g
 
 
 @partial(jax.jit, static_argnames=("max_em_its", "max_rel_em_conv", "interpret"))
 def _em_pallas_call(probs, counts, col_masks, max_em_its, max_rel_em_conv, interpret):
     B, R, C = probs.shape
+    G = _chunk_clusters(B, R, C, probs.dtype.itemsize)
     kernel = partial(
         _em_kernel, max_em_its=max_em_its, max_rel_em_conv=float(max_rel_em_conv)
     )
-    # Vectors carry an explicit singleton row so every block's trailing
-    # two dims are TPU-tileable ((1, R) / (1, C) with the last dim equal
-    # to the full array dim).
+    # (C, B, R): rows on lanes, clusters on sublanes (see module doc).
+    probs_t = jnp.transpose(probs, (2, 0, 1))
+    col_masks_t = jnp.transpose(col_masks, (1, 0))
     out = pl.pallas_call(
         kernel,
-        grid=(B,),
+        grid=(B // G,),
         in_specs=[
-            pl.BlockSpec((None, R, C), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, 1, R), lambda b: (b, 0, 0)),
-            pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0)),
+            pl.BlockSpec((C, G, R), lambda b: (0, b, 0)),
+            pl.BlockSpec((G, R), lambda b: (b, 0)),
+            pl.BlockSpec((C, G), lambda b: (0, b)),
         ],
-        out_specs=pl.BlockSpec((None, 1, C), lambda b: (b, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((B, 1, C), probs.dtype),
+        out_specs=pl.BlockSpec((C, G), lambda b: (0, b)),
+        out_shape=jax.ShapeDtypeStruct((C, B), probs.dtype),
         interpret=interpret,
-    )(probs, counts[:, None, :], col_masks[:, None, :])
-    return out[:, 0, :]
+    )(probs_t, counts, col_masks_t)
+    return jnp.transpose(out, (1, 0))
 
 
 def em_pallas_batched(

@@ -111,10 +111,35 @@ def main() -> int:
     return 1 if failures else 0
 
 
+# Public per-chip peaks for utilization reporting (How to Scale Your
+# Model / cloud.google.com/tpu docs).  Keyed on device_kind prefixes.
+_CHIP_PEAKS = {
+    "TPU v5 lite": {"hbm_gbps": 819.0, "bf16_tflops": 197.0},
+    "TPU v5e": {"hbm_gbps": 819.0, "bf16_tflops": 197.0},
+    "TPU v4": {"hbm_gbps": 1228.0, "bf16_tflops": 275.0},
+    "TPU v6 lite": {"hbm_gbps": 1640.0, "bf16_tflops": 918.0},
+}
+
+
+def _chip_peaks():
+    try:
+        kind = jax.devices()[0].device_kind
+    except Exception:
+        return None
+    for prefix, peaks in _CHIP_PEAKS.items():
+        if kind.startswith(prefix):
+            return dict(peaks, device_kind=kind)
+    return None
+
+
 def kernel_bench() -> int:
     """Device-vs-host KERNEL throughput (independent of the e2e link
     economics): identical forced-iteration workloads through the Pallas
-    EM, the XLA EM, the native C++ EM, and the diploid pair scorer.
+    EM, the XLA EM, the native C++ EM, and the diploid pair scorer —
+    at a fixed reference shape AND the production bucket-shape mix the
+    batcher emits (power-of-4 rows x power-of-2 cols,
+    infer/batching.py).  Records the BASELINE.md "EM iterations/s per
+    cluster batch" metric and bandwidth/FLOP utilization vs chip peaks.
     Writes TPU_KERNELS_<backend>.json next to the repo root."""
     import json
 
@@ -127,6 +152,9 @@ def kernel_bench() -> int:
 
     rng = np.random.default_rng(1)
     results = {"backend": jax.default_backend()}
+    peaks = _chip_peaks()
+    if peaks:
+        results["chip"] = peaks
 
     # ---- EM: fixed 512 iterations (conv=0 never converges early), so
     # every engine does EXACTLY B*R*C*its element-updates.
@@ -184,6 +212,86 @@ def kernel_bench() -> int:
         results["em_native_geups"] = round(updates / t / 1e9, 2)
         print(f"  native EM: {t:.4f}s = {updates / t / 1e9:.2f} G element-updates/s (all host cores)", flush=True)
 
+    # BASELINE.md metric: EM iterations/s per cluster batch (the whole
+    # padded batch advances one fixed-point iteration together), plus
+    # utilization: the q-formulation touches each matrix element twice
+    # per iteration (2 mul + 2 add = 4 FLOPs/element-update), so
+    #   achieved FLOP/s          = 4 * updates / t
+    #   HBM-equivalent bandwidth = what a kernel re-streaming the f32
+    #     matrix from HBM every iteration would need; the Pallas kernel
+    #     reads HBM once per cluster, so exceeding the HBM peak is the
+    #     direct signature of the VMEM-resident design paying off.
+    for engine in ("em_pallas", "em_xla"):
+        if f"{engine}_geups" not in results:
+            continue
+        geups = results[f"{engine}_geups"]
+        results[f"{engine}_iters_per_s"] = round(geups * 1e9 / (B * R * C), 1)
+        results[f"{engine}_gflops"] = round(geups * 4, 1)
+        results[f"{engine}_hbm_equiv_gbps"] = round(geups * 4, 1)  # 4 B/elem f32
+        if peaks:
+            results[f"{engine}_hbm_equiv_x_peak"] = round(
+                geups * 4 / peaks["hbm_gbps"], 2
+            )
+    if "em_pallas_iters_per_s" in results:
+        print(
+            f"  EM iterations/s per {B}-cluster batch: "
+            f"pallas {results['em_pallas_iters_per_s']:.0f}, "
+            f"xla {results.get('em_xla_iters_per_s', 0):.0f}",
+            flush=True,
+        )
+
+    # ---- Production bucket-shape mix: what the batcher actually emits
+    # on the bench workload (rows padded to powers of 4, columns to
+    # powers of 2; power-law cluster sizes mean many small buckets and
+    # a few large ones).  Forced iterations as above.
+    mix = [
+        # (B, R, C): head-of-power-law big buckets .. small-cluster tail
+        (8, 512, 128),
+        (32, 128, 64),
+        (128, 32, 32),
+        (256, 8, 16),
+    ]
+    mix_updates = 0.0
+    mix_t = {"pallas": 0.0, "xla": 0.0}
+    print(f"bench: EM production shape mix {mix}, {its} forced iterations", flush=True)
+    for Bm, Rm, Cm in mix:
+        pm = rng.random((Bm, Rm, Cm)).astype(np.float32)
+        pm /= pm.sum(axis=2, keepdims=True)
+        cm = rng.integers(1, 20, size=(Bm, Rm)).astype(np.float32)
+        mm = np.ones((Bm, Cm), dtype=np.float32)
+        pm_d, cm_d, mm_d = jnp.asarray(pm), jnp.asarray(cm), jnp.asarray(mm)
+        upd = float(Bm) * Rm * Cm * its
+        mix_updates += upd
+        try:
+            t_p = device_rate(
+                lambda: em_pallas_batched(pm_d, cm_d, mm_d, its, 0.0),
+                lambda out: out.block_until_ready(),
+                n=4,
+            )
+            mix_t["pallas"] += t_p
+        except Exception as exc:
+            print(f"  pallas unavailable at {(Bm, Rm, Cm)}: {type(exc).__name__}", flush=True)
+            t_p = None
+        t_x = device_rate(
+            lambda: _em_solve_batched(pm_d, cm_d, mm_d, jnp.int32(its), np.float32(0.0))[0],
+            lambda out: out.block_until_ready(),
+            n=4,
+        )
+        mix_t["xla"] += t_x
+        pal_s = f"pallas {upd / t_p / 1e9:7.2f}" if t_p else "pallas     n/a"
+        print(
+            f"  ({Bm:4d},{Rm:4d},{Cm:4d}): {pal_s}  xla {upd / t_x / 1e9:7.2f} GEUPS",
+            flush=True,
+        )
+    if mix_t["pallas"] > 0:
+        results["em_pallas_mix_geups"] = round(mix_updates / mix_t["pallas"] / 1e9, 2)
+    results["em_xla_mix_geups"] = round(mix_updates / mix_t["xla"] / 1e9, 2)
+    print(
+        f"  mix aggregate: pallas {results.get('em_pallas_mix_geups', 0):.2f}"
+        f" vs xla {results['em_xla_mix_geups']:.2f} GEUPS",
+        flush=True,
+    )
+
     # ---- Diploid pair scoring: (B,R,P) dense all-pairs, 2*B*R*P^2 FLOPs.
     Bp, Rp, P = 16, 256, 128
     pprobs = rng.random((Bp, Rp, P)).astype(np.float32)
@@ -197,6 +305,13 @@ def kernel_bench() -> int:
         lambda out: out.block_until_ready(),
     )
     results["diploid_gflops"] = round(flops / t / 1e9, 1)
+    if peaks:
+        # MFU vs the chip's bf16 matmul peak (the kernel runs f32, so
+        # its own ceiling is lower; the bf16 number is the honest
+        # fixed reference point).
+        results["diploid_mfu_vs_bf16_peak"] = round(
+            flops / t / 1e12 / peaks["bf16_tflops"], 4
+        )
     print(f"bench: diploid scoring {Bp}x{Rp}x{P}^2: {t:.4f}s = {flops / t / 1e9:.1f} GFLOP/s", flush=True)
 
     out_path = os.path.join(
