@@ -115,17 +115,32 @@ def _diploid_pair_scores_block(probs, noise, counts, log_freqs, half_block, bloc
 _PAIR_TENSOR_ELEMENT_LIMIT = 1 << 27
 
 
+def _pair_tensor_limit() -> int:
+    """RPVG_TPU_PAIR_TENSOR_LIMIT overrides the giant-cluster element
+    guard (the multichip dryrun lowers it so the model-axis-sharded and
+    blocked paths execute at toy scale)."""
+    import os
+
+    env = os.environ.get("RPVG_TPU_PAIR_TENSOR_LIMIT")
+    return int(env) if env else _PAIR_TENSOR_ELEMENT_LIMIT
+
+
 def _pair_scores_sharded(probs, noise, counts, log_freqs):
     """Model-parallel dense scoring for giant clusters: the pair matrix
     shards over the mesh's model axis (one column/row stripe per
     device), so the (R, P, P) tensor only needs 1/n_devices of a chip's
     memory.  Returns None when the mesh cannot help (single device or
-    still too large)."""
+    still too large) or when mesh use is disabled (RPVG_TPU_AUTOSHARD=0,
+    the same kill switch the data-parallel batched drivers honor)."""
+    import os as _os
+
     import jax as _jax
 
+    if _os.environ.get("RPVG_TPU_AUTOSHARD") == "0":
+        return None
     n_dev = _jax.device_count()
     R, P = probs.shape
-    if n_dev <= 1 or R * P * P > _PAIR_TENSOR_ELEMENT_LIMIT * n_dev:
+    if n_dev <= 1 or R * P * P > _pair_tensor_limit() * n_dev:
         return None
 
     from ..parallel.mesh import make_mesh, sharded_diploid_scores
@@ -149,7 +164,7 @@ def _pair_scores_sharded(probs, noise, counts, log_freqs):
 
 def _pair_scores_blocked(probs, noise, counts, log_freqs):
     R, P = probs.shape
-    if R * P * P <= _PAIR_TENSOR_ELEMENT_LIMIT:
+    if R * P * P <= _pair_tensor_limit():
         return np.asarray(
             _diploid_pair_scores(
                 jnp.asarray(probs), jnp.asarray(noise), jnp.asarray(counts),
@@ -160,7 +175,7 @@ def _pair_scores_blocked(probs, noise, counts, log_freqs):
     sharded = _pair_scores_sharded(probs, noise, counts, log_freqs)
     if sharded is not None:
         return sharded
-    block = max(8, _PAIR_TENSOR_ELEMENT_LIMIT // max(1, R * P))
+    block = max(8, _pair_tensor_limit() // max(1, R * P))
     block = _ceil_pow2(block) // 2 or 8
     out = np.empty((P, P), dtype=np.float64)
     probs_dev = jnp.asarray(probs)
@@ -422,11 +437,22 @@ def diploid_posteriors_batched(
     host_set = set(host_idx)
 
     buckets: Dict[Tuple[int, int], List[int]] = {}
+    giant_idx: List[int] = []
+    pair_limit = _pair_tensor_limit()
     for idx, (probs, _, _, _) in enumerate(cluster_inputs):
         if idx in host_set:
             continue
         R, P = probs.shape
-        buckets.setdefault((_ceil_pow4(R), _ceil_pow2(P)), []).append(idx)
+        R_pad, P_pad = _ceil_pow4(R), _ceil_pow2(P)
+        if R_pad * P_pad * P_pad > pair_limit:
+            # Giant cluster: the padded (B, R, P, P) batched tensor
+            # would blow device memory — score it through the
+            # per-cluster blocked/model-axis-sharded path instead
+            # (_pair_scores_blocked; the reference's analogue is the
+            # serial branch-and-bound, src/path_estimator.cpp:379-473).
+            giant_idx.append(idx)
+            continue
+        buckets.setdefault((R_pad, P_pad), []).append(idx)
 
     results = [None] * len(cluster_inputs)
     # TPU has no native f64: pad in f32 (and halve the wire bytes);
@@ -476,6 +502,14 @@ def diploid_posteriors_batched(
         )
         for idx, result in zip(host_idx, host_results):
             results[idx] = result
+
+    # Giant clusters: per-cluster blocked / model-axis-sharded scoring
+    # (still overlapped with the in-flight batched chunks).
+    for idx in giant_idx:
+        probs, noise, counts, path_counts = cluster_inputs[idx]
+        results[idx] = path_group_posteriors_diploid(
+            probs, noise, counts, path_counts, min_rel_likelihood
+        )
 
     select_jobs = []  # (idx, (P, P) score matrix)
     for chunk, pair_ll_dev in pending:

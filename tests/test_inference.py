@@ -536,3 +536,28 @@ def test_full_posteriors_batched_enumeration_fallback():
     direct = post.path_group_posteriors_full(probs, noise, counts, [1] * 9, 3)
     assert fallback[0][0] == [list(g) for g in direct[0]]
     np.testing.assert_allclose(fallback[0][1], direct[1], rtol=1e-12)
+
+
+def test_diploid_batched_giant_cluster_routing(monkeypatch):
+    """Clusters whose padded (B, R, P, P) tensor overflows the
+    pair-tensor guard route through the per-cluster blocked /
+    model-axis-sharded path; results match the batched kernel."""
+    from rpvg_tpu.infer.posteriors import diploid_posteriors_batched
+
+    rng = np.random.default_rng(4)
+    inputs = []
+    for r, p in [(20, 6), (40, 10), (8, 4)]:
+        probs = rng.random((r, p))
+        noise = rng.random(r) * 0.05 + 0.01
+        counts = rng.integers(1, 5, r).astype(float)
+        inputs.append((probs, noise, counts, [1] * p))
+
+    monkeypatch.setenv("RPVG_TPU_NATIVE_EM", "0")  # force the JAX path
+    plain = diploid_posteriors_batched(inputs, 1e-8)
+    # Limit 600: the (8, 4) cluster (padded 8*8*8=512) stays batched,
+    # the two larger ones become "giant" and take the blocked path.
+    monkeypatch.setenv("RPVG_TPU_PAIR_TENSOR_LIMIT", "600")
+    routed = diploid_posteriors_batched(inputs, 1e-8)
+    for (g_plain, p_plain), (g_routed, p_routed) in zip(plain, routed):
+        assert g_plain == g_routed
+        np.testing.assert_allclose(p_plain, p_routed, rtol=1e-9, atol=1e-12)
