@@ -24,19 +24,34 @@ MODELS = [
     # The reference's DEFAULT scoring regime (quality-adjusted,
     # src/main.cpp:385) over reads with quality-driven errors.
     ("haplotype-transcripts-qual", {"with_info": True, "qual": True}),
+    # Full-realism regime: gene-structured panel (isoforms share exon
+    # and allele nodes, real multimapping), quality-driven errors with
+    # qual-adjusted scoring, AND mpmap-shaped multipath DAG records
+    # with scored allele alternatives — pins the noise model the
+    # accuracy thresholds only bound.
+    (
+        "haplotype-transcripts-dag",
+        {"with_info": True, "qual": True, "gene_panel": True, "dag": True},
+    ),
 ]
 
 
-def make_dataset(tmp_dir, qual=False):
+def make_dataset(tmp_dir, qual=False, gene_panel=False, dag=False):
     from rpvg_tpu import sim
 
-    panel = sim.build_panel(
-        num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
-        exon_length=80, variant_sites=1, seed=101,
-    )
+    if gene_panel:
+        panel = sim.build_gene_panel(
+            num_genes=3, isoforms_per_gene=3, num_haplotypes=4,
+            exons_per_gene=5, exon_length=80, variant_sites=2, seed=101,
+        )
+    else:
+        panel = sim.build_panel(
+            num_transcripts=4, num_haplotypes=2, exons_per_transcript=3,
+            exon_length=80, variant_sites=1, seed=101,
+        )
     records, _ = sim.simulate_read_pairs(
         panel, 300, read_length=60, frag_mean=150, frag_sd=12, seed=103,
-        with_errors=qual,
+        with_errors=qual, multipath_dag=dag,
     )
     aln_path = os.path.join(tmp_dir, "aln.json")
     sim.write_alignment_json(records, aln_path)
@@ -53,7 +68,7 @@ def run_model(panel, aln_path, info_path, model, opts, prefix):
         paths=panel.paths_index,
         alignments=aln_path,
         output_prefix=prefix,
-        inference_model=model.replace("-qual", ""),
+        inference_model=model.replace("-qual", "").replace("-dag", ""),
         path_info=info_path if opts.get("with_info") else None,
         rng_seed=99,
         score_not_qual=not opts.get("qual", False),
@@ -67,7 +82,11 @@ def run_model(panel, aln_path, info_path, model, opts, prefix):
 
 @pytest.mark.parametrize("model,opts", MODELS)
 def test_golden_outputs(model, opts, tmp_path):
-    panel, aln_path, info_path = make_dataset(str(tmp_path), qual=opts.get("qual", False))
+    panel, aln_path, info_path = make_dataset(
+        str(tmp_path), qual=opts.get("qual", False),
+        gene_panel=opts.get("gene_panel", False),
+        dag=opts.get("dag", False),
+    )
     outputs = run_model(panel, aln_path, info_path, model, opts, str(tmp_path / "out"))
     for golden_name, produced_path in outputs.items():
         golden_path = os.path.join(GOLDEN_DIR, golden_name)
@@ -85,7 +104,11 @@ def regenerate():
     os.makedirs(GOLDEN_DIR, exist_ok=True)
     with tempfile.TemporaryDirectory() as tmp:
         for model, opts in MODELS:
-            panel, aln_path, info_path = make_dataset(tmp, qual=opts.get("qual", False))
+            panel, aln_path, info_path = make_dataset(
+                tmp, qual=opts.get("qual", False),
+                gene_panel=opts.get("gene_panel", False),
+                dag=opts.get("dag", False),
+            )
             outputs = run_model(
                 panel, aln_path, info_path, model, opts, os.path.join(tmp, model)
             )
