@@ -82,7 +82,7 @@ def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str,
 
 
 def run_workload(num_pairs: int, num_transcripts: int, data_dir: str,
-                 qual: bool = False) -> dict:
+                 qual: bool = False, runs: int = 10) -> dict:
     """Measure the pipeline end-to-end from prebuilt binary inputs,
     exactly as the reference measures from its prebuilt .gamp."""
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -118,7 +118,7 @@ def run_workload(num_pairs: int, num_transcripts: int, data_dir: str,
     # proved too few: one noisy burst can still cover all of them; at
     # ~2s per run, ten runs are cheap insurance).
     elapsed = []
-    for _ in range(10):
+    for _ in range(runs):
         start = time.perf_counter()
         stats = run_pipeline(config)
         elapsed.append(time.perf_counter() - start)
@@ -161,7 +161,7 @@ def child_main() -> None:
     args = json.loads(sys.argv[2])
     result = run_workload(
         args["num_pairs"], args["num_transcripts"], args["data_dir"],
-        qual=args.get("qual", False),
+        qual=args.get("qual", False), runs=args.get("runs", 10),
     )
     print(json.dumps(result), flush=True)
     os._exit(0)  # skip accelerator teardown (tunnel hangs on exit)
@@ -179,6 +179,10 @@ def main() -> int:
     # costs at most the residual budget (round-3 runs burned 375s in
     # serial probe timeouts before falling back to CPU).
     parser.add_argument("--probe-budget", type=float, default=150.0)
+    parser.add_argument(
+        "--skip-forced-device", action="store_true",
+        help="skip the forced-device diagnostic window",
+    )
     parser.add_argument(
         "--qual", action="store_true",
         help="reference-default regime: quality-driven sequencing errors "
@@ -260,12 +264,15 @@ def main() -> int:
         }
     )
 
-    def attempt(extra_env):
+    def attempt(extra_env, child_payload=None):
         env = dict(os.environ)
         env.update(extra_env)
         try:
             proc = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--child", payload],
+                [
+                    sys.executable, os.path.abspath(__file__), "--child",
+                    child_payload or payload,
+                ],
                 capture_output=True,
                 text=True,
                 timeout=args.timeout,
@@ -314,6 +321,39 @@ def main() -> int:
             # the common failure.
             record("tpu", {}, retry=1 if window == 0 else 0)
 
+    # Forced-device diagnostic (not a headline candidate): route ALL
+    # inference to the accelerator (RPVG_TPU_HYBRID_EM_AREA=0 disables
+    # the hybrid, RPVG_TPU_HYBRID_DIPLOID_WORK=0 sends diploid scoring
+    # too) — the measured cost of the path the linkprobe policy
+    # declines on this link, recorded so "the policy routes to host" is
+    # a quantified trade rather than an assertion.
+    forced = None
+    if not args.skip_forced_device and probe.healthy():
+        forced_payload = json.dumps(
+            {
+                "num_pairs": args.pairs,
+                "num_transcripts": args.transcripts,
+                "data_dir": data_dir,
+                "qual": args.qual,
+                "runs": 3,
+            }
+        )
+        forced, err = attempt(
+            {
+                "RPVG_TPU_HYBRID_EM_AREA": "0",
+                "RPVG_TPU_HYBRID_DIPLOID_WORK": "0",
+            },
+            child_payload=forced_payload,
+        )
+        if forced is None:
+            print(f"bench: forced-device window failed ({err})", file=sys.stderr)
+        else:
+            print(
+                f"bench: forced-device (all inference on accelerator): "
+                f"{forced['pairs_per_s']:.1f} pairs/s",
+                file=sys.stderr,
+            )
+
     import shutil
 
     shutil.rmtree(data_dir, ignore_errors=True)
@@ -353,6 +393,21 @@ def main() -> int:
             out["device_link"] = {
                 "h2d_mbps": cand["link_h2d_mbps"],
                 "dispatch_ms": cand["link_dispatch_ms"],
+            }
+    if forced is not None:
+        out["forced_device"] = {
+            "pairs_per_s": round(forced["pairs_per_s"], 2),
+            "elapsed_s": round(forced["elapsed_s"], 3),
+            "runs": 3,
+            "env": {
+                "RPVG_TPU_HYBRID_EM_AREA": "0",
+                "RPVG_TPU_HYBRID_DIPLOID_WORK": "0",
+            },
+        }
+        if "link_h2d_mbps" in forced:
+            out["forced_device"]["link"] = {
+                "h2d_mbps": forced["link_h2d_mbps"],
+                "dispatch_ms": forced["link_dispatch_ms"],
             }
     print(json.dumps(out))
     return 0

@@ -4652,3 +4652,206 @@ uint8_t* rpvg_nested_combine(
 }
 
 }  // extern "C"
+
+// ------------------------------------------------- cross-shard merge
+
+extern "C" {
+
+// Deduplicate the columnar dumps of N worker-process shards (the
+// multi-worker fragment pass, rpvg_tpu/parallel/multihost.py).  Entries
+// are keyed by their canonical raw serialization minus the embedded
+// 8-byte count prefix; counts for identical keys sum; the merged order
+// is the global first-seen scan order (shard-major, entry order within
+// a shard) — exactly the Python keying loop this replaces, which cost
+// ~1.1s at bench scale against ~30ms here.
+//
+// Parallel plan: one pass over all entries precomputes a 64-bit FNV-1a
+// key hash (threaded by ranges); then `merge_shards` threads each own
+// the keys whose hash lands on them and dedup independently in scan
+// order; finally the per-hash-shard winners are re-sorted by global
+// first-seen position.
+//
+// Outputs (caller-allocated at capacity sum(n_entries)):
+//   out_shard[i], out_entry[i] — first-seen (shard, entry) per merged
+//   entry, out_counts[i] — summed count.  Returns the merged count.
+int64_t rpvg_merge_columnar_shards(
+    const uint8_t** datas, const int64_t** raw_bounds,
+    const int64_t** id_bounds,
+    const int64_t* n_entries, int64_t n_shards, int32_t n_threads,
+    int32_t* out_shard, int64_t* out_entry, int64_t* out_counts,
+    int64_t* out_raw_lens, int64_t* out_id_lens) {
+  int64_t total = 0;
+  std::vector<int64_t> shard_offsets(n_shards + 1, 0);
+  for (int64_t s = 0; s < n_shards; ++s) {
+    shard_offsets[s + 1] = shard_offsets[s] + n_entries[s];
+  }
+  total = shard_offsets[n_shards];
+  if (total == 0) return 0;
+  if (n_threads <= 0) n_threads = 1;
+
+  // Phase 0: per-entry key hash + count, threaded over global ranges.
+  std::vector<uint64_t> hashes(total);
+  std::vector<uint64_t> counts(total);
+  {
+    auto hash_range = [&](int64_t g0, int64_t g1) {
+      int64_t s = 0;
+      for (int64_t g = g0; g < g1; ++g) {
+        while (g >= shard_offsets[s + 1]) ++s;
+        const int64_t e = g - shard_offsets[s];
+        const int64_t start = raw_bounds[s][e];
+        const int64_t end = raw_bounds[s][e + 1];
+        const uint8_t* p = datas[s] + start;
+        uint64_t count;
+        std::memcpy(&count, p, 8);
+        counts[g] = count;
+        uint64_t h = 1469598103934665603ull;  // FNV-1a offset basis
+        for (const uint8_t* k = p + 8; k < datas[s] + end; ++k) {
+          h ^= *k;
+          h *= 1099511628211ull;
+        }
+        hashes[g] = h;
+      }
+    };
+    const int32_t workers =
+        static_cast<int32_t>(std::min<int64_t>(n_threads, total));
+    if (workers <= 1) {
+      hash_range(0, total);
+    } else {
+      std::vector<std::thread> pool;
+      pool.reserve(workers);
+      const int64_t chunk = (total + workers - 1) / workers;
+      for (int32_t w = 0; w < workers; ++w) {
+        const int64_t g0 = std::min<int64_t>(total, w * chunk);
+        const int64_t g1 = std::min<int64_t>(total, g0 + chunk);
+        if (g0 < g1) pool.emplace_back(hash_range, g0, g1);
+      }
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  // Phase 1: hash-sharded dedup in global scan order.
+  const int32_t merge_shards =
+      std::max(1, std::min<int32_t>(n_threads, 16));
+  struct Winner {
+    int64_t first_g;
+    uint64_t count;
+  };
+  std::vector<std::vector<Winner>> shard_winners(merge_shards);
+  {
+    auto dedup_shard = [&](int32_t ms) {
+      auto& winners = shard_winners[ms];
+      winners.reserve(total / merge_shards + 16);
+      std::unordered_map<std::string_view, size_t> seen;
+      seen.reserve(total / merge_shards + 16);
+      for (int64_t s = 0; s < n_shards; ++s) {
+        const uint8_t* base = datas[s];
+        const int64_t* rb = raw_bounds[s];
+        for (int64_t e = 0; e < n_entries[s]; ++e) {
+          const int64_t g = shard_offsets[s] + e;
+          if (static_cast<int32_t>(hashes[g] %
+                                   static_cast<uint64_t>(merge_shards)) != ms)
+            continue;
+          std::string_view key(
+              reinterpret_cast<const char*>(base + rb[e] + 8),
+              static_cast<size_t>(rb[e + 1] - rb[e] - 8));
+          auto [it, inserted] = seen.emplace(key, winners.size());
+          if (inserted) {
+            winners.push_back({g, counts[g]});
+          } else {
+            winners[it->second].count += counts[g];
+          }
+        }
+      }
+    };
+    if (merge_shards == 1) {
+      dedup_shard(0);
+    } else {
+      std::vector<std::thread> pool;
+      pool.reserve(merge_shards);
+      for (int32_t ms = 0; ms < merge_shards; ++ms)
+        pool.emplace_back(dedup_shard, ms);
+      for (auto& th : pool) th.join();
+    }
+  }
+
+  // Phase 2: restore the global first-seen order.
+  std::vector<Winner> merged;
+  {
+    size_t n = 0;
+    for (const auto& w : shard_winners) n += w.size();
+    merged.reserve(n);
+    for (auto& w : shard_winners) {
+      merged.insert(merged.end(), w.begin(), w.end());
+      w.clear();
+      w.shrink_to_fit();
+    }
+  }
+  std::sort(merged.begin(), merged.end(),
+            [](const Winner& a, const Winner& b) { return a.first_g < b.first_g; });
+
+  for (size_t i = 0; i < merged.size(); ++i) {
+    const int64_t g = merged[i].first_g;
+    int64_t s = 0;
+    while (g >= shard_offsets[s + 1]) ++s;
+    const int64_t e = g - shard_offsets[s];
+    out_shard[i] = static_cast<int32_t>(s);
+    out_entry[i] = e;
+    out_counts[i] = static_cast<int64_t>(merged[i].count);
+    out_raw_lens[i] = raw_bounds[s][e + 1] - raw_bounds[s][e];
+    out_id_lens[i] = id_bounds[s][e + 1] - id_bounds[s][e];
+  }
+  return static_cast<int64_t>(merged.size());
+}
+
+// Gather the merged entries' raw bytes (count prefix rewritten to the
+// merged totals), located-id runs and anchors into the caller's
+// preallocated output arrays — the second half of the cross-shard
+// merge, replacing the numpy repeat/fancy-index gathers (~0.9s at
+// bench scale).  out_raw_bounds / out_id_bounds are the exclusive
+// cumsums of the lens the merge call returned.
+void rpvg_gather_merged_columnar(
+    const uint8_t** datas, const int64_t** raw_bounds,
+    const int64_t** id_bounds, const int64_t** all_ids,
+    const int64_t** anchors,
+    const int32_t* sel_shard, const int64_t* sel_entry,
+    const int64_t* merged_counts,
+    const int64_t* out_raw_bounds, const int64_t* out_id_bounds,
+    int64_t n, int32_t n_threads,
+    uint8_t* out_blob, int64_t* out_ids, int64_t* out_anchors) {
+  if (n == 0) return;
+  if (n_threads <= 0) n_threads = 1;
+  auto gather_range = [&](int64_t i0, int64_t i1) {
+    for (int64_t i = i0; i < i1; ++i) {
+      const int32_t s = sel_shard[i];
+      const int64_t e = sel_entry[i];
+      const int64_t rstart = raw_bounds[s][e];
+      const int64_t rlen = raw_bounds[s][e + 1] - rstart;
+      uint8_t* dst = out_blob + out_raw_bounds[i];
+      std::memcpy(dst, datas[s] + rstart, static_cast<size_t>(rlen));
+      const uint64_t count = static_cast<uint64_t>(merged_counts[i]);
+      std::memcpy(dst, &count, 8);  // rewrite the embedded count field
+      const int64_t istart = id_bounds[s][e];
+      const int64_t ilen = id_bounds[s][e + 1] - istart;
+      std::memcpy(out_ids + out_id_bounds[i], all_ids[s] + istart,
+                  static_cast<size_t>(ilen) * 8);
+      out_anchors[i] = anchors[s][e];
+    }
+  };
+  const int32_t workers =
+      static_cast<int32_t>(std::min<int64_t>(n_threads, n));
+  if (workers <= 1) {
+    gather_range(0, n);
+    return;
+  }
+  std::vector<std::thread> pool;
+  pool.reserve(workers);
+  const int64_t chunk = (n + workers - 1) / workers;
+  for (int32_t w = 0; w < workers; ++w) {
+    const int64_t i0 = std::min<int64_t>(n, w * chunk);
+    const int64_t i1 = std::min<int64_t>(n, i0 + chunk);
+    if (i0 < i1) pool.emplace_back(gather_range, i0, i1);
+  }
+  for (auto& th : pool) th.join();
+}
+
+}  // extern "C"

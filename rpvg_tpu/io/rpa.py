@@ -61,10 +61,16 @@ class RpaReader:
     def blocks(self) -> Iterator[bytes]:
         while True:
             header = self.handle.read(8)
-            if len(header) < 8:
+            if not header:
                 return
+            # A partial header or short payload is a truncated
+            # container: fail loudly, never yield a garbled block
+            # (fuzz-pinned by tests/test_fuzz_loaders.py).
+            assert len(header) == 8, "truncated rpa block header"
             (length,) = struct.unpack("<q", header)
-            yield self.handle.read(length)
+            payload = self.handle.read(length)
+            assert len(payload) == length, "truncated rpa block"
+            yield payload
 
     def close(self) -> None:
         self.handle.close()

@@ -144,10 +144,13 @@ def test_multiprocess_runner(dataset, tmp_path):
     base_prefix = str(tmp_path / "mp_base")
     run_pipeline(base_config(dataset, base_prefix))
 
-    prefix = str(tmp_path / "mp")
-    run_pipeline_multiprocess(base_config(dataset, prefix), 2)
-    with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
-        assert a.read() == b.read()
+    # 1 worker covers the single-shard adopt-directly fast path (no
+    # cross-shard merge); 2 covers the native merge kernel.
+    for workers in (1, 2):
+        prefix = str(tmp_path / f"mp_{workers}")
+        run_pipeline_multiprocess(base_config(dataset, prefix), workers)
+        with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+            assert a.read() == b.read()
 
 
 @pytest.mark.parametrize(

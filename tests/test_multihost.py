@@ -244,3 +244,56 @@ def test_columnar_shard_merge_direct():
     np.testing.assert_array_equal(cols.all_ids, [7, 9, 3])
     np.testing.assert_array_equal(merged.frag_length_counts, [0, 3, 1])
     assert merged.unaligned_count == 3
+
+
+def test_native_shard_merge_matches_python_spec(monkeypatch):
+    """The threaded C++ cross-shard merge (dedup + gather) must be
+    byte-identical to the Python keying/gather specification."""
+    import numpy as np
+
+    from rpvg_tpu import native as native_mod
+    from rpvg_tpu.fragments import FragmentLengthDist
+    from rpvg_tpu.parallel import multihost
+
+    if not native_mod.native_available():
+        pytest.skip("native toolchain unavailable")
+
+    rng = np.random.default_rng(3)
+    keys = [
+        rng.integers(0, 256, size=rng.integers(12, 40)).astype(np.uint8).tobytes()
+        for _ in range(200)
+    ]
+    payloads = []
+    for s in range(3):
+        picks = rng.choice(len(keys), size=150, replace=True)
+        blob = bytearray()
+        bounds, counts, anchors, id_bounds, all_ids = [0], [], [], [0], []
+        for k in picks:
+            cnt = int(rng.integers(1, 9))
+            blob += int(cnt).to_bytes(8, "little") + keys[k]
+            bounds.append(len(blob))
+            counts.append(cnt)
+            anchors.append(int(k))
+            all_ids.extend(range(k % 5))
+            id_bounds.append(len(all_ids))
+        payloads.append(
+            (
+                bytes(blob), np.asarray(counts, np.int64),
+                np.asarray(anchors, np.int64), np.asarray(id_bounds, np.int64),
+                np.asarray(all_ids, np.int64), np.asarray(bounds, np.int64),
+                np.arange(4, dtype=np.int64) * s, s,
+            )
+        )
+    pre = FragmentLengthDist.from_normal(2, 1, 1)
+    nat = multihost._native_shard_merge(payloads, pre, False)
+    assert nat is not None
+
+    monkeypatch.setattr(multihost, "_native_shard_merge", lambda *a, **k: None)
+    ref = multihost._merge_columnar_shards(payloads, pre, False)
+
+    nc, rc = nat.columnar, ref.columnar
+    assert bytes(nc.data) == bytes(rc.data)
+    for attr in ("counts", "anchors", "id_bounds", "all_ids", "raw_bounds"):
+        np.testing.assert_array_equal(getattr(nc, attr), getattr(rc, attr))
+    np.testing.assert_array_equal(nc.histogram, rc.histogram)
+    assert nc.unaligned == rc.unaligned
