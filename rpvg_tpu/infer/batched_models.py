@@ -955,9 +955,16 @@ def _process_nested_section(
                     if esc_fracs.size == int(widths.sum()):
                         resume = (esc_fracs, esc_conv)
                         remaining_its = max(1, estimator.max_em_its - stage_floor)
+                # Without Gibbs the kernel emits mats/cnts for EXACTLY
+                # the escalated tasks in order (_task_matrix_bounds:
+                # has_mat == ~has_fracs when not emit_matrices) — hand
+                # the streams through without re-concatenating
+                # ~thousands of small views (profiled at ~0.26s per
+                # bench run).  run_native_em size-asserts the match.
+                concat = (mats_all, cnts_all) if not emit_matrices else None
                 device_results = run_native_em(
                     task_inputs, remaining_its, estimator.max_rel_em_conv,
-                    resume_state=resume,
+                    resume_state=resume, concat=concat,
                 )
             else:
                 device_results = run_batched_em(

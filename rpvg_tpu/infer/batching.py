@@ -56,6 +56,7 @@ def run_native_em(
     max_rel_em_conv: float,
     n_threads: int = 0,
     resume_state=None,
+    concat=None,
 ) -> List[Tuple[np.ndarray, float]]:
     """Ragged batched EM through the C++ kernel (CPU speed path): no
     padding, no shape buckets, per-cluster loops on worker threads —
@@ -65,7 +66,12 @@ def run_native_em(
     `resume_state`: optional (init_fracs list (C_i+... = width per
     cluster), conv_its array) — continues a bounded run from its exit
     state bitwise-identically (escalated tasks skip re-running the
-    budget)."""
+    budget).
+
+    `concat`: optional (probs_flat, counts_flat) when the caller's
+    cluster_inputs are already in-order views over contiguous streams
+    (the fused kernel's escalated-task emission) — skips the Python
+    per-cluster concatenation, which dominates this wrapper's cost."""
     import ctypes
     import os
 
@@ -82,18 +88,30 @@ def run_native_em(
     col_offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(n_cols, out=col_offsets[1:])
 
-    probs_concat = (
-        np.concatenate(
-            [np.ascontiguousarray(p, dtype=np.float64).ravel() for p, _ in cluster_inputs]
+    if concat is not None:
+        probs_concat = np.ascontiguousarray(concat[0], dtype=np.float64).ravel()
+        counts_concat = np.ascontiguousarray(concat[1], dtype=np.float64)
+        if probs_concat.size != int(mat_offsets[-1]) or counts_concat.size != int(
+            row_offsets[-1]
+        ):
+            raise ValueError(
+                "concat streams do not cover cluster_inputs exactly: "
+                f"{probs_concat.size}/{int(mat_offsets[-1])} matrix elems, "
+                f"{counts_concat.size}/{int(row_offsets[-1])} rows"
+            )
+    else:
+        probs_concat = (
+            np.concatenate(
+                [np.ascontiguousarray(p, dtype=np.float64).ravel() for p, _ in cluster_inputs]
+            )
+            if n
+            else np.empty(0, dtype=np.float64)
         )
-        if n
-        else np.empty(0, dtype=np.float64)
-    )
-    counts_concat = (
-        np.concatenate([np.asarray(c, dtype=np.float64) for _, c in cluster_inputs])
-        if n
-        else np.empty(0, dtype=np.float64)
-    )
+        counts_concat = (
+            np.concatenate([np.asarray(c, dtype=np.float64) for _, c in cluster_inputs])
+            if n
+            else np.empty(0, dtype=np.float64)
+        )
     out_counts = np.empty(max(0, int(col_offsets[-1]) - n), dtype=np.float64)
     out_noise = np.empty(n, dtype=np.float64)
 

@@ -85,17 +85,26 @@ def _shard_worker(args):
     import time as _time
 
     config, shard, num_shards = args
+    # One thread per worker process: the process axis IS the fragment
+    # pass's parallelism (running config.threads inside every worker
+    # oversubscribes the host N*threads-fold).
+    if config is not None and config.threads != 1:
+        config = dataclasses.replace(config, threads=1)
     if config is None:
         config, pre_dist, finder = _FORK_STATE["bundle"]
+        if config.threads != 1:
+            config = dataclasses.replace(config, threads=1)
+        # The parent built the bundle finder with ITS thread count (the
+        # downstream phases own every core); in a shard worker the
+        # native pass and dump must run single-threaded too.  fork gave
+        # this process a private copy-on-write _iparams, so the child
+        # write never reaches the parent.
+        if hasattr(finder, "_iparams"):
+            finder._iparams[7] = 1
     else:
         graph, paths_index = load_inputs(config)
         pre_dist = resolve_pre_fragment_dist(config)
         finder = build_finder(config, paths_index, pre_dist)
-    # One thread per worker process: the process axis IS the fragment
-    # pass's parallelism (running config.threads inside every worker
-    # oversubscribes the host N*threads-fold).
-    if config.threads != 1:
-        config = dataclasses.replace(config, threads=1)
     scan_start = _time.perf_counter()
     index = collect_fragments(
         config, finder, pre_dist, shard=shard, num_shards=num_shards,
@@ -374,6 +383,24 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     else:
         worker_args = [(config, s, num_workers) for s in range(num_workers)]
 
+    # The info-TSV parse is independent of the fragment pass — overlap
+    # it with the worker scan exactly like the single-process pipeline
+    # (reference parses it between the passes, main.cpp:759).
+    info_future = None
+    if config.path_info is not None:
+        import concurrent.futures
+
+        from ..io.info import parse_haplotype_transcript_info
+
+        _info_pool = concurrent.futures.ThreadPoolExecutor(1)
+        info_future = _info_pool.submit(
+            parse_haplotype_transcript_info,
+            config.path_info,
+            config.inference_model == "haplotype-transcripts",
+            config.inference_model == "transcripts",
+        )
+        _info_pool.shutdown(wait=False)
+
     frag_start = _time.perf_counter()
     pool = ctx.Pool(num_workers)
     try:
@@ -394,6 +421,7 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # real workloads and overlapped on real pods).
     fragment_scan_s = max(payload[2] for payload in shard_payloads)
 
+    merge_start = _time.perf_counter()
     if all(payload[0] == "columnar" for payload in shard_payloads):
         if len(shard_payloads) == 1:
             # One shard is already deduplicated by the worker: adopt its
@@ -432,6 +460,7 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
             fragment_index.merge_from(shard_index)
         num_lists = len(fragment_index.entries)
 
+    merge_s = _time.perf_counter() - merge_start
     log(
         f"Merged {num_workers} worker shards: "
         f"{num_lists} distinct alignment path lists"
@@ -441,11 +470,15 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # bytes by the native builder.  (Already built pre-fork above.)
     if finder is None:
         finder = build_finder(config, paths_index, pre_dist)
+    infer_start = _time.perf_counter()
     stats = run_inference_phases(
-        config, paths_index, fragment_index, pre_dist, log, finder=finder
+        config, paths_index, fragment_index, pre_dist, log, finder=finder,
+        info_future=info_future,
     )
     stats["fragment_pass_s"] = fragment_pass_s
     stats["fragment_scan_s"] = fragment_scan_s
+    stats["merge_s"] = merge_s
+    stats["inference_s"] = _time.perf_counter() - infer_start
     return stats
 
 

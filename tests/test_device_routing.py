@@ -68,6 +68,36 @@ def test_slot_routing_byte_identical(gene_dataset, monkeypatch, gibbs):
     assert base == routed
 
 
+def test_bounded_escalation_concat_byte_identical(gene_dataset, monkeypatch):
+    """Bounded-EM escalation (RPVG_TPU_EM_BOUND) with host rebatching
+    must be byte-identical to the uninterrupted run, and the rebatch
+    must take run_native_em's zero-copy concat fast path (the emitted
+    mats/cnts streams hold exactly the escalated tasks)."""
+    from rpvg_tpu.infer import batching
+
+    base = _run(gene_dataset, "escbase")
+
+    seen = {"concat": 0, "calls": 0}
+    orig = batching.run_native_em
+
+    def spy(cluster_inputs, *args, **kwargs):
+        seen["calls"] += 1
+        if kwargs.get("concat") is not None:
+            seen["concat"] += 1
+        return orig(cluster_inputs, *args, **kwargs)
+
+    monkeypatch.setattr(batching, "run_native_em", spy)
+    monkeypatch.setattr(
+        "rpvg_tpu.infer.batched_models.run_native_em", spy, raising=False
+    )
+    monkeypatch.setenv("RPVG_TPU_EM_BOUND", "3")
+    escalated = _run(gene_dataset, "escbound")
+    assert base == escalated
+    assert seen["concat"] >= 1, (
+        f"concat fast path never taken ({seen['calls']} run_native_em calls)"
+    )
+
+
 def test_gene_panel_builds_wide_clusters(gene_dataset):
     # The gene-structured panel must produce genuinely multimapping
     # clusters (isoforms x haplotypes paths sharing reads) — the regime

@@ -70,6 +70,8 @@ def child_main() -> None:
         row = {
             "fragment_scan_s": stats["fragment_scan_s"],
             "fragment_pass_s": stats["fragment_pass_s"],
+            "merge_s": stats.get("merge_s", 0.0),
+            "inference_s": stats.get("inference_s", 0.0),
             "e2e_s": e2e,
         }
         if best is None or row["e2e_s"] < best["e2e_s"]:
@@ -157,6 +159,11 @@ def main() -> int:
         "fragment_scan_efficiency": [
             round(scan_base / (r["workers"] * r["fragment_scan_s"]), 4) for r in rows
         ],
+        # Honest serial-tail breakdown: cross-shard merge and the
+        # downstream inference phase (native threaded kernels + serial
+        # Python orchestration) per worker count.
+        "merge_s": [round(r["merge_s"], 3) for r in rows],
+        "inference_s": [round(r["inference_s"], 3) for r in rows],
     }
     print(json.dumps(result))
     return 0
