@@ -4855,3 +4855,41 @@ void rpvg_gather_merged_columnar(
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Connected components over the clustering edge list (path_clusters.cpp's
+// striped-mutex BFS in the reference; clustering.py's vectorised sweep built
+// on scipy here).  Plain weighted union-find with path halving: the scipy
+// route pays a full COO->CSR conversion (sort + duplicate sum) that costs
+// ~10x the labelling itself at bench scale.  Labels are the component roots;
+// the Python caller re-labels by smallest member id, so any stable root
+// choice is equivalent.
+
+extern "C" {
+
+void rpvg_union_find(const int64_t* edge_u, const int64_t* edge_v,
+                     int64_t n_edges, int64_t n_nodes, int64_t* out_labels) {
+  std::vector<int64_t> parent(static_cast<size_t>(n_nodes));
+  for (int64_t i = 0; i < n_nodes; ++i) parent[static_cast<size_t>(i)] = i;
+  std::vector<uint8_t> rank_(static_cast<size_t>(n_nodes), 0);
+  auto find = [&parent](int64_t x) {
+    while (parent[static_cast<size_t>(x)] != x) {
+      parent[static_cast<size_t>(x)] =
+          parent[static_cast<size_t>(parent[static_cast<size_t>(x)])];
+      x = parent[static_cast<size_t>(x)];
+    }
+    return x;
+  };
+  for (int64_t e = 0; e < n_edges; ++e) {
+    int64_t a = find(edge_u[e]);
+    int64_t b = find(edge_v[e]);
+    if (a == b) continue;
+    if (rank_[static_cast<size_t>(a)] < rank_[static_cast<size_t>(b)]) std::swap(a, b);
+    parent[static_cast<size_t>(b)] = a;
+    if (rank_[static_cast<size_t>(a)] == rank_[static_cast<size_t>(b)])
+      ++rank_[static_cast<size_t>(a)];
+  }
+  for (int64_t i = 0; i < n_nodes; ++i) out_labels[i] = find(i);
+}
+
+}  // extern "C"

@@ -295,10 +295,11 @@ def dispatch_em_device(
         key = (_ceil_pow4(R), c_pad_all or _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
 
-    # Dispatch every chunk asynchronously (device transfers and kernels
-    # overlap; the accelerator link here has ~25-40ms blocking round-trip
-    # latency, so per-chunk sync would serialise it).
-    pending = []  # (chunk indices, device array or ready ndarray)
+    # Build every chunk's padded block first, then dispatch
+    # asynchronously (device transfers and kernels overlap; the
+    # accelerator link here has ~25-40ms blocking round-trip latency,
+    # so per-chunk sync would serialise it).
+    built = []  # (chunk indices, probs_pad, counts_pad, col_masks)
     for (R_pad, C_pad), chunk_indices in buckets.items():
         # Split huge buckets to bound device memory.
         max_batch = max(1, max_bucket_rows // R_pad) * 8
@@ -316,31 +317,80 @@ def dispatch_em_device(
                 probs_pad[b, :R, :C] = probs
                 counts_pad[b, :R] = counts
                 col_masks[b, :C] = 1.0
+            built.append((chunk, probs_pad, counts_pad, col_masks))
 
-            # Keep the whole block + temporaries comfortably inside VMEM.
-            fits_vmem = R_pad * C_pad * np.dtype(dtype).itemsize * 4 <= 8 * 2**20
-            fracs = None
-            if pallas_enabled and fits_vmem:
-                try:
-                    from ..ops.em_pallas import em_pallas_batched
+    pending = []  # (chunk indices, device array or ready ndarray)
+    fuse_group = []  # chunks sharing one fused Pallas launch
+    fuse_bytes = 0
 
-                    fracs = em_pallas_batched(
-                        probs_pad, counts_pad, col_masks, max_em_its, max_rel_em_conv
-                    )
-                except Exception as exc:  # pragma: no cover - hardware-specific
-                    import sys
+    def flush_fused():
+        nonlocal fuse_bytes, pallas_enabled
+        if not fuse_group:
+            return
+        from ..ops.em_pallas import em_pallas_batched, em_pallas_fused
 
-                    print(
-                        f"pallas EM unavailable ({type(exc).__name__}); using XLA",
-                        file=sys.stderr,
-                    )
-                    pallas_enabled = False
-            if fracs is None:
-                fracs, _ = em_abundances_batched(
-                    probs_pad, counts_pad, col_masks, max_em_its,
-                    max_rel_em_conv, stage_floor=stage_floor,
+        try:
+            if len(fuse_group) == 1:
+                chunk, p, c, m = fuse_group[0]
+                pending.append(
+                    (chunk, em_pallas_batched(p, c, m, max_em_its, max_rel_em_conv))
                 )
+            else:
+                outs = em_pallas_fused(
+                    [(p, c, m) for _, p, c, m in fuse_group],
+                    max_em_its, max_rel_em_conv,
+                )
+                for (chunk, _, _, _), fracs in zip(fuse_group, outs):
+                    pending.append((chunk, fracs))
+        except Exception as exc:  # pragma: no cover - hardware-specific
+            import sys
+
+            print(
+                f"pallas EM unavailable ({type(exc).__name__}); using XLA",
+                file=sys.stderr,
+            )
+            pallas_enabled = False
+            for chunk, p, c, m in fuse_group:
+                fracs, _ = em_abundances_batched(
+                    p, c, m, max_em_its, max_rel_em_conv, stage_floor=stage_floor
+                )
+                pending.append((chunk, fracs))
+        fuse_group.clear()
+        fuse_bytes = 0
+
+    from ..ops.em_pallas import _VMEM_BLOCK_BYTES, fused_vmem_cost
+
+    for i in range(len(built)):
+        chunk, probs_pad, counts_pad, col_masks = built[i]
+        built[i] = None  # free each padded block as it is consumed
+        B, R_pad, C_pad = probs_pad.shape
+        itemsize = np.dtype(dtype).itemsize
+        # Per-grid-step VMEM feasibility (same bound the chunked single
+        # kernel enforces via its G choice).
+        fits_vmem = R_pad * C_pad * itemsize * 4 <= _VMEM_BLOCK_BYTES
+        if not (pallas_enabled and fits_vmem):
+            flush_fused()
+            fracs, _ = em_abundances_batched(
+                probs_pad, counts_pad, col_masks, max_em_its,
+                max_rel_em_conv, stage_floor=stage_floor,
+            )
             pending.append((chunk, fracs))
+            continue
+        cost = fused_vmem_cost(B, R_pad, C_pad, itemsize)
+        if cost > _VMEM_BLOCK_BYTES:
+            # Too big to co-reside: the chunked-grid single kernel
+            # streams it in G-cluster steps.
+            flush_fused()
+            fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
+            fuse_bytes = cost
+            flush_fused()
+            continue
+        if fuse_bytes + cost > _VMEM_BLOCK_BYTES:
+            # Full fusion budget: launch what we have, start a new group.
+            flush_fused()
+        fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
+        fuse_bytes += cost
+    flush_fused()
     return pending
 
 

@@ -167,5 +167,139 @@ def em_pallas_batched(
             jax.config.update("jax_enable_x64", True)
 
 
+def _em_fused_kernel(*refs, n_blocks: int, max_em_its: int,
+                     max_rel_em_conv: float):
+    """Shared fixed-point loop over `n_blocks` differently-shaped
+    bucket blocks resident in VMEM at once.  Small buckets alone are
+    serial-chain bound (each while iteration is a few-microsecond
+    vector op, so 512 dependent iterations cost milliseconds no matter
+    how little data moves); fusing the buckets makes every iteration
+    process the UNION of their elements, amortising the chain across
+    the whole dispatch.  Per-cluster convergence freezing keeps each
+    cluster's trajectory identical to the single-bucket kernel."""
+    probs = [refs[k][:] for k in range(n_blocks)]                 # (C,G,R)
+    counts = [refs[n_blocks + k][:] for k in range(n_blocks)]     # (G,R)
+    masks = [refs[2 * n_blocks + k][:] for k in range(n_blocks)]  # (C,G)
+    outs = refs[3 * n_blocks :]
+
+    dt = probs[0].dtype
+    one = jnp.asarray(1.0, dt)
+    zero = jnp.asarray(0.0, dt)
+    conv_threshold = jnp.asarray(max_rel_em_conv, dt)
+    min_abundance = jnp.asarray(MIN_EM_ABUNDANCE, dt)
+
+    n_cols = [jnp.maximum(jnp.sum(m, axis=0, keepdims=True), one) for m in masks]
+    inv_totals = [
+        one
+        / jnp.maximum(jnp.sum(c, axis=1, keepdims=True), one).reshape(1, c.shape[0])
+        for c in counts
+    ]
+    init_a = tuple(m / nc for m, nc in zip(masks, n_cols))
+    init_conv = tuple(jnp.zeros((1, m.shape[1]), jnp.int32) for m in masks)
+
+    def cond(state):
+        _, convs, it = state
+        unconverged = jnp.any(convs[0] < MIN_EM_CONV_ITS)
+        for conv_its in convs[1:]:
+            unconverged |= jnp.any(conv_its < MIN_EM_CONV_ITS)
+        return (it < max_em_its) & unconverged
+
+    def body(state):
+        a_s, conv_s, it = state
+        new_as = []
+        new_convs = []
+        for k in range(n_blocks):
+            a, conv_its = a_s[k], conv_s[k]
+            rs = jnp.sum(probs[k] * a[:, :, None], axis=0)       # (G, R)
+            q = jnp.where(rs > zero, counts[k] / rs, zero)       # (G, R)
+            t = jnp.sum(probs[k] * q[None, :, :], axis=2)        # (C, G)
+            new = a * t * inv_totals[k]
+
+            already_done = conv_its >= MIN_EM_CONV_ITS
+            new = jnp.where(already_done, a, new)
+            active = (new >= min_abundance) & (masks[k] > zero)
+            rel_diff = jnp.where(
+                active, jnp.abs(new - a) / jnp.where(active, new, one), zero
+            )
+            has_converged = jnp.all(
+                rel_diff <= conv_threshold, axis=0, keepdims=True
+            )
+            new_convs.append(
+                jnp.where(
+                    already_done, conv_its,
+                    jnp.where(has_converged, conv_its + 1, 0),
+                )
+            )
+            new_as.append(new)
+        return tuple(new_as), tuple(new_convs), it + 1
+
+    final_a, _, _ = jax.lax.while_loop(cond, body, (init_a, init_conv, jnp.int32(0)))
+    for k in range(n_blocks):
+        outs[k][:] = final_a[k]
+
+
+@partial(jax.jit, static_argnames=("max_em_its", "max_rel_em_conv", "interpret"))
+def _em_fused_call(probs_t, counts, masks_t, max_em_its, max_rel_em_conv,
+                   interpret):
+    n_blocks = len(probs_t)
+    kernel = partial(
+        _em_fused_kernel, n_blocks=n_blocks, max_em_its=max_em_its,
+        max_rel_em_conv=float(max_rel_em_conv),
+    )
+    return pl.pallas_call(
+        kernel,
+        in_specs=(
+            [pl.BlockSpec(p.shape, None) for p in probs_t]
+            + [pl.BlockSpec(c.shape, None) for c in counts]
+            + [pl.BlockSpec(m.shape, None) for m in masks_t]
+        ),
+        out_specs=[pl.BlockSpec(m.shape, None) for m in masks_t],
+        out_shape=[
+            jax.ShapeDtypeStruct(m.shape, probs_t[0].dtype) for m in masks_t
+        ],
+        interpret=interpret,
+    )(*probs_t, *counts, *masks_t)
+
+
+def em_pallas_fused(
+    blocks,                       # [(probs (B,R,C), counts (B,R), masks (B,C))]
+    max_em_its: int = 10000,
+    max_rel_em_conv: float = 0.001,
+    interpret: bool = False,
+):
+    """One Pallas launch over several padded shape buckets: returns a
+    list of (B, C) abundance fractions, one per block, numerically
+    identical to per-block :func:`em_pallas_batched` (same update, same
+    per-cluster freeze).  Caller guarantees the blocks' combined bytes
+    fit :data:`_VMEM_BLOCK_BYTES` (see :func:`fused_vmem_cost`)."""
+    prev_x64 = jax.config.jax_enable_x64
+    if prev_x64:
+        jax.config.update("jax_enable_x64", False)
+    try:
+        probs_t = tuple(
+            jnp.transpose(jnp.asarray(p, jnp.float32), (2, 0, 1))
+            for p, _, _ in blocks
+        )
+        counts = tuple(jnp.asarray(c, jnp.float32) for _, c, _ in blocks)
+        masks_t = tuple(
+            jnp.transpose(jnp.asarray(m, jnp.float32), (1, 0))
+            for _, _, m in blocks
+        )
+        outs = _em_fused_call(
+            probs_t, counts, masks_t, int(max_em_its), float(max_rel_em_conv),
+            bool(interpret),
+        )
+        return [jnp.transpose(out, (1, 0)) for out in outs]
+    finally:
+        if prev_x64:
+            jax.config.update("jax_enable_x64", True)
+
+
+def fused_vmem_cost(B: int, R: int, C: int, itemsize: int = 4) -> int:
+    """VMEM bytes one block contributes to a fused launch: the resident
+    (C, G=B, R) matrix plus the (G, R) rs/q temporaries."""
+    return (B * R * C + 2 * B * R) * itemsize
+
+
 def em_pallas_available() -> bool:
     return jax.default_backend() == "tpu"

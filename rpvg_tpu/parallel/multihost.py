@@ -79,6 +79,78 @@ def run_pipeline_sharded(config: PipelineConfig, num_shards: int) -> Dict:
 # index, finder and config never pickle or rebuild per worker).
 _FORK_STATE: Dict = {}
 
+# Columnar shard dumps above this many bytes transfer through a tmpfs
+# file (one memcpy to /dev/shm in the worker, a zero-copy memmap in the
+# parent) instead of pickling through the Pool result pipe — at 1M
+# pairs the pipe serialisation alone costs ~1s of the fragment pass.
+_SHM_DIR = "/dev/shm"
+
+
+def _shm_payload_min() -> int:
+    import os
+
+    env = os.environ.get("RPVG_TPU_SHM_PAYLOAD_MIN")
+    return int(env) if env else 1 << 20
+
+
+def _spill_columnar_payload(payload, shard: int):
+    """Write a columnar shard payload into one tmpfs file; returns
+    (path, descriptors, unaligned) or None to use the pipe.  Arrays are
+    64-byte aligned so the parent's typed memmap views are exact."""
+    import os
+    import uuid
+
+    *arrays, unaligned = payload
+    total = sum(
+        (np.asarray(a) if not isinstance(a, (bytes, bytearray)) else np.frombuffer(a, np.uint8)).nbytes
+        for a in arrays
+    )
+    if total < _shm_payload_min() or not os.path.isdir(_SHM_DIR):
+        return None
+    path = os.path.join(
+        _SHM_DIR, f"rpvg_shm_{os.getppid()}_{shard}_{uuid.uuid4().hex[:8]}.bin"
+    )
+    descs = []
+    try:
+        with open(path, "wb") as handle:
+            offset = 0
+            for arr in arrays:
+                if isinstance(arr, (bytes, bytearray)):
+                    arr = np.frombuffer(arr, dtype=np.uint8)
+                arr = np.ascontiguousarray(arr)
+                pad = (-offset) % 64
+                if pad:
+                    handle.write(b"\0" * pad)
+                    offset += pad
+                handle.write(memoryview(arr).cast("B"))
+                descs.append((arr.dtype.str, arr.shape, offset))
+                offset += arr.nbytes
+    except OSError:
+        try:
+            os.unlink(path)
+        except OSError:
+            pass
+        return None
+    return (path, descs, unaligned)
+
+
+def _load_spilled_payload(spilled):
+    """Memmap a worker's tmpfs payload file and unlink it immediately:
+    the open mapping keeps the pages alive, so lifetime follows the
+    returned views exactly (no cleanup path to get wrong)."""
+    import os
+
+    path, descs, unaligned = spilled
+    mm = np.memmap(path, dtype=np.uint8, mode="r")
+    os.unlink(path)
+    views = []
+    for dtype_str, shape, offset in descs:
+        dt = np.dtype(dtype_str)
+        count = int(np.prod(shape, dtype=np.int64)) if shape else 1
+        view = mm[offset : offset + count * dt.itemsize].view(dt).reshape(shape)
+        views.append(view)
+    return (*views, unaligned)
+
 
 def _shard_worker(args):
     import dataclasses
@@ -118,16 +190,16 @@ def _shard_worker(args):
         # cross the process boundary, and the parent's merge stays
         # columnar (fast inference path).
         cols = index.columnar
-        return (
-            "columnar",
-            (
-                bytes(cols.data), np.asarray(cols.counts),
-                np.asarray(cols.anchors), np.asarray(cols.id_bounds),
-                np.asarray(cols.all_ids), np.asarray(cols.raw_bounds),
-                np.asarray(cols.histogram), int(cols.unaligned),
-            ),
-            scan_s,
+        payload = (
+            bytes(cols.data), np.asarray(cols.counts),
+            np.asarray(cols.anchors), np.asarray(cols.id_bounds),
+            np.asarray(cols.all_ids), np.asarray(cols.raw_bounds),
+            np.asarray(cols.histogram), int(cols.unaligned),
         )
+        spilled = _spill_columnar_payload(payload, shard)
+        if spilled is not None:
+            return ("columnar_file", spilled, scan_s)
+        return ("columnar", payload, scan_s)
     # Python-engine fallback: ship parsed entries.
     return (
         "entries",
@@ -197,9 +269,15 @@ def _native_shard_merge(payloads, pre_dist, is_single_end):
         return arr.ctypes.data_as(ctypes.c_void_p).value
 
     for si, (data, counts, anchors, id_bounds, all_ids, raw_bounds, _h, _u) in enumerate(payloads):
-        # `data` is bytes owned by `payloads` for the whole call, so the
-        # raw pointer stays valid.
-        data_ptrs[si] = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p)
+        # `data` is bytes (pipe payload) or a uint8 memmap view (tmpfs
+        # payload), owned by `payloads` for the whole call, so the raw
+        # pointer stays valid either way.
+        if isinstance(data, (bytes, bytearray)):
+            data_ptrs[si] = ctypes.cast(ctypes.c_char_p(data), ctypes.c_void_p)
+        else:
+            data_arr = np.ascontiguousarray(data, dtype=np.uint8)
+            keepalive.append(data_arr)
+            data_ptrs[si] = ctypes.c_void_p(data_arr.ctypes.data)
         rbound_ptrs[si] = as_c(raw_bounds, np.int64)
         ibound_ptrs[si] = as_c(id_bounds, np.int64)
         ids_ptrs[si] = as_c(all_ids, np.int64)
@@ -420,6 +498,15 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # interpreter spawn + index build — is a fixed cost amortised over
     # real workloads and overlapped on real pods).
     fragment_scan_s = max(payload[2] for payload in shard_payloads)
+
+    # Rehydrate tmpfs-spilled columnar payloads (zero-copy memmap views;
+    # the file is unlinked inside, so no cleanup path).
+    shard_payloads = [
+        ("columnar", _load_spilled_payload(body), scan)
+        if kind == "columnar_file"
+        else (kind, body, scan)
+        for kind, body, scan in shard_payloads
+    ]
 
     merge_start = _time.perf_counter()
     if all(payload[0] == "columnar" for payload in shard_payloads):

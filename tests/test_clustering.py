@@ -84,3 +84,35 @@ def test_split_by_bounds_matches_np_split():
     arr = np.arange(6)
     (a, b) = split_by_bounds(arr, np.array([0, 2, 6]))
     assert a.base is arr and b.base is arr
+
+
+def test_native_union_find_matches_scipy():
+    """The native union-find labelling must induce exactly the same
+    components as scipy's connected_components over random edge lists
+    (labels differ; the canonical smallest-member relabelling both
+    consumers apply must not)."""
+    import numpy as np
+    import pytest
+    from scipy.sparse import coo_matrix
+    from scipy.sparse.csgraph import connected_components
+
+    from rpvg_tpu.clustering import _edge_labels
+    from rpvg_tpu.native import native_available
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    def canonical(labels):
+        uniq, first = np.unique(labels, return_index=True)
+        new_ids = np.empty(uniq.size, dtype=np.int64)
+        new_ids[np.argsort(first, kind="stable")] = np.arange(uniq.size)
+        return new_ids[np.searchsorted(uniq, labels)]
+
+    rng = np.random.default_rng(7)
+    for n, n_edges in ((1, 0), (5, 0), (30, 10), (200, 150), (1000, 4000)):
+        u = rng.integers(0, n, n_edges).astype(np.int64)
+        v = rng.integers(0, n, n_edges).astype(np.int64)
+        native = _edge_labels(u, v, n)
+        graph = coo_matrix((np.ones(u.size, dtype=np.int8), (u, v)), shape=(n, n))
+        _, ref = connected_components(graph, directed=False)
+        assert np.array_equal(canonical(native), canonical(ref))

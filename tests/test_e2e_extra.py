@@ -153,6 +153,31 @@ def test_multiprocess_runner(dataset, tmp_path):
             assert a.read() == b.read()
 
 
+def test_multiprocess_tmpfs_payload(dataset, tmp_path, monkeypatch):
+    """Workers spilling their columnar dumps through /dev/shm (the
+    large-payload transfer path, forced here with a 1-byte threshold)
+    must be byte-identical to the pipe payloads, for both the
+    single-shard adopt and the cross-shard merge, and must leave no
+    stray spill files behind."""
+    import glob
+    import os
+
+    from rpvg_tpu.parallel.multihost import run_pipeline_multiprocess
+
+    if not os.path.isdir("/dev/shm"):
+        pytest.skip("no tmpfs")
+    base_prefix = str(tmp_path / "shm_base")
+    run_pipeline(base_config(dataset, base_prefix))
+
+    monkeypatch.setenv("RPVG_TPU_SHM_PAYLOAD_MIN", "1")
+    for workers in (1, 2):
+        prefix = str(tmp_path / f"shm_{workers}")
+        run_pipeline_multiprocess(base_config(dataset, prefix), workers)
+        with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+            assert a.read() == b.read()
+    assert glob.glob(f"/dev/shm/rpvg_shm_{os.getpid()}_*") == []
+
+
 @pytest.mark.parametrize(
     "model,extra",
     [

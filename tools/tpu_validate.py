@@ -292,6 +292,35 @@ def kernel_bench() -> int:
         flush=True,
     )
 
+    # Fused multi-bucket launch: all four mix buckets resident in VMEM
+    # at once, one shared fixed-point loop (ops/em_pallas.py
+    # em_pallas_fused) — the dispatcher's answer to small buckets being
+    # serial-chain bound.
+    try:
+        from rpvg_tpu.ops.em_pallas import em_pallas_fused
+
+        blocks = []
+        for Bm, Rm, Cm in mix:
+            pm = rng.random((Bm, Rm, Cm)).astype(np.float32)
+            pm /= pm.sum(axis=2, keepdims=True)
+            cm = rng.integers(1, 20, size=(Bm, Rm)).astype(np.float32)
+            blocks.append((jnp.asarray(pm), jnp.asarray(cm),
+                           jnp.asarray(np.ones((Bm, Cm), np.float32))))
+        t_f = device_rate(
+            lambda: em_pallas_fused(blocks, its, 0.0),
+            lambda outs: outs[-1].block_until_ready(),
+            n=4,
+        )
+        results["em_pallas_fused_mix_geups"] = round(mix_updates / t_f / 1e9, 2)
+        print(
+            f"  fused single-launch mix: {mix_updates / t_f / 1e9:.2f} GEUPS "
+            f"(vs {results.get('em_pallas_mix_geups', 0):.2f} per-bucket pallas, "
+            f"{results['em_xla_mix_geups']:.2f} xla)",
+            flush=True,
+        )
+    except Exception as exc:
+        print(f"  fused mix unavailable: {type(exc).__name__}: {exc}", flush=True)
+
     # ---- Diploid pair scoring: (B,R,P) dense all-pairs, 2*B*R*P^2 FLOPs.
     Bp, Rp, P = 16, 256, 128
     pprobs = rng.random((Bp, Rp, P)).astype(np.float32)
