@@ -2768,18 +2768,39 @@ extern "C" {
 //
 // probs_concat: per cluster a row-major (R_b, C_b) block (noise column
 // last); out_concat: per cluster C_b abundance fractions.
+// Descending-area schedule for the ragged EM batches: workers steal
+// from an atomic cursor, so the only imbalance left is a heavy cluster
+// picked LAST running alone after the queue drains — starting the
+// biggest matrices first bounds that tail by the smallest work items
+// (the reference size-sorts its cluster parallel-for the same way,
+// src/main.cpp:916-925).  Output slots are fixed by cluster id, so the
+// schedule order cannot change results.
+static std::vector<int64_t> em_sorted_schedule(const int64_t* n_rows,
+                                               const int64_t* n_cols,
+                                               int64_t n_clusters) {
+  std::vector<int64_t> sched(static_cast<size_t>(n_clusters));
+  for (int64_t i = 0; i < n_clusters; ++i) sched[static_cast<size_t>(i)] = i;
+  std::stable_sort(sched.begin(), sched.end(), [&](int64_t a, int64_t b) {
+    return n_rows[a] * n_cols[a] > n_rows[b] * n_cols[b];
+  });
+  return sched;
+}
+
 void rpvg_em_ragged(const double* probs_concat, const double* counts_concat,
                     const int64_t* mat_offsets, const int64_t* row_offsets,
                     const int64_t* col_offsets, const int64_t* n_rows,
                     const int64_t* n_cols, int64_t n_clusters,
                     int64_t max_its, double conv, int32_t n_threads,
                     double* out_concat) {
+  const std::vector<int64_t> sched =
+      em_sorted_schedule(n_rows, n_cols, n_clusters);
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> abund, fresh;
     for (;;) {
-      int64_t b = next.fetch_add(1);
-      if (b >= n_clusters) return;
+      int64_t s = next.fetch_add(1);
+      if (s >= n_clusters) return;
+      const int64_t b = sched[static_cast<size_t>(s)];
       const int64_t R = n_rows[b];
       const int64_t C = n_cols[b];
       const double* P = probs_concat + mat_offsets[b];
@@ -2817,12 +2838,15 @@ void rpvg_em_ragged_counts_resume(
   // Warm-start variant: init_fracs_concat (CSR by col_offsets) + the
   // per-cluster convergence counters resume a bounded run
   // bitwise-identically (null inits = fresh uniform start).
+  const std::vector<int64_t> sched =
+      em_sorted_schedule(n_rows, n_cols, n_clusters);
   std::atomic<int64_t> next{0};
   auto worker = [&]() {
     std::vector<double> abund, fresh;
     for (;;) {
-      int64_t b = next.fetch_add(1);
-      if (b >= n_clusters) return;
+      int64_t s = next.fetch_add(1);
+      if (s >= n_clusters) return;
+      const int64_t b = sched[static_cast<size_t>(s)];
       const int64_t R = n_rows[b];
       const int64_t C = n_cols[b];
       const double* P = probs_concat + mat_offsets[b];

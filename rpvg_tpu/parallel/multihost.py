@@ -483,6 +483,22 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     pool = ctx.Pool(num_workers)
     try:
         shard_payloads = pool.map(_shard_worker, worker_args)
+    except BaseException:
+        # Workers that already spilled their payload to tmpfs leave
+        # files behind when the pass dies — reclaim them (the success
+        # path unlinks inside _load_spilled_payload).
+        import glob as _glob
+        import os as _os
+
+        pool.terminate()
+        for stray in _glob.glob(
+            _os.path.join(_SHM_DIR, f"rpvg_shm_{_os.getpid()}_*")
+        ):
+            try:
+                _os.unlink(stray)
+            except OSError:
+                pass
+        raise
     finally:
         _FORK_STATE.pop("bundle", None)
         # Reap the workers OFF the critical path: Pool.terminate/join
