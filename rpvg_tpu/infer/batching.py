@@ -269,10 +269,11 @@ def dispatch_em_device(
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64
-    # reference to ~3e-7.  Measured on v5e (TPU_KERNELS_tpu.json,
-    # round 4): 94 vs 45 GEUPS at the 64x256x64 reference shape and
-    # faster than the XLA while-loop at every production bucket shape
-    # (mix aggregate 13.7 vs 11.3).  RPVG_TPU_PALLAS=0 force-disables.
+    # reference to ~3e-7.  Measured readback-anchored on v5e
+    # (TPU_KERNELS_tpu.json, round 4): 300 vs 67 GEUPS at the 64x256x64
+    # reference shape and faster than the XLA while-loop at every
+    # production bucket shape (mix aggregate 102 vs 40).
+    # RPVG_TPU_PALLAS=0 force-disables.
     pallas_enabled = use_pallas == "on" or (
         use_pallas == "auto" and on_tpu and os.environ.get("RPVG_TPU_PALLAS") != "0"
     )
@@ -322,6 +323,24 @@ def dispatch_em_device(
     pending = []  # (chunk indices, device array or ready ndarray)
     fuse_group = []  # chunks sharing one fused Pallas launch
     fuse_bytes = 0
+
+    # Fusing buckets into one launch trades ~15% kernel time at the
+    # production mix (readback-anchored, TPU_KERNELS_tpu.json:
+    # em_pallas_fused_mix_geups vs em_pallas_mix_geups) for (K-1) saved
+    # dispatches — a clear win through a tunnelled link (~25-35ms per
+    # dispatch here) and a slight loss on a direct-attached part, so
+    # the measured link decides.  RPVG_TPU_FUSE_EM=1/0 overrides.
+    fuse_env = os.environ.get("RPVG_TPU_FUSE_EM", "auto")
+    if fuse_env == "auto":
+        try:
+            from ..parallel.linkprobe import probe_link
+
+            link = probe_link()
+            fuse_ok = bool(link) and link["dispatch_s"] > 1e-3
+        except Exception:
+            fuse_ok = False
+    else:
+        fuse_ok = fuse_env == "1"
 
     def flush_fused():
         nonlocal fuse_bytes, pallas_enabled
@@ -377,6 +396,14 @@ def dispatch_em_device(
             pending.append((chunk, fracs))
             continue
         cost = fused_vmem_cost(B, R_pad, C_pad, itemsize)
+        if not fuse_ok:
+            # Per-bucket launches are the faster configuration on this
+            # link: flush singleton groups immediately.
+            flush_fused()
+            fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
+            fuse_bytes = cost
+            flush_fused()
+            continue
         if cost > _VMEM_BLOCK_BYTES:
             # Too big to co-reside: the chunked-grid single kernel
             # streams it in G-cluster steps.

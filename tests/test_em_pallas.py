@@ -78,6 +78,9 @@ def test_dispatch_fuses_small_buckets(monkeypatch):
 
     monkeypatch.setattr(em_pallas, "em_pallas_fused", fused)
     monkeypatch.setattr(em_pallas, "em_pallas_batched", single)
+    # The auto policy only fuses when the measured link's dispatch cost
+    # warrants it (no accelerator in CI) — force it on for the test.
+    monkeypatch.setenv("RPVG_TPU_FUSE_EM", "1")
 
     rng = np.random.default_rng(5)
     cluster_inputs = []
