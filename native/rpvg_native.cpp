@@ -1565,25 +1565,43 @@ void rpvg_buffer_free(uint8_t* buf) { std::free(buf); }
 
 namespace {
 
+// Dedup map value: occurrence count + the GLOBAL ordinal of the
+// fragment that first produced this list.  Dumps order entries by
+// `ord`, which is the single-threaded stream's first-seen order — a
+// canonical order independent of thread count AND of which worker
+// happened to process a fragment, so the projection loop is free to
+// work-steal (static range splits stalled every block's join barrier
+// on its slowest slice; multimapping cost is heavy-tailed).
+struct EntryVal {
+  uint64_t count = 0;
+  uint64_t ord = ~0ull;
+};
+
 struct NativeFragmentIndex {
-  std::unordered_map<std::string, uint64_t> entries;
+  std::unordered_map<std::string, EntryVal> entries;
   // RPVG_TPU_NATIVE_PROF=1 sub-phase thread-CPU accounting (ns).
   std::atomic<uint64_t> prof_project_ns{0};
   std::atomic<uint64_t> prof_dedup_ns{0};
   // Per-worker dedup maps: workers accumulate across every projected
-  // block (fragment f of a block goes to worker f*T/N, so the final
-  // content is schedule-independent) and merge ONCE at dump time —
-  // the per-block merge re-hashed every fragment's key into the global
-  // map and dominated the fragment pass at scale.
-  std::vector<std::unordered_map<std::string, uint64_t>> worker_entries;
+  // block and merge ONCE at dump time — the per-block merge re-hashed
+  // every fragment's key into the global map and dominated the
+  // fragment pass at scale.  Which worker holds an entry is
+  // schedule-dependent; the ordinal in EntryVal restores the canonical
+  // order at dump.
+  std::vector<std::unordered_map<std::string, EntryVal>> worker_entries;
   std::vector<int64_t> histogram;
   int32_t pre_loc = 0;
   int32_t is_single_end = 0;
   uint64_t unaligned = 0;
+  uint64_t next_ordinal = 0;  // advanced per block by the serial caller
 
   void merge_workers() {
     for (auto& local : worker_entries) {
-      for (auto& [key, count] : local) entries[key] += count;
+      for (auto& [key, val] : local) {
+        EntryVal& dst = entries[key];
+        dst.count += val.count;
+        dst.ord = std::min(dst.ord, val.ord);
+      }
       local.clear();
     }
     worker_entries.clear();
@@ -1606,8 +1624,9 @@ void serialize_path_list(Writer* w, const std::vector<AlignmentPathOut>& paths) 
 }
 
 void index_fragment(NativeFragmentIndex* fidx,
-                    std::unordered_map<std::string, uint64_t>* entries,
-                    std::vector<AlignmentPathOut>&& paths) {
+                    std::unordered_map<std::string, EntryVal>* entries,
+                    std::vector<AlignmentPathOut>&& paths,
+                    uint64_t ordinal) {
   if (paths.empty()) {
     ++fidx->unaligned;
     return;
@@ -1650,7 +1669,9 @@ void index_fragment(NativeFragmentIndex* fidx,
   serialize_path_list(&key_writer, paths);
   std::string key(reinterpret_cast<const char*>(key_writer.buf.data()),
                   key_writer.buf.size());
-  (*entries)[key] += 1;
+  EntryVal& val = (*entries)[key];
+  val.count += 1;
+  val.ord = std::min(val.ord, ordinal);
 }
 
 }  // namespace
@@ -1737,12 +1758,16 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
 
   const bool prof_enabled = prof_on();
   auto thread_ns = prof_now;
+  const uint64_t ord_base = fidx->next_ordinal;
+  fidx->next_ordinal += static_cast<uint64_t>(n_fragments);
+
   auto process_range = [&](int32_t begin, int32_t end, NativeFragmentIndex* local,
-                           std::unordered_map<std::string, uint64_t>* entries) {
-    Finder finder(idx, params, tables);
-    Reader reader{offsets[begin], input + input_len};
+                           std::unordered_map<std::string, EntryVal>* entries,
+                           Finder* finder) {
+    Reader reader{offsets[begin], offsets[end]};
     uint64_t project_ns = 0, dedup_ns = 0, t0 = 0;
     for (int32_t f = begin; f < end; ++f) {
+      const uint64_t ord = ord_base + static_cast<uint64_t>(f);
       uint8_t kind = reader.get<uint8_t>();
       bool is_multipath = kind & 1;
       bool is_paired = kind & 2;
@@ -1750,24 +1775,24 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
       if (prof_enabled) t0 = thread_ns();
       if (is_paired) {
         AlignmentRec aln_2 = read_alignment(&reader, is_multipath);
-        auto found = finder.find_paired(aln_1, aln_2);
+        auto found = finder->find_paired(aln_1, aln_2);
         if (prof_enabled) {
           uint64_t t1 = thread_ns();
           project_ns += t1 - t0;
-          index_fragment(local, entries, std::move(found));
+          index_fragment(local, entries, std::move(found), ord);
           dedup_ns += thread_ns() - t1;
         } else {
-          index_fragment(local, entries, std::move(found));
+          index_fragment(local, entries, std::move(found), ord);
         }
       } else {
-        auto found = finder.find_single(aln_1);
+        auto found = finder->find_single(aln_1);
         if (prof_enabled) {
           uint64_t t1 = thread_ns();
           project_ns += t1 - t0;
-          index_fragment(local, entries, std::move(found));
+          index_fragment(local, entries, std::move(found), ord);
           dedup_ns += thread_ns() - t1;
         } else {
-          index_fragment(local, entries, std::move(found));
+          index_fragment(local, entries, std::move(found), ord);
         }
       }
     }
@@ -1778,17 +1803,30 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
   };
 
   if (n_threads == 1) {
-    process_range(0, n_fragments, &locals[0], &fidx->worker_entries[0]);
+    Finder finder(idx, params, tables);
+    process_range(0, n_fragments, &locals[0], &fidx->worker_entries[0],
+                  &finder);
   } else {
+    // Chunked work-stealing: multimapping cost is heavy-tailed (a
+    // fragment hitting a giant cluster runs a deep DFS), so static
+    // range splits stall the per-block join barrier on the slowest
+    // slice.  Entry ordinals (not worker identity) carry the canonical
+    // order, so any thread may take any chunk.
+    constexpr int32_t kStealChunk = 64;
+    std::atomic<int32_t> cursor{0};
+    auto steal_loop = [&](int32_t t) {
+      Finder finder(idx, params, tables);
+      for (;;) {
+        const int32_t begin = cursor.fetch_add(kStealChunk);
+        if (begin >= n_fragments) return;
+        const int32_t end = std::min(n_fragments, begin + kStealChunk);
+        process_range(begin, end, &locals[t], &fidx->worker_entries[t],
+                      &finder);
+      }
+    };
     std::vector<std::thread> workers;
-    for (int32_t t = 0; t < n_threads; ++t) {
-      int32_t begin = static_cast<int32_t>(
-          static_cast<int64_t>(n_fragments) * t / n_threads);
-      int32_t end = static_cast<int32_t>(
-          static_cast<int64_t>(n_fragments) * (t + 1) / n_threads);
-      workers.emplace_back(process_range, begin, end, &locals[t],
-                           &fidx->worker_entries[t]);
-    }
+    workers.reserve(n_threads);
+    for (int32_t t = 0; t < n_threads; ++t) workers.emplace_back(steal_loop, t);
     for (auto& w : workers) w.join();
   }
 
@@ -2242,16 +2280,25 @@ extern "C" {
 uint8_t* rpvg_indexer_dump(void* indexer, int64_t* out_len) {
   auto* fidx = static_cast<NativeFragmentIndex*>(indexer);
   fidx->merge_workers();
+  // Canonical order: the stream's first-seen ordinal (thread-count and
+  // schedule independent).
+  std::vector<const std::pair<const std::string, EntryVal>*> order;
+  order.reserve(fidx->entries.size());
+  for (const auto& item : fidx->entries) order.push_back(&item);
+  std::sort(order.begin(), order.end(),
+            [](const auto* a, const auto* b) {
+              return a->second.ord < b->second.ord;
+            });
   Writer w;
   size_t payload = 0;
-  for (const auto& [key, count] : fidx->entries) payload += key.size() + 8;
+  for (const auto& [key, val] : fidx->entries) payload += key.size() + 8;
   w.buf.reserve(payload + 16 + fidx->histogram.size() * 8);
   w.put<uint64_t>(fidx->entries.size());
-  for (const auto& [key, count] : fidx->entries) {
-    w.put<uint64_t>(count);
+  for (const auto* item : order) {
+    w.put<uint64_t>(item->second.count);
     size_t offset = w.buf.size();
-    w.buf.resize(offset + key.size());
-    std::memcpy(w.buf.data() + offset, key.data(), key.size());
+    w.buf.resize(offset + item->first.size());
+    std::memcpy(w.buf.data() + offset, item->first.data(), item->first.size());
   }
   w.put<uint64_t>(fidx->unaligned);
   for (int64_t h : fidx->histogram) w.put<int64_t>(h);
@@ -2340,19 +2387,22 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   // Merge the per-worker dedup maps hash-sharded in parallel: shard s
   // owns the keys whose (cheap content-derived) mix lands on s, so the
   // same fragment list always merges in one shard regardless of which
-  // workers saw it.  Entry order = shard 0..S-1, within a shard the
-  // first-seen scan order over worker maps — deterministic for a given
-  // input and thread count; downstream consumers canonicalise row
-  // order anyway (collapse sorts rows), which the cross-worker-count
-  // byte-identity tests pin.  Keys stay owned by the worker maps (not
+  // workers saw it.  Entry order = ascending first-seen ordinal (the
+  // single-threaded stream order), restored by a global sort after the
+  // shard merge — canonical across thread counts and the
+  // work-stealing schedule.  Keys stay owned by the worker maps (not
   // cleared) so entry pointers remain valid for the locate pass.
+  struct MergedEntry {
+    const std::string* key;
+    uint64_t count;
+    uint64_t ord;
+  };
   const int32_t merge_shards = std::max(
       1, std::min<int32_t>(n_threads > 0 ? n_threads : 1, 16));
-  std::vector<std::vector<std::pair<const std::string*, uint64_t>>>
-      shard_lists(merge_shards);
+  std::vector<std::vector<MergedEntry>> shard_lists(merge_shards);
   {
     // Worker maps plus any legacy pre-merged content.
-    std::vector<const std::unordered_map<std::string, uint64_t>*> sources;
+    std::vector<const std::unordered_map<std::string, EntryVal>*> sources;
     if (!fidx->entries.empty()) sources.push_back(&fidx->entries);
     for (const auto& local : fidx->worker_entries) sources.push_back(&local);
 
@@ -2378,14 +2428,15 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
       std::unordered_map<std::string_view, size_t> seen;
       seen.reserve(total_src / merge_shards + 16);
       for (const auto* src : sources) {
-        for (const auto& [key, count] : *src) {
+        for (const auto& [key, val] : *src) {
           if (shard_of(key) != s) continue;
           auto [it, inserted] =
               seen.emplace(std::string_view(key), list.size());
           if (inserted) {
-            list.emplace_back(&key, count);
+            list.push_back(MergedEntry{&key, val.count, val.ord});
           } else {
-            list[it->second].second += count;
+            list[it->second].count += val.count;
+            list[it->second].ord = std::min(list[it->second].ord, val.ord);
           }
         }
       }
@@ -2401,7 +2452,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
     }
   }
 
-  std::vector<std::pair<const std::string*, uint64_t>> entry_list;
+  std::vector<MergedEntry> entry_list;
   {
     size_t total = 0;
     for (const auto& list : shard_lists) total += list.size();
@@ -2412,6 +2463,11 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
       list.shrink_to_fit();
     }
   }
+  // Canonical entry order: ascending first-seen ordinal.
+  std::sort(entry_list.begin(), entry_list.end(),
+            [](const MergedEntry& a, const MergedEntry& b) {
+              return a.ord < b.ord;
+            });
   const int64_t n = static_cast<int64_t>(entry_list.size());
   uint64_t tp1 = prof ? prof_wall() : 0;
 
@@ -2431,7 +2487,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
     std::vector<int64_t> located;
     std::vector<int64_t> ids;
     for (int64_t e = begin; e < end; ++e) {
-      const std::string& key = *entry_list[e].first;
+      const std::string& key = *entry_list[e].key;
       const uint8_t* p = reinterpret_cast<const uint8_t*>(key.data());
       int32_t n_paths;
       std::memcpy(&n_paths, p, 4);
@@ -2453,7 +2509,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
       std::sort(ids.begin(), ids.end());
       ids.erase(std::unique(ids.begin(), ids.end()), ids.end());
 
-      counts[e] = entry_list[e].second;
+      counts[e] = entry_list[e].count;
       anchors[e] = anchor;
       n_ids[e] = static_cast<int32_t>(ids.size());
       range_ids.insert(range_ids.end(), ids.begin(), ids.end());
@@ -2500,7 +2556,7 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   put_block(raw_lens.data(), n * 8);
   for (int64_t e = 0; e < n; ++e) {
     w.put<uint64_t>(counts[e]);
-    put_block(entry_list[e].first->data(), entry_list[e].first->size());
+    put_block(entry_list[e].key->data(), entry_list[e].key->size());
   }
   w.put<uint64_t>(fidx->unaligned);
   for (int64_t h : fidx->histogram) w.put<int64_t>(h);
