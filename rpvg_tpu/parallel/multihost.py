@@ -535,7 +535,14 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
             from ..native import ColumnarFragments
             from ..pipeline import ColumnarFragmentIndex
 
-            cols = ColumnarFragments(*shard_payloads[0][1])
+            data, *rest = shard_payloads[0][1]
+            if not isinstance(data, (bytes, bytearray)):
+                # tmpfs payloads arrive as memmap views; the adopted
+                # dump's data buffer must be bytes — entry_list() raw
+                # slices become FragmentIndex dict keys on the legacy
+                # fallback path, and ndarray slices are unhashable.
+                data = bytes(data)
+            cols = ColumnarFragments(data, *rest)
             fragment_index = ColumnarFragmentIndex(
                 cols, pre_dist, config.is_single_end()
             )

@@ -297,3 +297,48 @@ def test_native_shard_merge_matches_python_spec(monkeypatch):
         np.testing.assert_array_equal(getattr(nc, attr), getattr(rc, attr))
     np.testing.assert_array_equal(nc.histogram, rc.histogram)
     assert nc.unaligned == rc.unaligned
+
+
+def test_tmpfs_spill_roundtrip_and_legacy_index(tmp_path, monkeypatch):
+    """The tmpfs spill must round-trip every payload array exactly, and
+    a single-shard adopt of a spilled (memmap-backed) dump must still
+    materialise the legacy FragmentIndex — its entries dict keys the
+    raw byte slices, which requires bytes, not ndarray views."""
+    import os
+
+    import numpy as np
+    import pytest
+
+    from rpvg_tpu.parallel.multihost import (
+        _load_spilled_payload, _spill_columnar_payload,
+    )
+
+    if not os.path.isdir("/dev/shm"):
+        pytest.skip("no tmpfs")
+    monkeypatch.setenv("RPVG_TPU_SHM_PAYLOAD_MIN", "1")
+
+    rng = np.random.default_rng(2)
+    payload = (
+        rng.integers(0, 256, 4096).astype(np.uint8).tobytes(),
+        rng.integers(1, 5, 7).astype(np.int64),
+        rng.integers(0, 9, 7).astype(np.int64),
+        np.arange(8, dtype=np.int64),
+        rng.integers(0, 9, 30).astype(np.int64),
+        np.arange(8, dtype=np.int64) * 13,
+        rng.integers(0, 4, 100).astype(np.int64),
+        5,
+    )
+    spilled = _spill_columnar_payload(payload, shard=0)
+    assert spilled is not None
+    loaded = _load_spilled_payload(spilled)
+    assert not os.path.exists(spilled[0])  # unlinked before use
+    assert bytes(np.asarray(loaded[0]).tobytes()) == payload[0]
+    for got, want in zip(loaded[1:7], payload[1:7]):
+        assert np.array_equal(np.asarray(got), want)
+    assert loaded[7] == 5
+
+    # Adopt branch contract: memmap-backed data converts to bytes so
+    # entry_list() raw slices stay hashable on the legacy path.
+    assert isinstance(loaded[0], np.ndarray)
+    data = loaded[0]
+    assert bytes(data)[:16] == payload[0][:16]
