@@ -211,6 +211,7 @@ def main() -> int:
             self.deadline = time.monotonic() + budget_s
             self.proc = self._start()
             self.verdict = None
+            self.attempts = 1
 
         def _start(self):
             return subprocess.Popen(
@@ -239,7 +240,12 @@ def main() -> int:
                     continue
                 if rc == 0:
                     self.verdict = True
-                elif self.deadline - time.monotonic() > 5.0:
+                elif self.attempts < 3 and self.deadline - time.monotonic() > 5.0:
+                    # A fast deterministic failure (no accelerator at
+                    # all) must not respawn probes for the whole budget
+                    # — the churn competes with the CPU windows this
+                    # bench is measuring.
+                    self.attempts += 1
                     print(
                         f"bench: device probe failed (rc={rc}); retrying",
                         file=sys.stderr,

@@ -296,11 +296,11 @@ def dispatch_em_device(
         key = (_ceil_pow4(R), c_pad_all or _ceil_pow2(C))
         buckets.setdefault(key, []).append(idx)
 
-    # Build every chunk's padded block first, then dispatch
-    # asynchronously (device transfers and kernels overlap; the
-    # accelerator link here has ~25-40ms blocking round-trip latency,
-    # so per-chunk sync would serialise it).
-    built = []  # (chunk indices, probs_pad, counts_pad, col_masks)
+    # Plan the chunks first (shapes only — the fusion grouping needs
+    # nothing else); each padded block is built lazily right before its
+    # dispatch, so peak host memory stays at one fusion group
+    # (VMEM-budget sized), not the whole dispatch.
+    plans = []  # (chunk indices, R_pad, C_pad, B)
     for (R_pad, C_pad), chunk_indices in buckets.items():
         # Split huge buckets to bound device memory.
         max_batch = max(1, max_bucket_rows // R_pad) * 8
@@ -308,17 +308,21 @@ def dispatch_em_device(
             chunk = chunk_indices[chunk_start : chunk_start + max_batch]
             # Pad the batch axis too so (B, R, C) shapes stay cached
             # (dummy zero-mask clusters converge immediately).
-            B = _ceil_pow2(len(chunk), floor=1)
-            probs_pad = np.zeros((B, R_pad, C_pad), dtype=dtype)
-            counts_pad = np.zeros((B, R_pad), dtype=dtype)
-            col_masks = np.zeros((B, C_pad), dtype=dtype)
-            for b, idx in enumerate(chunk):
-                probs, counts = cluster_inputs[idx]
-                R, C = probs.shape
-                probs_pad[b, :R, :C] = probs
-                counts_pad[b, :R] = counts
-                col_masks[b, :C] = 1.0
-            built.append((chunk, probs_pad, counts_pad, col_masks))
+            plans.append(
+                (chunk, R_pad, C_pad, _ceil_pow2(len(chunk), floor=1))
+            )
+
+    def build_block(chunk, R_pad, C_pad, B):
+        probs_pad = np.zeros((B, R_pad, C_pad), dtype=dtype)
+        counts_pad = np.zeros((B, R_pad), dtype=dtype)
+        col_masks = np.zeros((B, C_pad), dtype=dtype)
+        for b, idx in enumerate(chunk):
+            probs, counts = cluster_inputs[idx]
+            R, C = probs.shape
+            probs_pad[b, :R, :C] = probs
+            counts_pad[b, :R] = counts
+            col_masks[b, :C] = 1.0
+        return probs_pad, counts_pad, col_masks
 
     pending = []  # (chunk indices, device array or ready ndarray)
     fuse_group = []  # chunks sharing one fused Pallas launch
@@ -379,16 +383,14 @@ def dispatch_em_device(
 
     from ..ops.em_pallas import _VMEM_BLOCK_BYTES, fused_vmem_cost
 
-    for i in range(len(built)):
-        chunk, probs_pad, counts_pad, col_masks = built[i]
-        built[i] = None  # free each padded block as it is consumed
-        B, R_pad, C_pad = probs_pad.shape
-        itemsize = np.dtype(dtype).itemsize
+    itemsize = np.dtype(dtype).itemsize
+    for chunk, R_pad, C_pad, B in plans:
         # Per-grid-step VMEM feasibility (same bound the chunked single
         # kernel enforces via its G choice).
         fits_vmem = R_pad * C_pad * itemsize * 4 <= _VMEM_BLOCK_BYTES
         if not (pallas_enabled and fits_vmem):
             flush_fused()
+            probs_pad, counts_pad, col_masks = build_block(chunk, R_pad, C_pad, B)
             fracs, _ = em_abundances_batched(
                 probs_pad, counts_pad, col_masks, max_em_its,
                 max_rel_em_conv, stage_floor=stage_floor,
@@ -396,26 +398,20 @@ def dispatch_em_device(
             pending.append((chunk, fracs))
             continue
         cost = fused_vmem_cost(B, R_pad, C_pad, itemsize)
-        if not fuse_ok:
-            # Per-bucket launches are the faster configuration on this
-            # link: flush singleton groups immediately.
+        if not fuse_ok or cost > _VMEM_BLOCK_BYTES:
+            # Per-bucket launch: either this link's dispatch is cheap
+            # enough that fusing only costs kernel time, or the block
+            # is too big to co-reside and the chunked-grid single
+            # kernel streams it in G-cluster steps.
             flush_fused()
-            fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
-            fuse_bytes = cost
-            flush_fused()
-            continue
-        if cost > _VMEM_BLOCK_BYTES:
-            # Too big to co-reside: the chunked-grid single kernel
-            # streams it in G-cluster steps.
-            flush_fused()
-            fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
+            fuse_group.append((chunk, *build_block(chunk, R_pad, C_pad, B)))
             fuse_bytes = cost
             flush_fused()
             continue
         if fuse_bytes + cost > _VMEM_BLOCK_BYTES:
             # Full fusion budget: launch what we have, start a new group.
             flush_fused()
-        fuse_group.append((chunk, probs_pad, counts_pad, col_masks))
+        fuse_group.append((chunk, *build_block(chunk, R_pad, C_pad, B)))
         fuse_bytes += cost
     flush_fused()
     return pending

@@ -44,9 +44,8 @@ def _fast_columns(
     expected_tabs = num_cols - 1
     if any(line.count("\t") != expected_tabs for line in body.split("\n")):
         return None
+    # Per-row tab uniformity forces the flat count, so no second check.
     flat = body.replace("\n", "\t").split("\t")
-    if len(flat) != num_rows * num_cols:
-        return None
     return flat[0::num_cols], flat[2::num_cols], flat[3::num_cols]
 
 

@@ -65,11 +65,16 @@ class RpaReader:
                 return
             # A partial header or short payload is a truncated
             # container: fail loudly, never yield a garbled block
-            # (fuzz-pinned by tests/test_fuzz_loaders.py).
-            assert len(header) == 8, "truncated rpa block header"
+            # (fuzz-pinned by tests/test_fuzz_loaders.py).  Real raises
+            # rather than asserts so the guarantee survives python -O.
+            if len(header) != 8:
+                raise ValueError("truncated rpa block header")
             (length,) = struct.unpack("<q", header)
+            if length < 0:
+                raise ValueError("corrupt rpa block length")
             payload = self.handle.read(length)
-            assert len(payload) == length, "truncated rpa block"
+            if len(payload) != length:
+                raise ValueError("truncated rpa block")
             yield payload
 
     def close(self) -> None:

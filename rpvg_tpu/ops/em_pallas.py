@@ -116,25 +116,36 @@ def _chunk_clusters(B: int, R: int, C: int, itemsize: int) -> int:
 def _em_pallas_call(probs, counts, col_masks, max_em_its, max_rel_em_conv, interpret):
     B, R, C = probs.shape
     G = _chunk_clusters(B, R, C, probs.dtype.itemsize)
+    if B % G:
+        # Pad the batch to a multiple of the chunk so the grid covers
+        # every cluster (padded slots have zero masks and converge on
+        # iteration one); dispatch_em_device pads B to powers of two
+        # already, but the public API must not silently return
+        # uninitialized output columns for a ragged tail.
+        B_pad = ((B + G - 1) // G) * G
+        probs = jnp.pad(probs, ((0, B_pad - B), (0, 0), (0, 0)))
+        counts = jnp.pad(counts, ((0, B_pad - B), (0, 0)))
+        col_masks = jnp.pad(col_masks, ((0, B_pad - B), (0, 0)))
     kernel = partial(
         _em_kernel, max_em_its=max_em_its, max_rel_em_conv=float(max_rel_em_conv)
     )
     # (C, B, R): rows on lanes, clusters on sublanes (see module doc).
     probs_t = jnp.transpose(probs, (2, 0, 1))
     col_masks_t = jnp.transpose(col_masks, (1, 0))
+    B_run = probs.shape[0]
     out = pl.pallas_call(
         kernel,
-        grid=(B // G,),
+        grid=(B_run // G,),
         in_specs=[
             pl.BlockSpec((C, G, R), lambda b: (0, b, 0)),
             pl.BlockSpec((G, R), lambda b: (b, 0)),
             pl.BlockSpec((C, G), lambda b: (0, b)),
         ],
         out_specs=pl.BlockSpec((C, G), lambda b: (0, b)),
-        out_shape=jax.ShapeDtypeStruct((C, B), probs.dtype),
+        out_shape=jax.ShapeDtypeStruct((C, B_run), probs.dtype),
         interpret=interpret,
     )(probs_t, counts, col_masks_t)
-    return jnp.transpose(out, (1, 0))
+    return jnp.transpose(out, (1, 0))[:B]
 
 
 def em_pallas_batched(

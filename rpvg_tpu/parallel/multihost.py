@@ -461,23 +461,12 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     else:
         worker_args = [(config, s, num_workers) for s in range(num_workers)]
 
-    # The info-TSV parse is independent of the fragment pass — overlap
-    # it with the worker scan exactly like the single-process pipeline
-    # (reference parses it between the passes, main.cpp:759).
-    info_future = None
-    if config.path_info is not None:
-        import concurrent.futures
+    # Overlap the info-TSV parse with the worker scan, exactly like the
+    # single-process pipeline (shared helper so the arguments cannot
+    # diverge between the two drivers).
+    from ..pipeline import submit_info_parse
 
-        from ..io.info import parse_haplotype_transcript_info
-
-        _info_pool = concurrent.futures.ThreadPoolExecutor(1)
-        info_future = _info_pool.submit(
-            parse_haplotype_transcript_info,
-            config.path_info,
-            config.inference_model == "haplotype-transcripts",
-            config.inference_model == "transcripts",
-        )
-        _info_pool.shutdown(wait=False)
+    info_future = submit_info_parse(config)
 
     frag_start = _time.perf_counter()
     pool = ctx.Pool(num_workers)
@@ -516,13 +505,28 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     fragment_scan_s = max(payload[2] for payload in shard_payloads)
 
     # Rehydrate tmpfs-spilled columnar payloads (zero-copy memmap views;
-    # the file is unlinked inside, so no cleanup path).
-    shard_payloads = [
-        ("columnar", _load_spilled_payload(body), scan)
-        if kind == "columnar_file"
-        else (kind, body, scan)
-        for kind, body, scan in shard_payloads
-    ]
+    # each file is unlinked as it is mapped).  If any shard fails to
+    # rehydrate, reclaim the remaining RAM-backed spill files before
+    # propagating.
+    try:
+        shard_payloads = [
+            ("columnar", _load_spilled_payload(body), scan)
+            if kind == "columnar_file"
+            else (kind, body, scan)
+            for kind, body, scan in shard_payloads
+        ]
+    except BaseException:
+        import glob as _glob
+        import os as _os
+
+        for stray in _glob.glob(
+            _os.path.join(_SHM_DIR, f"rpvg_shm_{_os.getpid()}_*")
+        ):
+            try:
+                _os.unlink(stray)
+            except OSError:
+                pass
+        raise
 
     merge_start = _time.perf_counter()
     if all(payload[0] == "columnar" for payload in shard_payloads):

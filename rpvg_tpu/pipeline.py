@@ -989,6 +989,28 @@ def collect_fragments(
     )
 
 
+def submit_info_parse(config: PipelineConfig):
+    """Kick the info-TSV parse onto a background thread, or None when
+    the run has no info file.  The parse is independent of the fragment
+    pass, whose native calls release the GIL — overlapping the two is
+    free (the reference parses it between the read and inference
+    passes, main.cpp:759).  Shared by the single-process and
+    multiprocess drivers so the parse arguments cannot diverge."""
+    if config.path_info is None:
+        return None
+    import concurrent.futures
+
+    pool = concurrent.futures.ThreadPoolExecutor(1)
+    future = pool.submit(
+        parse_haplotype_transcript_info,
+        config.path_info,
+        config.inference_model == "haplotype-transcripts",
+        config.inference_model == "transcripts",
+    )
+    pool.shutdown(wait=False)
+    return future
+
+
 def run_pipeline(config: PipelineConfig) -> Dict:
     """Run the full pipeline; returns summary stats."""
     t_start = time.perf_counter()
@@ -1006,21 +1028,7 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
     finder = build_finder(config, paths_index, pre_frag_length_dist)
 
-    # The info-TSV parse is independent of the fragment pass, whose
-    # native calls release the GIL — overlap the two (the reference
-    # parses it between the read and inference passes, main.cpp:759).
-    info_future = None
-    if config.path_info is not None:
-        import concurrent.futures
-
-        _info_pool = concurrent.futures.ThreadPoolExecutor(1)
-        info_future = _info_pool.submit(
-            parse_haplotype_transcript_info,
-            config.path_info,
-            config.inference_model == "haplotype-transcripts",
-            config.inference_model == "transcripts",
-        )
-        _info_pool.shutdown(wait=False)
+    info_future = submit_info_parse(config)
 
     t_phase = time.perf_counter()
     fragment_index = collect_fragments(

@@ -111,3 +111,22 @@ def test_dispatch_fuses_small_buckets(monkeypatch):
     ):
         np.testing.assert_allclose(got_counts, want_counts, rtol=1e-3, atol=1e-5)
         assert got_noise == pytest.approx(want_noise, rel=1e-3, abs=1e-5)
+
+
+def test_pallas_ragged_batch_covers_tail():
+    """A batch size that is not a multiple of the auto-chosen VMEM
+    chunk must still compute EVERY cluster (the grid previously
+    truncated at B//G and returned uninitialized output for the
+    tail)."""
+    rng = np.random.default_rng(9)
+    B, R, C = 6, 16, 8
+    probs = rng.random((B, R, C)).astype(np.float32)
+    probs /= probs.sum(axis=2, keepdims=True)
+    counts = rng.integers(1, 20, size=(B, R)).astype(np.float32)
+    masks = np.ones((B, C), dtype=np.float32)
+    xla, _ = em_abundances_batched(probs, counts, masks, 300, 0.001)
+    pallas = np.asarray(
+        em_pallas_batched(probs, counts, masks, 300, 0.001, interpret=True)
+    )
+    assert pallas.shape == (B, C)
+    assert np.allclose(pallas, xla, rtol=1e-4, atol=1e-6)
