@@ -270,7 +270,7 @@ def main() -> int:
         }
     )
 
-    def attempt(extra_env, child_payload=None):
+    def attempt(extra_env, child_payload=None, timeout_s=None):
         env = dict(os.environ)
         env.update(extra_env)
         try:
@@ -281,7 +281,7 @@ def main() -> int:
                 ],
                 capture_output=True,
                 text=True,
-                timeout=args.timeout,
+                timeout=timeout_s or args.timeout,
                 env=env,
             )
         except subprocess.TimeoutExpired:
@@ -304,14 +304,27 @@ def main() -> int:
     # caches, a bias alternation also spreads across both backends.
     best = {}
 
+    # Accelerator windows run under a tighter cap than CPU windows: the
+    # child needs ~90s backend init + ~60s of measurement, so 300s is
+    # generous — while a tunnel that wedges MID-RUN (after a healthy
+    # probe) must not burn the full CPU-window budget per attempt.
+    tpu_window_timeout = min(args.timeout, 300.0)
+
     def record(backend, extra_env, retry=0):
-        result, err = attempt(extra_env)
+        timeout_s = tpu_window_timeout if backend != "cpu" else None
+        result, err = attempt(extra_env, timeout_s=timeout_s)
         while result is None and retry > 0:
             retry -= 1
             print(f"bench: {backend} window failed ({err}); retrying", file=sys.stderr)
-            result, err = attempt(extra_env)
+            result, err = attempt(extra_env, timeout_s=timeout_s)
         if result is None:
             print(f"bench: {backend} window failed ({err})", file=sys.stderr)
+            if backend != "cpu" and err == "timeout":
+                # The tunnel wedged after a healthy probe: pronounce it
+                # dead so later accelerator windows (and the
+                # forced-device diagnostic) skip instead of burning
+                # their own timeouts.
+                probe.verdict = False
             return
         result["backend"] = backend
         if backend not in best or result["pairs_per_s"] > best[backend]["pairs_per_s"]:
@@ -350,6 +363,7 @@ def main() -> int:
                 "RPVG_TPU_HYBRID_DIPLOID_WORK": "0",
             },
             child_payload=forced_payload,
+            timeout_s=tpu_window_timeout,
         )
         if forced is None:
             print(f"bench: forced-device window failed ({err})", file=sys.stderr)
