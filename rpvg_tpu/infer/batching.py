@@ -402,10 +402,10 @@ def dispatch_em_device(
             # Per-bucket launch: either this link's dispatch is cheap
             # enough that fusing only costs kernel time, or the block
             # is too big to co-reside and the chunked-grid single
-            # kernel streams it in G-cluster steps.
+            # kernel streams it in G-cluster steps.  (A singleton group
+            # through flush_fused reuses its Pallas->XLA fallback.)
             flush_fused()
             fuse_group.append((chunk, *build_block(chunk, R_pad, C_pad, B)))
-            fuse_bytes = cost
             flush_fused()
             continue
         if fuse_bytes + cost > _VMEM_BLOCK_BYTES:

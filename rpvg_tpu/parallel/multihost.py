@@ -101,11 +101,15 @@ def _spill_columnar_payload(payload, shard: int):
     import uuid
 
     *arrays, unaligned = payload
-    total = sum(
-        (np.asarray(a) if not isinstance(a, (bytes, bytearray)) else np.frombuffer(a, np.uint8)).nbytes
+    arrays = [
+        np.frombuffer(a, dtype=np.uint8)
+        if isinstance(a, (bytes, bytearray))
+        else np.ascontiguousarray(a)
         for a in arrays
-    )
-    if total < _shm_payload_min() or not os.path.isdir(_SHM_DIR):
+    ]
+    if sum(a.nbytes for a in arrays) < _shm_payload_min() or not os.path.isdir(
+        _SHM_DIR
+    ):
         return None
     path = os.path.join(
         _SHM_DIR, f"rpvg_shm_{os.getppid()}_{shard}_{uuid.uuid4().hex[:8]}.bin"
@@ -115,9 +119,6 @@ def _spill_columnar_payload(payload, shard: int):
         with open(path, "wb") as handle:
             offset = 0
             for arr in arrays:
-                if isinstance(arr, (bytes, bytearray)):
-                    arr = np.frombuffer(arr, dtype=np.uint8)
-                arr = np.ascontiguousarray(arr)
                 pad = (-offset) % 64
                 if pad:
                     handle.write(b"\0" * pad)
@@ -157,15 +158,8 @@ def _shard_worker(args):
     import time as _time
 
     config, shard, num_shards = args
-    # One thread per worker process: the process axis IS the fragment
-    # pass's parallelism (running config.threads inside every worker
-    # oversubscribes the host N*threads-fold).
-    if config is not None and config.threads != 1:
-        config = dataclasses.replace(config, threads=1)
     if config is None:
         config, pre_dist, finder = _FORK_STATE["bundle"]
-        if config.threads != 1:
-            config = dataclasses.replace(config, threads=1)
         # The parent built the bundle finder with ITS thread count (the
         # downstream phases own every core); in a shard worker the
         # native pass and dump must run single-threaded too.  fork gave
@@ -177,6 +171,11 @@ def _shard_worker(args):
         graph, paths_index = load_inputs(config)
         pre_dist = resolve_pre_fragment_dist(config)
         finder = build_finder(config, paths_index, pre_dist)
+    # One thread per worker process: the process axis IS the fragment
+    # pass's parallelism (running config.threads inside every worker
+    # oversubscribes the host N*threads-fold).
+    if config.threads != 1:
+        config = dataclasses.replace(config, threads=1)
     scan_start = _time.perf_counter()
     index = collect_fragments(
         config, finder, pre_dist, shard=shard, num_shards=num_shards,

@@ -178,7 +178,7 @@ def kernel_bench() -> int:
             times.append(time.time() - t0)
         return min(times)
 
-    def device_rate(fn, sync=None, n=8, n_lo=1):
+    def device_rate(fn, n=8, n_lo=1):
         """On-device kernel timing, two-point chained-readback method:
         run k back-to-back executions ending in a 4-byte scalar
         readback (the device stream is serial, so the readback cannot
@@ -190,7 +190,6 @@ def kernel_bench() -> int:
         a 67M-element log+reduce 'timed' at 12x the chip's physical
         HBM peak with it; 0.87x peak with this method), so every rate
         here is readback-anchored."""
-        del sync  # kept for signature compatibility; readback is the sync
 
         def run(k):
             out = None
