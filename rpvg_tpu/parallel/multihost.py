@@ -157,25 +157,28 @@ def _shard_worker(args):
     import dataclasses
     import time as _time
 
-    config, shard, num_shards = args
+    config, shard, num_shards, threads_per_worker = args
+    # Workers share the configured threads evenly: running the full
+    # config.threads inside every worker would oversubscribe the host
+    # N*threads-fold (build_finder bakes config.threads into the native
+    # finder, so the clamp must precede it).
+    if config is not None and config.threads != threads_per_worker:
+        config = dataclasses.replace(config, threads=threads_per_worker)
     if config is None:
         config, pre_dist, finder = _FORK_STATE["bundle"]
+        if config.threads != threads_per_worker:
+            config = dataclasses.replace(config, threads=threads_per_worker)
         # The parent built the bundle finder with ITS thread count (the
         # downstream phases own every core); in a shard worker the
-        # native pass and dump must run single-threaded too.  fork gave
+        # native pass and dump run with this worker's share.  fork gave
         # this process a private copy-on-write _iparams, so the child
         # write never reaches the parent.
         if hasattr(finder, "_iparams"):
-            finder._iparams[7] = 1
+            finder._iparams[7] = threads_per_worker
     else:
         graph, paths_index = load_inputs(config)
         pre_dist = resolve_pre_fragment_dist(config)
         finder = build_finder(config, paths_index, pre_dist)
-    # One thread per worker process: the process axis IS the fragment
-    # pass's parallelism (running config.threads inside every worker
-    # oversubscribes the host N*threads-fold).
-    if config.threads != 1:
-        config = dataclasses.replace(config, threads=1)
     scan_start = _time.perf_counter()
     index = collect_fragments(
         config, finder, pre_dist, shard=shard, num_shards=num_shards,
@@ -452,13 +455,23 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
         "fork" if "fork" in mp.get_all_start_methods() else "spawn",
     )
     ctx = mp.get_context(ctx_name)
+    # Each worker gets an equal share of the configured threads: the
+    # process axis carries the parallelism when workers >= threads (the
+    # usual -t N --multiprocess N), while -t 4 --multiprocess 1 still
+    # scans with 4 threads inside its lone worker.
+    threads_per_worker = max(1, config.threads // num_workers)
     finder = None
     if ctx_name == "fork":
         finder = build_finder(config, paths_index, pre_dist)
         _FORK_STATE["bundle"] = (config, pre_dist, finder)
-        worker_args = [(None, s, num_workers) for s in range(num_workers)]
+        worker_args = [
+            (None, s, num_workers, threads_per_worker) for s in range(num_workers)
+        ]
     else:
-        worker_args = [(config, s, num_workers) for s in range(num_workers)]
+        worker_args = [
+            (config, s, num_workers, threads_per_worker)
+            for s in range(num_workers)
+        ]
 
     # Overlap the info-TSV parse with the worker scan, exactly like the
     # single-process pipeline (shared helper so the arguments cannot

@@ -152,6 +152,17 @@ def test_multiprocess_runner(dataset, tmp_path):
         with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
             assert a.read() == b.read()
 
+    # -t 4 --multiprocess 1: the lone worker gets ALL four threads (the
+    # thread budget divides across workers, it is not pinned to 1) and
+    # the multithreaded worker scan stays byte-identical.
+    import dataclasses
+
+    prefix = str(tmp_path / "mp_1w4t")
+    config = dataclasses.replace(base_config(dataset, prefix), threads=4)
+    run_pipeline_multiprocess(config, 1)
+    with open(base_prefix + ".txt") as a, open(prefix + ".txt") as b:
+        assert a.read() == b.read()
+
 
 def test_multiprocess_tmpfs_payload(dataset, tmp_path, monkeypatch):
     """Workers spilling their columnar dumps through /dev/shm (the
