@@ -78,6 +78,7 @@ struct Index {
 // RPVG_TPU_NATIVE_PROF=1: projection sub-phase thread-CPU accounting.
 static std::atomic<uint64_t> g_prof_extend_ns{0};
 static std::atomic<uint64_t> g_prof_pair_ns{0};
+static std::atomic<uint64_t> g_prof_prescan_ns{0};
 static bool prof_on() {
   static const bool on = [] {
     const char* env = std::getenv("RPVG_TPU_NATIVE_PROF");
@@ -1693,9 +1694,11 @@ void rpvg_indexer_free(void* handle) {
   if (proj + dedup) {
     std::fprintf(stderr,
                  "  [native-prof] fragment pass thread-CPU: projection "
-                 "%.3fs (extend %.3fs, pair %.3fs), dedup %.3fs\n",
+                 "%.3fs (extend %.3fs, pair %.3fs), dedup %.3fs; "
+                 "serial prescan wall %.3fs\n",
                  proj * 1e-9, g_prof_extend_ns.exchange(0) * 1e-9,
-                 g_prof_pair_ns.exchange(0) * 1e-9, dedup * 1e-9);
+                 g_prof_pair_ns.exchange(0) * 1e-9, dedup * 1e-9,
+                 g_prof_prescan_ns.exchange(0) * 1e-9);
   }
   delete fidx;
 }
@@ -1727,6 +1730,7 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
     tables.bonuses[i] = qual_bonuses[i];
   }
 
+  const uint64_t prescan_t0 = prof_on() ? prof_wall() : 0;
   Reader scan{input, input + input_len};
   int32_t n_fragments = scan.get<int32_t>();
   std::vector<const uint8_t*> offsets(n_fragments + 1);
@@ -1737,6 +1741,10 @@ void rpvg_project_and_index(void* handle, void* indexer, const uint8_t* input,
     if (kind & 2) skip_alignment(&scan, kind & 1);
   }
   offsets[n_fragments] = scan.ptr;
+  if (prof_on()) {
+    g_prof_prescan_ns.fetch_add(prof_wall() - prescan_t0,
+                                std::memory_order_relaxed);
+  }
 
   n_threads = std::min<int32_t>(n_threads, std::max(1, n_fragments));
   // Dedup maps persist across blocks on the indexer (merged once at
@@ -2539,38 +2547,68 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   }
   for (int64_t e = 0; e < n; ++e) raw_total += raw_lens[e];
 
-  Writer w;
-  w.buf.reserve(8 + n * 28 + all_ids.size() * 8 + 8 + raw_total + 16 +
-                fidx->histogram.size() * 8);
-  w.put<uint64_t>(static_cast<uint64_t>(n));
-  auto put_block = [&w](const void* src, size_t bytes) {
-    size_t offset = w.buf.size();
-    w.buf.resize(offset + bytes);
-    std::memcpy(w.buf.data() + offset, src, bytes);
+  // Exact-size single allocation, filled in place (the Writer-based
+  // assembly copied the ~entry-blob-sized buffer twice: once into the
+  // Writer, once into the malloc'd return) with the entry blob — the
+  // dominant section — copied on the worker threads.
+  const size_t total_bytes = 8 + static_cast<size_t>(n) * 28 + 8 +
+                             all_ids.size() * 8 + raw_total + 8 +
+                             fidx->histogram.size() * 8;
+  auto* out = static_cast<uint8_t*>(std::malloc(total_bytes));
+  uint8_t* cur = out;
+  auto put_scalar = [&cur](uint64_t v) {
+    std::memcpy(cur, &v, 8);
+    cur += 8;
   };
+  auto put_block = [&cur](const void* src, size_t bytes) {
+    std::memcpy(cur, src, bytes);
+    cur += bytes;
+  };
+  put_scalar(static_cast<uint64_t>(n));
   put_block(counts.data(), n * 8);
   put_block(anchors.data(), n * 8);
   put_block(n_ids.data(), n * 4);
-  w.put<int64_t>(static_cast<int64_t>(all_ids.size()));
+  put_scalar(static_cast<uint64_t>(all_ids.size()));
   put_block(all_ids.data(), all_ids.size() * 8);
   put_block(raw_lens.data(), n * 8);
-  for (int64_t e = 0; e < n; ++e) {
-    w.put<uint64_t>(counts[e]);
-    put_block(entry_list[e].key->data(), entry_list[e].key->size());
-  }
-  w.put<uint64_t>(fidx->unaligned);
-  for (int64_t h : fidx->histogram) w.put<int64_t>(h);
 
-  *out_len = static_cast<int64_t>(w.buf.size());
-  auto* out = static_cast<uint8_t*>(std::malloc(w.buf.size()));
-  std::memcpy(out, w.buf.data(), w.buf.size());
+  // Per-entry output offsets into the blob section = prefix sums of
+  // raw_lens; each entry writes its merged count followed by the key.
+  std::vector<int64_t> blob_offsets(n + 1);
+  blob_offsets[0] = 0;
+  for (int64_t e = 0; e < n; ++e) blob_offsets[e + 1] = blob_offsets[e] + raw_lens[e];
+  uint8_t* blob_base = cur;
+  auto fill_blob = [&](int32_t t) {
+    const int64_t begin = n * t / threads;
+    const int64_t end = n * (t + 1) / threads;
+    for (int64_t e = begin; e < end; ++e) {
+      uint8_t* dst = blob_base + blob_offsets[e];
+      const uint64_t count = counts[e];
+      std::memcpy(dst, &count, 8);
+      std::memcpy(dst + 8, entry_list[e].key->data(), entry_list[e].key->size());
+    }
+  };
+  if (threads == 1 || n == 0) {
+    fill_blob(0);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(threads);
+    for (int32_t t = 0; t < threads; ++t) pool.emplace_back(fill_blob, t);
+    for (auto& th : pool) th.join();
+  }
+  cur = blob_base + raw_total;
+  put_scalar(fidx->unaligned);
+  for (int64_t h : fidx->histogram) put_scalar(static_cast<uint64_t>(h));
+  assert(static_cast<size_t>(cur - out) == total_bytes);
+
+  *out_len = static_cast<int64_t>(total_bytes);
   if (prof) {
     std::fprintf(stderr,
                  "  [native-prof] dump wall: merge %.3fs locate %.3fs "
                  "serialize %.3fs (%lld entries, %zu bytes)\n",
                  (tp1 - tp0) * 1e-9, (tp3 - tp2) * 1e-9,
                  (prof_wall() - tp3) * 1e-9,
-                 static_cast<long long>(n), w.buf.size());
+                 static_cast<long long>(n), total_bytes);
   }
   return out;
 }
