@@ -49,6 +49,16 @@ def _build_library() -> bool:
     return True
 
 
+def _bytes_ptr(data):
+    """Read-only uint8 pointer into a bytes object — zero copy (the old
+    from_buffer_copy duplicated every projection block / entry blob,
+    ~hundreds of MB per large run).  The caller must keep `data` alive
+    across the native call; non-bytes buffers fall back to a copy."""
+    if isinstance(data, bytes):
+        return ctypes.cast(ctypes.c_char_p(data), ctypes.POINTER(ctypes.c_uint8))
+    return (ctypes.c_uint8 * len(data)).from_buffer_copy(data)
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _lib
     if _lib is not None:
@@ -531,7 +541,7 @@ class NativeFinder:
         """Run projection on an already-serialized fragment block (the
         .rpa on-disk format), bypassing Python object construction."""
         out_len = ctypes.c_int64()
-        in_buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+        in_buf = _bytes_ptr(payload)
         out_ptr = self._lib.rpvg_project_batch(
             self._handle,
             in_buf,
@@ -571,7 +581,7 @@ class NativeFinder:
     def project_and_index(self, payload: bytes, indexer) -> None:
         """Project a serialized fragment block and fold the results into
         the native dedup index (no per-fragment Python round trip)."""
-        in_buf = (ctypes.c_uint8 * len(payload)).from_buffer_copy(payload)
+        in_buf = _bytes_ptr(payload)
         self._lib.rpvg_project_and_index(
             self._handle,
             indexer,
@@ -702,7 +712,7 @@ class NativeFinder:
             entries_blob = b"".join(cluster_blobs)
             blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
             np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
-            in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
+            in_buf = _bytes_ptr(entries_blob)
         entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
 
         (
@@ -813,7 +823,7 @@ class NativeFinder:
             entries_blob = b"".join(cluster_blobs)
             blob_offsets = np.zeros(n_clusters + 1, dtype=np.int64)
             np.cumsum([len(b) for b in cluster_blobs], out=blob_offsets[1:])
-            in_buf = (ctypes.c_uint8 * len(entries_blob)).from_buffer_copy(entries_blob)
+            in_buf = _bytes_ptr(entries_blob)
         entry_counts = np.asarray(cluster_entry_counts, dtype=np.int64)
 
         (
@@ -894,7 +904,7 @@ class NativeFinder:
         else:
             log_source_counts = np.ascontiguousarray(log_source_counts, dtype=np.float64)
 
-        in_buf = (ctypes.c_uint8 * len(entry_blobs)).from_buffer_copy(entry_blobs)
+        in_buf = _bytes_ptr(entry_blobs)
         out_len = ctypes.c_int64()
         out_ptr = self._lib.rpvg_build_cluster_probs(
             self._handle,
