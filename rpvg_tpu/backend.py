@@ -1,0 +1,234 @@
+"""Guarded accelerator-backend selection: one probe, CPU fallback.
+
+The reference binary cannot lose its compute device mid-run — its
+inference loop is unconditional host code (reference
+src/main.cpp:827-998).  The TPU build can: JAX initializes the PJRT
+backend lazily, so the FIRST ``jax.default_backend()`` touch happens
+deep inside inference, AFTER the fragment pass has already spent
+minutes.  Under an explicitly pinned platform (``JAX_PLATFORMS=axon``
+on this host) a wedged device tunnel makes that first touch either
+raise ``RuntimeError: Unable to initialize backend`` or hang.  Round 4
+shipped 13 call sites that would die there with a raw traceback and
+partial output files on disk.
+
+This module is the single backend authority for the production path:
+
+* :func:`safe_default_backend` — cached.  Wraps the first backend touch
+  in try/except; on failure it flips the process to the CPU platform
+  (``jax.config jax_platforms="cpu"`` — re-discovery succeeds because
+  JAX caches nothing on a failed init, xla_bridge.backends leaves
+  ``_backends`` empty when it raises) and emits ONE stderr warning.
+  All former ``jax.default_backend()`` decision points route here.
+* :func:`start_probe` — subprocess probe with a hard timeout, covering
+  the HANG case (an in-process hang is unrecoverable: no amount of
+  try/except helps once the interpreter is stuck inside PJRT init).
+  The pipeline starts it at run() entry so the probe's wall time hides
+  under the fragment pass; the first :func:`safe_default_backend` call
+  joins it and, if the probe failed or timed out, flips to CPU BEFORE
+  any in-process backend init.
+
+The probe only runs when the environment pins a non-CPU platform
+(without pinning, JAX itself falls back to CPU quietly) and the
+in-process backend has not already been initialized.
+
+Env:
+  RPVG_TPU_BACKEND_PROBE_S  probe timeout in seconds (default 60;
+                            "0" disables the subprocess probe, leaving
+                            only the in-process try/except guard)
+  RPVG_TPU_FORCE_BACKEND    skip probing entirely and pin the named
+                            platform (tests / --backend flag)
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import threading
+from typing import Optional
+
+_LOCK = threading.Lock()
+_BACKEND: Optional[str] = None
+_PROBE: Optional[threading.Thread] = None
+_PROBE_OK: Optional[bool] = None
+_PROBE_DETAIL: str = ""
+_WARNED = False
+
+_PROBE_SRC = (
+    "import jax\n"
+    "b = jax.default_backend()\n"
+    "import jax.numpy as jnp\n"
+    "jnp.zeros(1).block_until_ready()\n"
+    "print(b)\n"
+)
+
+
+def _probe_timeout_s() -> float:
+    try:
+        return float(os.environ.get("RPVG_TPU_BACKEND_PROBE_S", "60"))
+    except ValueError:
+        return 60.0
+
+
+def _pinned_non_cpu() -> bool:
+    """True when the ambient environment pins a non-CPU JAX platform
+    (the configuration where a dead accelerator is a hard error rather
+    than a quiet CPU fallback)."""
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    if pinned and pinned.lower() not in ("cpu", ""):
+        return True
+    # Site bootstraps (axon) can pin via jax.config without the env var
+    # surviving; consult the config only if jax is already imported —
+    # importing jax here would defeat the lazy-probe design.
+    jax = sys.modules.get("jax")
+    if jax is not None:
+        try:
+            value = jax.config.jax_platforms
+            return bool(value) and value.lower() != "cpu"
+        except Exception:
+            return False
+    return False
+
+
+def _backend_already_up() -> Optional[str]:
+    """The platform name if this process already initialized a backend
+    (then it cannot raise again and probing is pointless), else None."""
+    jax = sys.modules.get("jax")
+    if jax is None:
+        return None
+    try:
+        from jax._src import xla_bridge
+
+        if getattr(xla_bridge, "_default_backend", None) is not None:
+            return xla_bridge._default_backend.platform
+    except Exception:
+        pass
+    return None
+
+
+def _warn_once(message: str) -> None:
+    global _WARNED
+    if not _WARNED:
+        _WARNED = True
+        print(f"WARNING: {message}", file=sys.stderr)
+
+
+def _force_cpu(reason: str) -> None:
+    """Flip this process (and its children) to the CPU platform."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+    _warn_once(
+        "accelerator backend unavailable "
+        f"({reason}); continuing on the CPU backend"
+    )
+
+
+def _run_probe() -> None:
+    """Subprocess body: init the pinned backend in a killable child."""
+    global _PROBE_OK, _PROBE_DETAIL
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SRC],
+            capture_output=True,
+            timeout=_probe_timeout_s(),
+            text=True,
+        )
+        _PROBE_OK = proc.returncode == 0
+        if not _PROBE_OK:
+            tail = (proc.stderr or "").strip().splitlines()
+            _PROBE_DETAIL = tail[-1][:200] if tail else f"probe rc={proc.returncode}"
+    except subprocess.TimeoutExpired:
+        _PROBE_OK = False
+        _PROBE_DETAIL = f"backend init probe timed out after {_probe_timeout_s():.0f}s"
+    except Exception as exc:  # probe infrastructure failure: stay optimistic
+        _PROBE_OK = True
+        _PROBE_DETAIL = f"probe could not run ({exc})"
+
+
+def start_probe() -> None:
+    """Begin the guarded backend probe in the background (idempotent).
+
+    Call early — pipeline entry — so the probe's wall time overlaps the
+    fragment pass instead of stalling the first inference batch."""
+    global _PROBE
+    with _LOCK:
+        if _PROBE is not None or _BACKEND is not None:
+            return
+        if os.environ.get("RPVG_TPU_FORCE_BACKEND"):
+            return
+        if _probe_timeout_s() <= 0:
+            return
+        if not _pinned_non_cpu() or _backend_already_up() is not None:
+            return
+        _PROBE = threading.Thread(
+            target=_run_probe, name="rpvg-backend-probe", daemon=True
+        )
+        _PROBE.start()
+
+
+def safe_default_backend() -> str:
+    """``jax.default_backend()`` that cannot take the pipeline down.
+
+    First call joins the probe (if one was started), flips to CPU on a
+    failed/timed-out probe, then touches the in-process backend under
+    try/except with a CPU retry.  Subsequent calls return the cached
+    platform name.  Never raises; worst case returns "cpu"."""
+    global _BACKEND
+    if _BACKEND is not None:
+        return _BACKEND
+    with _LOCK:
+        if _BACKEND is not None:
+            return _BACKEND
+
+        forced = os.environ.get("RPVG_TPU_FORCE_BACKEND")
+        if forced:
+            try:
+                import jax
+
+                jax.config.update("jax_platforms", forced)
+                _BACKEND = jax.default_backend()
+            except Exception as exc:
+                _force_cpu(f"forced platform {forced!r} failed: {exc}")
+                _BACKEND = "cpu"
+            return _BACKEND
+
+        probe = _PROBE
+        if probe is not None:
+            # The probe had the full budget from start_probe(); grant the
+            # same again from here so a late first consult still bounds.
+            probe.join(timeout=_probe_timeout_s() + 5.0)
+            if probe.is_alive() or _PROBE_OK is False:
+                detail = _PROBE_DETAIL or "probe still running past its timeout"
+                _force_cpu(detail)
+                _BACKEND = "cpu"
+                return _BACKEND
+
+        try:
+            import jax
+
+            _BACKEND = jax.default_backend()
+        except Exception as exc:
+            _force_cpu(str(exc).splitlines()[0][:200])
+            try:
+                import jax
+
+                _BACKEND = jax.default_backend()
+            except Exception:
+                _BACKEND = "cpu"
+        return _BACKEND
+
+
+def reset_for_tests() -> None:
+    """Clear the cached verdicts (tests only)."""
+    global _BACKEND, _PROBE, _PROBE_OK, _PROBE_DETAIL, _WARNED
+    with _LOCK:
+        _BACKEND = None
+        _PROBE = None
+        _PROBE_OK = None
+        _PROBE_DETAIL = ""
+        _WARNED = False

@@ -118,6 +118,11 @@ def main(argv=None) -> int:
     if args.backend is not None:
         # jax.config is authoritative even where the JAX_PLATFORMS env
         # var is shadowed by a site bootstrap; must run before tracing.
+        # The env var also tells the guarded backend probe (backend.py)
+        # that the platform choice is explicit — no probing.
+        import os
+
+        os.environ["RPVG_TPU_FORCE_BACKEND"] = args.backend
         import jax
 
         jax.config.update("jax_platforms", args.backend)

@@ -42,6 +42,7 @@ from .estimators import (
 )
 from .matrices import construct_probability_matrix, total_read_count
 from .posteriors import diploid_posteriors_batched
+from ..backend import safe_default_backend
 
 # Flattened [len, ids...] specs for the memoised (shared) group lists
 # returned by find_path_source_groups, keyed by object identity — the
@@ -638,7 +639,7 @@ def _batched_haplotype_transcripts_fused(
     em_area_cutoff = 0
     device_pos: List[int] = []
     env_hybrid = os.environ.get("RPVG_TPU_HYBRID_EM_AREA")
-    if jax.default_backend() == "tpu" and env_hybrid is not None:
+    if safe_default_backend() == "tpu" and env_hybrid is not None:
         em_area_cutoff = int(env_hybrid)
         if em_area_cutoff <= 0:
             return False  # hybrid disabled: run everything on device

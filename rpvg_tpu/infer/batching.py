@@ -15,6 +15,7 @@ import numpy as np
 
 from ..constants import MIN_EM_ABUNDANCE
 from .em import em_abundances_batched
+from ..backend import safe_default_backend
 
 
 def _ceil_pow2(n: int, floor: int = 8) -> int:
@@ -191,7 +192,7 @@ def run_batched_em(
 
     import os
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = safe_default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
     # CPU speed path: the C++ ragged kernel (threads, no padding) —
@@ -265,7 +266,7 @@ def dispatch_em_device(
 
     import jax
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = safe_default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
     # Validated on TPU v5e (tools/tpu_validate.py): matches the float64

@@ -23,6 +23,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MIN_EM_ABUNDANCE, MIN_EM_CONV_ITS
+from ..backend import safe_default_backend
 
 
 def _em_step(probs, counts, abundances, total_count):
@@ -85,7 +86,7 @@ def em_abundances(
     identical)."""
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if safe_default_backend() != "tpu":
         from .batching import native_em_available, run_native_em
 
         if native_em_available():

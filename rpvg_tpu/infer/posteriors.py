@@ -39,6 +39,7 @@ from ..constants import (
 )
 from ..mathutils import num_permutations
 from .matrices import calc_path_log_frequencies
+from ..backend import safe_default_backend
 
 _LOWEST = -np.finfo(np.float64).max
 
@@ -409,7 +410,7 @@ def diploid_posteriors_batched(
 
     import jax as _jax
 
-    if _jax.default_backend() != "tpu":
+    if safe_default_backend() != "tpu":
         native_results = _diploid_posteriors_native(cluster_inputs, min_rel_likelihood)
         if native_results is not None:
             return native_results
@@ -457,7 +458,7 @@ def diploid_posteriors_batched(
     results = [None] * len(cluster_inputs)
     # TPU has no native f64: pad in f32 (and halve the wire bytes);
     # the CPU JAX fallback keeps f64 to match the per-cluster engine.
-    dtype = np.float32 if _jax.default_backend() == "tpu" else np.float64
+    dtype = np.float32 if safe_default_backend() == "tpu" else np.float64
     # Dispatch every chunk asynchronously (transfers and kernels
     # overlap over the high-latency accelerator link), then gather.
     pending = []
@@ -769,7 +770,7 @@ def path_group_posteriors_gibbs_batched(cluster_inputs, group_size, rng_keys):
     path_counts).  Returns per cluster (groups, posteriors)."""
     import jax as _jax
 
-    if group_size == 2 and _jax.default_backend() != "tpu":
+    if group_size == 2 and safe_default_backend() != "tpu":
         native = _posterior_gibbs_native(cluster_inputs, rng_keys)
         if native is not None:
             return native
@@ -850,7 +851,7 @@ def path_group_posteriors_gibbs(
     calls agree)."""
     import jax as _jax
 
-    if group_size == 2 and _jax.default_backend() != "tpu":
+    if group_size == 2 and safe_default_backend() != "tpu":
         native = _posterior_gibbs_native(
             [(probs, noise, counts, path_counts)], [np.asarray(rng_key)]
         )
@@ -947,7 +948,7 @@ def full_posteriors_batched(cluster_inputs, group_size: int):
 
     from ..parallel.autoshard import shard_batched
 
-    on_tpu = _jax.default_backend() == "tpu"
+    on_tpu = safe_default_backend() == "tpu"
     dtype = np.float32 if on_tpu else np.float64
 
     results = [None] * len(cluster_inputs)

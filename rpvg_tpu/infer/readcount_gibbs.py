@@ -16,6 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import MIN_GIBBS_ABUNDANCE
+from ..backend import safe_default_backend
 
 
 def _multinomial_rows(key, n, p):
@@ -230,7 +231,7 @@ def _native_gibbs_enabled() -> bool:
 
     import jax as _jax
 
-    if _jax.default_backend() == "tpu":
+    if safe_default_backend() == "tpu":
         return False
     if os.environ.get("RPVG_TPU_NATIVE_EM", "1") == "0":
         return False
@@ -284,7 +285,7 @@ def run_batched_gibbs(
 
     from .batching import _ceil_pow2, _ceil_pow4
 
-    on_tpu = _jax.default_backend() == "tpu"
+    on_tpu = safe_default_backend() == "tpu"
     if dtype is None:
         dtype = np.float32 if on_tpu else np.float64
 

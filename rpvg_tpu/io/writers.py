@@ -8,6 +8,7 @@ absorbing unaligned reads, `.`-padded joint haplotype rows.
 
 from __future__ import annotations
 
+import contextlib
 import gzip
 import math
 import os
@@ -64,6 +65,44 @@ def format_rows(
     return format_rows_native(prefixes, columns, digits)
 
 
+class AtomicTextHandle:
+    """Crash-safe output file: bytes go to `<path>.tmp`, which is
+    renamed over `path` only on a successful close.  A pipeline that
+    dies mid-run therefore never leaves a partial, plausible-looking
+    output — the reference never can (its writers only run after the
+    unconditional host inference loop, src/threaded_output_writer.cpp),
+    and an accelerator-backend failure must not make us worse.
+    `discard()` abandons the tmp file (error path)."""
+
+    def __init__(self, path: str, opener):
+        self.path = path
+        self.tmp_path = path + ".tmp"
+        self._handle = opener(self.tmp_path)
+        self.write = self._handle.write  # hot path: direct delegation
+        self._done = False
+
+    def close(self) -> None:
+        if self._done:
+            return
+        self._done = True
+        self._handle.close()
+        os.replace(self.tmp_path, self.path)
+
+    def discard(self) -> None:
+        """Close WITHOUT publishing; remove the tmp file."""
+        if self._done:
+            return
+        self._done = True
+        try:
+            self._handle.close()
+        except Exception:
+            pass
+        try:
+            os.remove(self.tmp_path)
+        except OSError:
+            pass
+
+
 class AsyncTextHandle:
     """Dedicated writer thread behind a bounded queue — the reference's
     ThreadedOutputWriter design (src/threaded_output_writer.cpp:8-37):
@@ -95,13 +134,23 @@ class AsyncTextHandle:
             chunk = self._queue.get()
             if chunk is None:
                 break
+            if chunk is _DISCARD:
+                # Error-path shutdown: abandon instead of publishing.
+                if self._exc is None:
+                    self._exc = RuntimeError("writer discarded")
+                break
             if self._exc is None:
                 try:
                     self._handle.write(chunk)
                 except BaseException as exc:  # re-raised on the caller side
                     self._exc = exc
         try:
-            self._handle.close()
+            if self._exc is not None and hasattr(self._handle, "discard"):
+                # A failed write stream must not rename a partial tmp
+                # file over the real output (AtomicTextHandle).
+                self._handle.discard()
+            else:
+                self._handle.close()
         except BaseException as exc:
             if self._exc is None:
                 self._exc = exc
@@ -114,6 +163,12 @@ class AsyncTextHandle:
     def close_async(self) -> None:
         self._queue.put(None)
 
+    def discard(self) -> None:
+        """Abandon the stream: the drain thread closes without
+        publishing the tmp file (error-path shutdown)."""
+        self._queue.put(_DISCARD)
+        self._thread.join()
+
     def join(self) -> None:
         self._thread.join()
         if self._exc is not None:
@@ -122,6 +177,10 @@ class AsyncTextHandle:
     def close(self) -> None:
         self.close_async()
         self.join()
+
+
+# Sentinel enqueue that tells the drain thread to abandon the file.
+_DISCARD = object()
 
 
 def _handle_close_async(handle) -> None:
@@ -138,7 +197,37 @@ def _handle_join(handle) -> None:
         handle.join()
 
 
+def _handle_discard(handle) -> None:
+    """Error-path shutdown: close without publishing (no partial
+    outputs on disk), swallowing secondary failures."""
+    try:
+        if hasattr(handle, "discard"):
+            handle.discard()
+        else:
+            handle.close()
+    except Exception:
+        pass
+
+
+@contextlib.contextmanager
+def atomic_open(path: str):
+    """`with atomic_open(p) as h:` — crash-safe plain-text output: the
+    body writes to `<p>.tmp`; a clean exit renames it over `p`, an
+    exception abandons the tmp file (used by the native output
+    composers in pipeline.py)."""
+    handle = AtomicTextHandle(path, lambda p: open(p, "w"))
+    try:
+        yield handle
+    except BaseException:
+        handle.discard()
+        raise
+    handle.close()
+
+
 def _open(path: str, async_ok: bool = False):
+    # Every output is written via AtomicTextHandle: `<path>.tmp` renamed
+    # over `path` on successful close, so a mid-run crash never leaves a
+    # partial output file under the real name.
     if path.endswith(".gz"):
         # BGZF blocks, matching the reference's HTSlib-compressed outputs
         # (src/threaded_output_writer.cpp:10): plain-gzip-readable but
@@ -147,15 +236,16 @@ def _open(path: str, async_ok: bool = False):
         # Compression runs on a writer thread (AsyncTextHandle) unless
         # RPVG_TPU_SYNC_WRITERS=1.  RPVG_TPU_PLAIN_GZIP=1 kill switch.
         if os.environ.get("RPVG_TPU_PLAIN_GZIP") == "1":
-            handle = gzip.open(path, "wt", compresslevel=6)
+            opener = lambda p: gzip.open(p, "wt", compresslevel=6)  # noqa: E731
         else:
             from .bgzf import BgzfTextWriter
 
-            handle = BgzfTextWriter(path, compresslevel=6)
+            opener = lambda p: BgzfTextWriter(p, compresslevel=6)  # noqa: E731
+        handle = AtomicTextHandle(path, opener)
         if async_ok and os.environ.get("RPVG_TPU_SYNC_WRITERS") != "1":
             return AsyncTextHandle(handle)
         return handle
-    return open(path, "w")
+    return AtomicTextHandle(path, lambda p: open(p, "w"))
 
 
 class ProbabilityClusterWriter:
@@ -190,6 +280,11 @@ class ProbabilityClusterWriter:
 
     def join(self):
         _handle_join(self.handle)
+
+    def discard(self):
+        """Error-path shutdown: abandon the file instead of publishing a
+        partial probability listing."""
+        _handle_discard(self.handle)
 
 
 def probability_block_header(cluster_paths: Sequence[PathInfo]) -> str:
@@ -315,6 +410,11 @@ class ReadCountGibbsSamplesWriter:
 
     def join(self) -> None:
         _handle_join(self.handle)
+
+    def discard(self) -> None:
+        """Error-path shutdown: abandon the file instead of publishing a
+        sample table missing its rows and Unknown trailer."""
+        _handle_discard(self.handle)
 
 
 class JointHaplotypeEstimatesWriter:

@@ -40,6 +40,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 
 from ..constants import MIN_EM_ABUNDANCE, MIN_EM_CONV_ITS
+from ..backend import safe_default_backend
 
 
 def _em_kernel(probs_ref, counts_ref, col_mask_ref, abundances_ref, *,
@@ -313,4 +314,4 @@ def fused_vmem_cost(B: int, R: int, C: int, itemsize: int = 4) -> int:
 
 
 def em_pallas_available() -> bool:
-    return jax.default_backend() == "tpu"
+    return safe_default_backend() == "tpu"

@@ -24,6 +24,7 @@ from __future__ import annotations
 import os
 import time
 from typing import Optional
+from ..backend import safe_default_backend
 
 _CACHE: Optional[dict] = None
 
@@ -44,7 +45,7 @@ def probe_link(force: bool = False) -> Optional[dict]:
 
     import jax
 
-    if jax.default_backend() == "cpu":
+    if safe_default_backend() == "cpu":
         _CACHE = {}
         return None
 

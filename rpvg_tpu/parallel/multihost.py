@@ -445,6 +445,12 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
 
     log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
 
+    # Guarded accelerator probe overlaps the (long) fragment pass; the
+    # parent's inference half consults it (see rpvg_tpu/backend.py).
+    from ..backend import start_probe
+
+    start_probe()
+
     graph, paths_index = load_inputs(config)
     pre_dist = resolve_pre_fragment_dist(config)
 

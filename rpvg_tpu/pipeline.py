@@ -1016,6 +1016,14 @@ def run_pipeline(config: PipelineConfig) -> Dict:
     t_start = time.perf_counter()
     log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
 
+    # Kick off the guarded accelerator probe NOW so its wall time hides
+    # under input loading and the fragment pass; the first backend
+    # consult during inference joins it and falls back to CPU instead
+    # of dying mid-run (see rpvg_tpu/backend.py).
+    from .backend import start_probe
+
+    start_probe()
+
     graph, paths_index = load_inputs(config)
     pre_frag_length_dist = resolve_pre_fragment_dist(config)
     # Phase-line parity with the reference (src/main.cpp:640-649).
@@ -1444,10 +1452,21 @@ def run_inference_phases(
         if gibbs_writer is not None:
             gibbs_writer.join()
 
+    except BaseException:
+        # Failure: shut the writer threads down WITHOUT publishing —
+        # partial outputs must not appear under the real filenames
+        # (AtomicTextHandle renames only on clean close) — and sweep
+        # any `.tmp` staging files other writers left behind.
+        for writer in (prob_writer, gibbs_writer):
+            if writer is not None:
+                writer.discard()
+        _remove_partial_outputs(config)
+        raise
     finally:
         # Writer threads must always shut down — a failed run would
         # otherwise leak the drain thread and an open gzip handle
-        # (idempotent; the success path has already joined them).
+        # (idempotent; the success path has already joined them and the
+        # failure path has already discarded them).
         for writer in (prob_writer, gibbs_writer):
             if writer is None:
                 continue
@@ -1467,6 +1486,27 @@ def run_inference_phases(
         "frag_length_dist": frag_length_dist,
         "results": results,
     }
+
+
+def _remove_partial_outputs(config: PipelineConfig) -> None:
+    """Best-effort sweep of `.tmp` staging files after a failed run.
+
+    AtomicTextHandle keeps partial data out of the real output names;
+    this removes the abandoned staging files so a failed run leaves NO
+    output artifacts at all (the reference cannot fail mid-inference on
+    valid inputs — src/main.cpp:827-998 runs unconditionally on host —
+    so any file it leaves is complete)."""
+    prefix = config.output_prefix
+    for name in (
+        prefix + ".txt",
+        prefix + "_joint.txt",
+        prefix + "_probs.txt.gz",
+        prefix + "_gibbs.txt.gz",
+    ):
+        try:
+            os.remove(name + ".tmp")
+        except OSError:
+            pass
 
 
 def compute_tpm_normalizer(results: Sequence[ClusterResult]) -> float:
@@ -1579,7 +1619,7 @@ def _write_hapjoint_columnar(
         joint_noise += result.estimates.noise_count / config.ploidy
 
     fmt = writers.fmt
-    with open(config.output_prefix + ".txt", "w") as handle:
+    with writers.atomic_open(config.output_prefix + ".txt") as handle:
         handle.write(
             "Name\tClusterID\tLength\tEffectiveLength\tHaplotypeProbability\tReadCount\tTPM\n"
         )
@@ -1594,7 +1634,7 @@ def _write_hapjoint_columnar(
     unknown = ["Unknown"] * config.ploidy + ["0", "0"]
     for _ in range(config.ploidy):
         unknown += [fmt(joint_noise + unaligned_read_count / config.ploidy), "0"]
-    with open(config.output_prefix + "_joint.txt", "w") as handle:
+    with writers.atomic_open(config.output_prefix + "_joint.txt") as handle:
         handle.write("\t".join(header) + "\n")
         handle.write(joint_text)
         handle.write("\t".join(unknown) + "\n")
@@ -1685,7 +1725,7 @@ def _write_abundance_columnar(
     if text is None:
         return False
 
-    with open(config.output_prefix + ".txt", "w") as handle:
+    with writers.atomic_open(config.output_prefix + ".txt") as handle:
         handle.write("Name\tClusterID\tLength\tEffectiveLength\tReadCount\tTPM\n")
         handle.write(text)
         handle.write(
