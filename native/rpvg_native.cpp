@@ -2555,6 +2555,13 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
                              all_ids.size() * 8 + raw_total + 8 +
                              fidx->histogram.size() * 8;
   auto* out = static_cast<uint8_t*>(std::malloc(total_bytes));
+  if (out == nullptr) {
+    // Multi-GB dumps can exhaust the host: signal the caller (nullptr +
+    // out_len = -1) instead of memcpy'ing into nullptr on the fill
+    // threads below.
+    *out_len = -1;
+    return nullptr;
+  }
   uint8_t* cur = out;
   auto put_scalar = [&cur](uint64_t v) {
     std::memcpy(cur, &v, 8);

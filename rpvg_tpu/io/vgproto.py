@@ -232,6 +232,16 @@ def decode_message(data: bytes, message: str) -> dict:
         if entry is None:
             continue  # unknown field: already skipped by wire type
         name, kind = entry
+        # Wire-type validation: a corrupted key byte can flip a field's
+        # wire type, delivering e.g. a varint where a string is declared.
+        # Reject loudly instead of dying downstream on the wrong Python
+        # type (real protobuf parsers reject wire mismatches the same way).
+        if kind in ("string", "bytes", "struct") or kind.startswith(("msg:", "msgs:")):
+            if wire != _WIRE_LEN:
+                raise ValueError(f"{message}.{name}: {kind} with wire type {wire}")
+        elif kind in ("int", "uint", "bool"):
+            if wire != _WIRE_VARINT:
+                raise ValueError(f"{message}.{name}: {kind} with wire type {wire}")
         if kind == "string":
             out[name] = value.decode("utf-8")
         elif kind == "bytes":

@@ -629,6 +629,11 @@ class NativeFinder:
             indexer, self._handle, ctypes.byref(out_len),
             int(self._iparams[7]),
         )
+        if not out_ptr:
+            raise MemoryError(
+                "native dump allocation failed "
+                f"(requested entry blob too large; out_len={out_len.value})"
+            )
         try:
             data = ctypes.string_at(out_ptr, out_len.value)
         finally:

@@ -309,8 +309,13 @@ def em_pallas_fused(
 
 def fused_vmem_cost(B: int, R: int, C: int, itemsize: int = 4) -> int:
     """VMEM bytes one block contributes to a fused launch: the resident
-    (C, G=B, R) matrix plus the (G, R) rs/q temporaries."""
-    return (B * R * C + 2 * B * R) * itemsize
+    (C, G=B, R) matrix, the (G, R) counts input and rs/q temporaries,
+    and the (C, G) mask / abundance / next-abundance / convergence /
+    output buffers.  Counting every resident buffer (not just the probs
+    block) keeps a fuse group packed to the _VMEM_BLOCK_BYTES budget
+    from silently exceeding real VMEM and tripping the whole-group
+    Pallas->XLA fallback."""
+    return (B * R * C + 3 * B * R + 5 * B * C) * itemsize
 
 
 def em_pallas_available() -> bool:

@@ -214,7 +214,7 @@ def _shard_worker(args):
     )
 
 
-def _native_shard_merge(payloads, pre_dist, is_single_end):
+def _native_shard_merge(payloads, pre_dist, is_single_end, max_threads=None):
     """Whole cross-shard merge through the threaded C++ kernels: dedup
     keyed on the canonical raw serialization (global first-seen order,
     counts summed) then a parallel gather of the merged blob / id runs /
@@ -286,7 +286,10 @@ def _native_shard_merge(payloads, pre_dist, is_single_end):
         anchor_ptrs[si] = as_c(anchors, np.int64)
         n_entries[si] = counts.size
 
-    n_threads = int(min(16, os.cpu_count() or 1))
+    # Respect the run's configured thread budget (a deliberately
+    # thread-capped run must not fan the merge across all host cores).
+    cap = max_threads if max_threads else (os.cpu_count() or 1)
+    n_threads = int(min(16, max(1, cap)))
     total = int(n_entries.sum())
     out_shard = np.empty(total, dtype=np.int32)
     out_entry = np.empty(total, dtype=np.int64)
@@ -329,7 +332,7 @@ def _native_shard_merge(payloads, pre_dist, is_single_end):
     return ColumnarFragmentIndex(cols, pre_dist, is_single_end)
 
 
-def _merge_columnar_shards(payloads, pre_dist, is_single_end):
+def _merge_columnar_shards(payloads, pre_dist, is_single_end, max_threads=None):
     """Cross-shard dedup of native columnar dumps: entries keyed by their
     canonical raw serialization (minus the embedded count), counts
     summed and rewritten into the merged blob, located-id CSR and
@@ -338,7 +341,7 @@ def _merge_columnar_shards(payloads, pre_dist, is_single_end):
     from ..native import ColumnarFragments
     from ..pipeline import ColumnarFragmentIndex
 
-    native = _native_shard_merge(payloads, pre_dist, is_single_end)
+    native = _native_shard_merge(payloads, pre_dist, is_single_end, max_threads)
     if native is not None:
         return native
 
@@ -479,15 +482,17 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
             for s in range(num_workers)
         ]
 
-    # Overlap the info-TSV parse with the worker scan, exactly like the
-    # single-process pipeline (shared helper so the arguments cannot
-    # diverge between the two drivers).
     from ..pipeline import submit_info_parse
-
-    info_future = submit_info_parse(config)
 
     frag_start = _time.perf_counter()
     pool = ctx.Pool(num_workers)
+    # Overlap the info-TSV parse with the worker scan, exactly like the
+    # single-process pipeline (shared helper so the arguments cannot
+    # diverge between the two drivers).  Submitted AFTER the pool fork:
+    # forking while a non-daemon thread runs can leave a child holding a
+    # lock the thread owned at fork time; the parse is only consumed
+    # post-merge in the parent, so it loses no overlap by starting here.
+    info_future = submit_info_parse(config)
     try:
         shard_payloads = pool.map(_shard_worker, worker_args)
     except BaseException:
@@ -572,6 +577,7 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
             fragment_index = _merge_columnar_shards(
                 [payload[1] for payload in shard_payloads],
                 pre_dist, config.is_single_end(),
+                max_threads=config.threads,
             )
         num_lists = fragment_index.num_entries()
     else:

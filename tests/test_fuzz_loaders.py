@@ -43,6 +43,10 @@ def _assert_loads_or_raises(load, label):
     """The only acceptable outcomes: a value, or a loud Exception."""
     try:
         return True, load()
+    except (NameError, AttributeError):
+        # A harness bug (undefined helper, typo'd method) must fail the
+        # test, not masquerade as the loader rejecting the input.
+        raise
     except Exception:
         return False, None
     # Non-Exception escapes (SystemExit, segfault) abort pytest itself.
@@ -293,7 +297,7 @@ def test_fuzz_rpa_truncation_and_flips(tmp_path):
         flipped[off] ^= 1 << int(rng.integers(0, 8))
         with open(mutant, "wb") as handle:
             handle.write(bytes(flipped))
-        _assert_loads_or_raises(lambda: _rpa_count(mutant), "rpa")
+        _assert_loads_or_raises(lambda: _rpa_blocks(mutant), "rpa")
 
 
 # ------------------------------------------------------------------- .ri
