@@ -22,7 +22,11 @@ MODELS = [
     ("strains", {}),
     ("haplotype-transcripts", {"with_info": True}),
     # The reference's DEFAULT scoring regime (quality-adjusted,
-    # src/main.cpp:385) over reads with quality-driven errors.
+    # src/main.cpp:385) over reads with quality-driven errors — pinned
+    # byte-for-byte for every model, not just the flagship.
+    ("transcripts-qual", {"qual": True}),
+    ("haplotypes-qual", {"qual": True}),
+    ("strains-qual", {"qual": True}),
     ("haplotype-transcripts-qual", {"with_info": True, "qual": True}),
     # Full-realism regime: gene-structured panel (isoforms share exon
     # and allele nodes, real multimapping), quality-driven errors with
