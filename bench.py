@@ -27,6 +27,36 @@ import time
 
 BASELINE_PAIRS_PER_S = 1700.0
 
+# Last healthy accelerator window, persisted across bench invocations:
+# on this host the device tunnel wedges intermittently, so the
+# end-of-round capture can land in a window with no live accelerator at
+# all (round 4's driver artifact had no TPU number).  A healthy window
+# recorded here is emitted as an explicitly `stale: true` entry when the
+# capture-time probe fails — never as the headline.
+STATE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_state.json")
+
+
+def _load_state() -> dict:
+    try:
+        with open(STATE_PATH) as handle:
+            return json.load(handle)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_state(state: dict) -> None:
+    try:
+        tmp = STATE_PATH + ".tmp"
+        with open(tmp, "w") as handle:
+            json.dump(state, handle, indent=1, sort_keys=True)
+        os.replace(tmp, STATE_PATH)
+    except OSError:
+        pass
+
+
+def _workload_key(pairs: int, transcripts: int, qual: bool) -> str:
+    return f"pairs={pairs},transcripts={transcripts},qual={qual}"
+
 
 def make_dataset(num_pairs: int, num_transcripts: int, out_dir: str,
                  qual: bool = False) -> None:
@@ -212,6 +242,20 @@ def main() -> int:
             self.proc = self._start()
             self.verdict = None
             self.attempts = 1
+            self.retried = False
+
+        def retry_once(self, budget_s: float) -> None:
+            """One mid-run second chance after the CPU windows: a tunnel
+            that was wedged at process start is sometimes back minutes
+            later, and the CPU windows have already paid the wall time."""
+            if self.retried or self.verdict is not False:
+                return
+            self.retried = True
+            print("bench: retrying device probe mid-run", file=sys.stderr)
+            self.deadline = time.monotonic() + budget_s
+            self.proc = self._start()
+            self.verdict = None
+            self.attempts = 1
 
         def _start(self):
             return subprocess.Popen(
@@ -329,12 +373,33 @@ def main() -> int:
         result["backend"] = backend
         if backend not in best or result["pairs_per_s"] > best[backend]["pairs_per_s"]:
             best[backend] = result
+        if backend != "cpu":
+            # Persist the healthy accelerator window so a later capture
+            # whose probe fails can still report it (marked stale).
+            state = _load_state()
+            entry = {
+                "pairs_per_s": round(result["pairs_per_s"], 2),
+                "elapsed_s": round(result["elapsed_s"], 3),
+                "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+                "recorded_unix": int(time.time()),
+            }
+            for key in ("link_h2d_mbps", "link_dispatch_ms"):
+                if key in result:
+                    entry[key] = result[key]
+            state.setdefault(backend, {})[
+                _workload_key(args.pairs, args.transcripts, args.qual)
+            ] = entry
+            _save_state(state)
 
     for window in range(2):
         record("cpu", {"RPVG_TPU_FORCE_CPU": "1"})
         # probe.healthy() blocks at most until the probe budget runs
         # out, and only before the first accelerator window — the probe
-        # has been running since before dataset generation.
+        # has been running since before dataset generation.  After the
+        # first full window pair the probe gets ONE mid-run second
+        # chance: a transiently wedged tunnel is often back by then.
+        if window > 0:
+            probe.retry_once(min(args.probe_budget, 90.0))
         if probe.healthy():
             # One retry on the first window: transient tunnel wedges are
             # the common failure.
@@ -397,6 +462,31 @@ def main() -> int:
             c["backend"]: round(c["pairs_per_s"], 2) for c in candidates
         },
     }
+    if "tpu" not in out["all_backends"]:
+        # No live accelerator window this capture: surface the last
+        # healthy one for this exact workload, explicitly marked stale
+        # (it is informational, never the headline — `value`/`backend`
+        # above come from live windows only).
+        stale = _load_state().get("tpu", {}).get(
+            _workload_key(args.pairs, args.transcripts, args.qual)
+        )
+        if stale:
+            entry = {"pairs_per_s": stale["pairs_per_s"], "stale": True}
+            entry["recorded_at"] = stale.get("recorded_at")
+            if stale.get("recorded_unix"):
+                entry["age_hours"] = round(
+                    (time.time() - stale["recorded_unix"]) / 3600.0, 1
+                )
+            for key in ("link_h2d_mbps", "link_dispatch_ms"):
+                if key in stale:
+                    entry[key] = stale[key]
+            out["all_backends"]["tpu"] = entry
+            print(
+                f"bench: no live tpu window; reporting last healthy one "
+                f"({stale['pairs_per_s']} pairs/s, {entry.get('recorded_at')}) "
+                f"marked stale",
+                file=sys.stderr,
+            )
     if len(candidates) > 1:
         # Honest tie marker (NOT a headline adjustment — the headline is
         # still the measured fastest backend): on a tunnel-attached

@@ -2620,6 +2620,30 @@ uint8_t* rpvg_indexer_dump_located(void* indexer, void* index_handle,
   return out;
 }
 
+
+// Locate-throughput microbenchmark entry (r-index divergence evidence,
+// reference src/paths_index.cpp:100-143: the reference routes locate
+// through the FastLocate r-index when a .ri is supplied; this build's
+// functional replacement is the CSR occurrence index + binary search
+// below, same code path as production locate_path_ids).  Runs
+// locate_path_ids over n_states CSR-packed position lists and returns
+// the total located ids; wall time is measured by the caller.
+int64_t rpvg_locate_bench(void* index_handle, const int64_t* positions,
+                          const int64_t* bounds, int64_t n_states,
+                          int32_t repeats) {
+  const Index& idx = *static_cast<Index*>(index_handle);
+  std::vector<int64_t> located;
+  int64_t total = 0;
+  for (int32_t r = 0; r < repeats; ++r) {
+    for (int64_t s = 0; s < n_states; ++s) {
+      locate_path_ids(idx, positions + bounds[s],
+                      static_cast<int32_t>(bounds[s + 1] - bounds[s]), &located);
+      total += static_cast<int64_t>(located.size());
+    }
+  }
+  return total;
+}
+
 }  // extern "C"
 
 
