@@ -181,14 +181,17 @@ def em_pallas_batched(
 
 def _em_fused_kernel(*refs, n_blocks: int, max_em_its: int,
                      max_rel_em_conv: float):
-    """Shared fixed-point loop over `n_blocks` differently-shaped
-    bucket blocks resident in VMEM at once.  Small buckets alone are
-    serial-chain bound (each while iteration is a few-microsecond
-    vector op, so 512 dependent iterations cost milliseconds no matter
-    how little data moves); fusing the buckets makes every iteration
-    process the UNION of their elements, amortising the chain across
-    the whole dispatch.  Per-cluster convergence freezing keeps each
-    cluster's trajectory identical to the single-bucket kernel."""
+    """INDEPENDENT per-block fixed-point loops over `n_blocks`
+    differently-shaped bucket blocks, all resident in VMEM, in ONE
+    kernel launch.  The launch saves (K-1) device dispatches (the
+    point of fusing on a high-latency link) while each block's loop
+    stops at ITS OWN convergence — round 4 ran one SHARED loop whose
+    cond() required every block converged, so with real power-law
+    convergence a single slow cluster held the whole fused group at
+    max-iteration wall time (measured 2.6x slower end to end,
+    FUSE_AB_r05.json; forced-iteration microbenches were structurally
+    blind to the coupling).  Per-block trajectories are identical to
+    the single-bucket kernel's, so results stay bitwise-pinned."""
     probs = [refs[k][:] for k in range(n_blocks)]                 # (C,G,R)
     counts = [refs[n_blocks + k][:] for k in range(n_blocks)]     # (G,R)
     masks = [refs[2 * n_blocks + k][:] for k in range(n_blocks)]  # (C,G)
@@ -200,54 +203,46 @@ def _em_fused_kernel(*refs, n_blocks: int, max_em_its: int,
     conv_threshold = jnp.asarray(max_rel_em_conv, dt)
     min_abundance = jnp.asarray(MIN_EM_ABUNDANCE, dt)
 
-    n_cols = [jnp.maximum(jnp.sum(m, axis=0, keepdims=True), one) for m in masks]
-    inv_totals = [
-        one
-        / jnp.maximum(jnp.sum(c, axis=1, keepdims=True), one).reshape(1, c.shape[0])
-        for c in counts
-    ]
-    init_a = tuple(m / nc for m, nc in zip(masks, n_cols))
-    init_conv = tuple(jnp.zeros((1, m.shape[1]), jnp.int32) for m in masks)
+    for k in range(n_blocks):
+        probs_k, counts_k, mask_k = probs[k], counts[k], masks[k]
+        n_cols = jnp.maximum(jnp.sum(mask_k, axis=0, keepdims=True), one)
+        inv_totals = one / jnp.maximum(
+            jnp.sum(counts_k, axis=1, keepdims=True), one
+        ).reshape(1, counts_k.shape[0])
+        init = mask_k / n_cols
 
-    def cond(state):
-        _, convs, it = state
-        unconverged = jnp.any(convs[0] < MIN_EM_CONV_ITS)
-        for conv_its in convs[1:]:
-            unconverged |= jnp.any(conv_its < MIN_EM_CONV_ITS)
-        return (it < max_em_its) & unconverged
+        def cond(state):
+            _, conv_its, it = state
+            return (it < max_em_its) & jnp.any(conv_its < MIN_EM_CONV_ITS)
 
-    def body(state):
-        a_s, conv_s, it = state
-        new_as = []
-        new_convs = []
-        for k in range(n_blocks):
-            a, conv_its = a_s[k], conv_s[k]
-            rs = jnp.sum(probs[k] * a[:, :, None], axis=0)       # (G, R)
-            q = jnp.where(rs > zero, counts[k] / rs, zero)       # (G, R)
-            t = jnp.sum(probs[k] * q[None, :, :], axis=2)        # (C, G)
-            new = a * t * inv_totals[k]
+        def body(state, probs_k=probs_k, counts_k=counts_k, mask_k=mask_k,
+                 inv_totals=inv_totals):
+            a, conv_its, it = state
+            rs = jnp.sum(probs_k * a[:, :, None], axis=0)        # (G, R)
+            q = jnp.where(rs > zero, counts_k / rs, zero)        # (G, R)
+            t = jnp.sum(probs_k * q[None, :, :], axis=2)         # (C, G)
+            new = a * t * inv_totals
 
             already_done = conv_its >= MIN_EM_CONV_ITS
             new = jnp.where(already_done, a, new)
-            active = (new >= min_abundance) & (masks[k] > zero)
+            active = (new >= min_abundance) & (mask_k > zero)
             rel_diff = jnp.where(
                 active, jnp.abs(new - a) / jnp.where(active, new, one), zero
             )
             has_converged = jnp.all(
                 rel_diff <= conv_threshold, axis=0, keepdims=True
             )
-            new_convs.append(
-                jnp.where(
-                    already_done, conv_its,
-                    jnp.where(has_converged, conv_its + 1, 0),
-                )
+            conv_its = jnp.where(
+                already_done, conv_its,
+                jnp.where(has_converged, conv_its + 1, 0),
             )
-            new_as.append(new)
-        return tuple(new_as), tuple(new_convs), it + 1
+            return new, conv_its, it + 1
 
-    final_a, _, _ = jax.lax.while_loop(cond, body, (init_a, init_conv, jnp.int32(0)))
-    for k in range(n_blocks):
-        outs[k][:] = final_a[k]
+        G = probs_k.shape[1]
+        final_a, _, _ = jax.lax.while_loop(
+            cond, body, (init, jnp.zeros((1, G), jnp.int32), jnp.int32(0))
+        )
+        outs[k][:] = final_a
 
 
 @partial(jax.jit, static_argnames=("max_em_its", "max_rel_em_conv", "interpret"))
