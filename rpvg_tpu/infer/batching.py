@@ -117,7 +117,9 @@ def run_native_em(
     out_noise = np.empty(n, dtype=np.float64)
 
     if n_threads <= 0:
-        n_threads = min(16, os.cpu_count() or 1)
+        from ..native import thread_budget
+
+        n_threads = thread_budget()
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     if not getattr(lib, "_em_counts_configured", False):
@@ -329,23 +331,17 @@ def dispatch_em_device(
     fuse_group = []  # chunks sharing one fused Pallas launch
     fuse_bytes = 0
 
-    # Fusing buckets into one launch trades ~15% kernel time at the
-    # production mix (readback-anchored, TPU_KERNELS_tpu.json:
-    # em_pallas_fused_mix_geups vs em_pallas_mix_geups) for (K-1) saved
-    # dispatches — a clear win through a tunnelled link (~25-35ms per
-    # dispatch here) and a slight loss on a direct-attached part, so
-    # the measured link decides.  RPVG_TPU_FUSE_EM=1/0 overrides.
-    fuse_env = os.environ.get("RPVG_TPU_FUSE_EM", "auto")
-    if fuse_env == "auto":
-        try:
-            from ..parallel.linkprobe import probe_link
-
-            link = probe_link()
-            fuse_ok = bool(link) and link["dispatch_s"] > 1e-3
-        except Exception:
-            fuse_ok = False
-    else:
-        fuse_ok = fuse_env == "1"
+    # Fusion defaults OFF: the first end-to-end A/B (FUSE_AB_r05.json)
+    # measured the fused launch 2.6x slower than separate launches with
+    # the round-4 shared-loop kernel (convergence coupling) and still
+    # ~1.9x slower after per-block loops were decoupled — the single
+    # launch keeps every block VMEM-resident for the whole group while
+    # the (K-1) saved dispatches are only ~25-35ms each, an order of
+    # magnitude smaller.  The round-4 ">1ms dispatch => fuse" link gate
+    # was an inference from kernel-time neutrality under forced
+    # iterations, which is structurally blind to real power-law
+    # convergence.  RPVG_TPU_FUSE_EM=1 remains an explicit opt-in.
+    fuse_ok = os.environ.get("RPVG_TPU_FUSE_EM", "0") == "1"
 
     def flush_fused():
         nonlocal fuse_bytes, pallas_enabled
