@@ -366,6 +366,50 @@ def kernel_bench() -> int:
         )
     print(f"bench: diploid scoring {Bp}x{Rp}x{P}^2: {t:.4f}s = {flops / t / 1e9:.1f} GFLOP/s", flush=True)
 
+    # Utilization story for the diploid kernel (the second-hottest
+    # device kernel).  It is NOT MXU work (a log inside the reduction
+    # blocks any matmul form) and NOT HBM-bound: the (B,R,P,P) pair
+    # tensor is GENERATED on the fly from (B,R,P) inputs via the
+    # outer-product broadcast, never streamed from HBM.  Two honest
+    # figures:
+    #  * HBM-equivalent bandwidth: what streaming the f32 pair tensor
+    #    from HBM once would need — exceeding the chip's physical HBM
+    #    peak is the fusion signature (same convention as the EM
+    #    fields above).
+    #  * Fraction of the measured log-generation roofline: the same
+    #    broadcast + log + reduce structure stripped to its minimum
+    #    (no noise add, no positivity select, no count weighting, no
+    #    prior adds) — the practical ceiling for ANY kernel of this
+    #    shape on this chip's transcendental unit.
+    elements = float(Bp) * Rp * P * P
+    results["diploid_elem_per_s_g"] = round(elements / t / 1e9, 1)
+    results["diploid_hbm_equiv_gbps"] = round(elements * 4 / t / 1e9, 1)
+    if peaks:
+        results["diploid_hbm_equiv_x_peak"] = round(
+            elements * 4 / t / 1e9 / peaks["hbm_gbps"], 2
+        )
+
+    half_d = jnp.asarray(pprobs) * 0.5
+
+    @jax.jit
+    def _log_roofline(h):
+        pair = h[:, :, :, None] + h[:, :, None, :]
+        return jnp.sum(jnp.log(pair), axis=1)
+
+    t_roof = device_rate(lambda: _log_roofline(half_d), n=64)
+    results["diploid_log_roofline_elem_per_s_g"] = round(
+        elements / t_roof / 1e9, 1
+    )
+    results["diploid_frac_of_log_roofline"] = round(t_roof / t, 3)
+    print(
+        f"bench: diploid utilization: {elements / t / 1e9:.1f} G pair-elems/s = "
+        f"HBM-equiv {elements * 4 / t / 1e9:.0f} GB/s"
+        + (f" ({elements * 4 / t / 1e9 / peaks['hbm_gbps']:.2f}x physical peak)" if peaks else "")
+        + f"; log-generation roofline {elements / t_roof / 1e9:.1f} G elems/s"
+        f" -> kernel at {100 * t_roof / t:.0f}% of the bound",
+        flush=True,
+    )
+
     out_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         f"TPU_KERNELS_{jax.default_backend()}.json",
