@@ -29,6 +29,25 @@ _LIB = os.path.join(_NATIVE_DIR, "librpvg_native.so")
 
 _lib = None
 
+# Process-wide native thread budget.  The pipeline sets this from the
+# run's -t/--threads so EVERY native kernel (matrix build, fused nested
+# infer, escalated EM, gathers, merges) respects the configured budget;
+# unset, kernels use all host cores (the historical default).  The
+# reference's -t N caps its OpenMP pool the same way (reference
+# src/main.cpp:476 omp_set_num_threads).
+_THREAD_BUDGET = None
+
+
+def set_thread_budget(n) -> None:
+    global _THREAD_BUDGET
+    _THREAD_BUDGET = max(1, int(n)) if n else None
+
+
+def thread_budget() -> int:
+    if _THREAD_BUDGET is not None:
+        return min(16, _THREAD_BUDGET)
+    return min(16, os.cpu_count() or 1)
+
 
 def _build_library() -> bool:
     cmd = [
@@ -364,7 +383,7 @@ class ColumnarFragments:
                 out_starts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
                 int(entry_order.size),
                 out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-                int(getattr(self, "n_threads", 4)),
+                int(getattr(self, "n_threads", 0) or thread_budget()),
             )
             return out, lens
         idx = np.arange(total, dtype=np.int64)
@@ -1098,7 +1117,7 @@ def nested_diploid_infer(
     )
 
     if n_threads <= 0:
-        n_threads = min(16, os.cpu_count() or 1)
+        n_threads = thread_budget()
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     out_len = ctypes.c_int64()
@@ -1258,7 +1277,7 @@ def strains_infer(
     )
 
     if n_threads <= 0:
-        n_threads = min(16, os.cpu_count() or 1)
+        n_threads = thread_budget()
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     out_len = ctypes.c_int64()
@@ -1578,7 +1597,7 @@ def nested_combine(
     em_noise = np.ascontiguousarray(em_noise, dtype=np.float64)
 
     if n_threads <= 0:
-        n_threads = min(16, os.cpu_count() or 1)
+        n_threads = thread_budget()
     as_f64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))  # noqa: E731
     as_i64 = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))  # noqa: E731
     out_len = ctypes.c_int64()

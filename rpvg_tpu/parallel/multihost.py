@@ -454,6 +454,10 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
 
     start_probe()
 
+    from ..native import set_thread_budget
+
+    set_thread_budget(config.threads)
+
     graph, paths_index = load_inputs(config)
     pre_dist = resolve_pre_fragment_dist(config)
 

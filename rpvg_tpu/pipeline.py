@@ -1024,6 +1024,10 @@ def run_pipeline(config: PipelineConfig) -> Dict:
 
     start_probe()
 
+    from .native import set_thread_budget
+
+    set_thread_budget(config.threads)
+
     graph, paths_index = load_inputs(config)
     pre_frag_length_dist = resolve_pre_fragment_dist(config)
     # Phase-line parity with the reference (src/main.cpp:640-649).
@@ -1081,6 +1085,12 @@ def run_inference_phases(
     probability writer (distributed runner), formatted '-b' cluster
     blocks are appended here as (rank, text) for the caller to gather
     and write on process 0 (reference src/threaded_output_writer.cpp:40-95)."""
+    # Every native kernel downstream (matrix build, fused nested infer,
+    # escalated EM, gathers) respects the run's -t budget, like the
+    # reference's omp_set_num_threads (src/main.cpp:476).
+    from .native import set_thread_budget
+
+    set_thread_budget(config.threads)
     if config.is_single_end():
         frag_length_dist = pre_frag_length_dist
     else:

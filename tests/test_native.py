@@ -210,3 +210,23 @@ def test_native_read_collapse_matches_python():
 
         assert np.array_equal(native_probs, py_probs), trial
         assert np.array_equal(native_counts, py_counts), trial
+
+
+def test_thread_budget_respects_configured_threads():
+    """Native kernels size their pools from the run's -t budget (the
+    reference caps its OpenMP pool the same way, reference
+    src/main.cpp:476); unset, the historical all-cores default applies."""
+    import os
+
+    from rpvg_tpu import native
+
+    prev = native._THREAD_BUDGET
+    try:
+        native.set_thread_budget(2)
+        assert native.thread_budget() == 2
+        native.set_thread_budget(64)
+        assert native.thread_budget() == 16  # capped like the old default
+        native.set_thread_budget(None)
+        assert native.thread_budget() == min(16, os.cpu_count() or 1)
+    finally:
+        native._THREAD_BUDGET = prev
