@@ -87,6 +87,10 @@ def main() -> int:
     parser.add_argument("--workers", type=int, nargs="+", default=[1, 2, 4])
     parser.add_argument("--repeats", type=int, default=3)
     parser.add_argument("--timeout", type=float, default=900.0)
+    parser.add_argument(
+        "--data-dir", default=None,
+        help="reuse a prebuilt dataset dir (skips generation and cleanup)",
+    )
     args = parser.parse_args()
 
     os.environ.setdefault(
@@ -95,11 +99,14 @@ def main() -> int:
     )
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    data_dir = tempfile.mkdtemp(prefix="rpvg_scale_")
-    print(f"scaling: generating dataset ({args.pairs} pairs) ...", file=sys.stderr)
-    import bench
+    if args.data_dir:
+        data_dir = args.data_dir
+    else:
+        data_dir = tempfile.mkdtemp(prefix="rpvg_scale_")
+        print(f"scaling: generating dataset ({args.pairs} pairs) ...", file=sys.stderr)
+        import bench
 
-    bench.make_dataset(args.pairs, args.transcripts, data_dir)
+        bench.make_dataset(args.pairs, args.transcripts, data_dir)
 
     rows = []
     for workers in args.workers:
@@ -128,9 +135,10 @@ def main() -> int:
             file=sys.stderr,
         )
 
-    import shutil
+    if not args.data_dir:
+        import shutil
 
-    shutil.rmtree(data_dir, ignore_errors=True)
+        shutil.rmtree(data_dir, ignore_errors=True)
 
     scan_base = rows[0]["fragment_scan_s"] * rows[0]["workers"]
     e2e_base = rows[0]["e2e_s"] * rows[0]["workers"]
