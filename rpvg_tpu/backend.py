@@ -32,9 +32,13 @@ The probe only runs when the environment pins a non-CPU platform
 in-process backend has not already been initialized.
 
 Env:
-  RPVG_TPU_BACKEND_PROBE_S  probe timeout in seconds (default 60;
-                            "0" disables the subprocess probe, leaving
-                            only the in-process try/except guard)
+  RPVG_TPU_BACKEND_PROBE_S  probe timeout in seconds (default 150 — the
+                            tunnel needs ~80-90s of backend init when
+                            HEALTHY, so a smaller budget would
+                            misclassify a healthy device as dead and
+                            silently force CPU; "0" disables the
+                            subprocess probe, leaving only the
+                            in-process try/except guard)
   RPVG_TPU_FORCE_BACKEND    skip probing entirely and pin the named
                             platform (tests / --backend flag)
 """
@@ -65,29 +69,33 @@ _PROBE_SRC = (
 
 def _probe_timeout_s() -> float:
     try:
-        return float(os.environ.get("RPVG_TPU_BACKEND_PROBE_S", "60"))
+        return float(os.environ.get("RPVG_TPU_BACKEND_PROBE_S", "150"))
     except ValueError:
-        return 60.0
+        return 150.0
 
 
 def _pinned_non_cpu() -> bool:
-    """True when the ambient environment pins a non-CPU JAX platform
+    """True when the effective configuration pins a non-CPU JAX platform
     (the configuration where a dead accelerator is a hard error rather
-    than a quiet CPU fallback)."""
-    pinned = os.environ.get("JAX_PLATFORMS", "")
-    if pinned and pinned.lower() not in ("cpu", ""):
-        return True
-    # Site bootstraps (axon) can pin via jax.config without the env var
-    # surviving; consult the config only if jax is already imported —
-    # importing jax here would defeat the lazy-probe design.
+    than a quiet CPU fallback).
+
+    The in-process ``jax.config`` is AUTHORITATIVE over the ambient env
+    var: a process that deliberately ran
+    ``jax.config.update("jax_platforms", "cpu")`` (bench CPU windows,
+    tests, the verify recipe) must not probe the accelerator — the env
+    var often still says the site default.  The config is only
+    consulted when jax is already imported; importing it here would
+    defeat the lazy-probe design."""
     jax = sys.modules.get("jax")
     if jax is not None:
         try:
             value = jax.config.jax_platforms
-            return bool(value) and value.lower() != "cpu"
+            if value:
+                return value.lower() != "cpu"
         except Exception:
-            return False
-    return False
+            pass
+    pinned = os.environ.get("JAX_PLATFORMS", "")
+    return bool(pinned) and pinned.lower() != "cpu"
 
 
 def _backend_already_up() -> Optional[str]:

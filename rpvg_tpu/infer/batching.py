@@ -247,6 +247,24 @@ def run_batched_em(
     return results
 
 
+def fuse_em_enabled() -> bool:
+    """Whether the multi-bucket fused EM launch is enabled.
+
+    Fusion defaults OFF: the first end-to-end A/B (FUSE_AB_r05.json)
+    measured the fused launch 2.6x slower than separate launches with
+    the round-4 shared-loop kernel (convergence coupling) and still
+    ~1.9x slower after per-block loops were decoupled — the single
+    launch keeps every block VMEM-resident for the whole group while
+    the (K-1) saved dispatches are only ~25-35ms each, an order of
+    magnitude smaller.  The round-4 ">1ms dispatch => fuse" link gate
+    was an inference from kernel-time neutrality under forced
+    iterations, which is structurally blind to real power-law
+    convergence.  RPVG_TPU_FUSE_EM=1 remains an explicit opt-in."""
+    import os
+
+    return os.environ.get("RPVG_TPU_FUSE_EM", "0") == "1"
+
+
 def dispatch_em_device(
     cluster_inputs: Sequence[Tuple[np.ndarray, np.ndarray]],
     indices: Sequence[int],
@@ -331,17 +349,7 @@ def dispatch_em_device(
     fuse_group = []  # chunks sharing one fused Pallas launch
     fuse_bytes = 0
 
-    # Fusion defaults OFF: the first end-to-end A/B (FUSE_AB_r05.json)
-    # measured the fused launch 2.6x slower than separate launches with
-    # the round-4 shared-loop kernel (convergence coupling) and still
-    # ~1.9x slower after per-block loops were decoupled — the single
-    # launch keeps every block VMEM-resident for the whole group while
-    # the (K-1) saved dispatches are only ~25-35ms each, an order of
-    # magnitude smaller.  The round-4 ">1ms dispatch => fuse" link gate
-    # was an inference from kernel-time neutrality under forced
-    # iterations, which is structurally blind to real power-law
-    # convergence.  RPVG_TPU_FUSE_EM=1 remains an explicit opt-in.
-    fuse_ok = os.environ.get("RPVG_TPU_FUSE_EM", "0") == "1"
+    fuse_ok = fuse_em_enabled()
 
     def flush_fused():
         nonlocal fuse_bytes, pallas_enabled

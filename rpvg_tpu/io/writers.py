@@ -72,31 +72,58 @@ class AtomicTextHandle:
     output — the reference never can (its writers only run after the
     unconditional host inference loop, src/threaded_output_writer.cpp),
     and an accelerator-backend failure must not make us worse.
-    `discard()` abandons the tmp file (error path)."""
+    `discard()` abandons the tmp file (error path).
 
-    def __init__(self, path: str, opener):
+    With ``defer_publish=True`` a clean ``close()`` only STAGES the
+    file (handle closed, tmp kept); the separate ``publish()`` call
+    renames it.  The pipeline defers its early-closing writer-thread
+    outputs this way so a later failure (e.g. in write_outputs) can
+    still discard them — otherwise an output whose close was enqueued
+    before the failure would already be published and un-removable."""
+
+    def __init__(self, path: str, opener, defer_publish: bool = False):
         self.path = path
         self.tmp_path = path + ".tmp"
         self._handle = opener(self.tmp_path)
         self.write = self._handle.write  # hot path: direct delegation
-        self._done = False
+        self._defer = defer_publish
+        self._closed = False
+        self._published = False
+        self._discarded = False
 
     def close(self) -> None:
-        if self._done:
+        if self._closed:
             return
-        self._done = True
+        self._closed = True
         self._handle.close()
+        if not self._defer:
+            self.publish()
+
+    def publish(self) -> None:
+        """Rename the staged tmp over the real name (idempotent; no-op
+        after discard)."""
+        if self._published or self._discarded:
+            return
+        if not self._closed:
+            self.close()
+            if not self._defer:
+                return  # close() already published
+        self._published = True
         os.replace(self.tmp_path, self.path)
 
     def discard(self) -> None:
-        """Close WITHOUT publishing; remove the tmp file."""
-        if self._done:
+        """Close WITHOUT publishing; remove the tmp file (no-op once
+        published — the rename cannot be taken back here, callers sweep
+        at a higher level)."""
+        if self._discarded or self._published:
             return
-        self._done = True
-        try:
-            self._handle.close()
-        except Exception:
-            pass
+        self._discarded = True
+        if not self._closed:
+            self._closed = True
+            try:
+                self._handle.close()
+            except Exception:
+                pass
         try:
             os.remove(self.tmp_path)
         except OSError:
@@ -165,9 +192,26 @@ class AsyncTextHandle:
 
     def discard(self) -> None:
         """Abandon the stream: the drain thread closes without
-        publishing the tmp file (error-path shutdown)."""
+        publishing the tmp file (error-path shutdown).  Covers the
+        drain-already-finished case too — after a ``close_async()`` the
+        _DISCARD sentinel would land behind the close sentinel, so the
+        underlying handle is discarded directly once the thread is
+        joined (no-op when the handle already published, i.e. when it
+        was not opened in deferred-publish mode)."""
         self._queue.put(_DISCARD)
         self._thread.join()
+        if hasattr(self._handle, "discard"):
+            try:
+                self._handle.discard()
+            except Exception:
+                pass
+
+    def publish(self) -> None:
+        """Publish a deferred-publish underlying handle (join first so
+        the staged tmp is complete)."""
+        self.join()
+        if hasattr(self._handle, "publish"):
+            self._handle.publish()
 
     def join(self) -> None:
         self._thread.join()
@@ -224,7 +268,7 @@ def atomic_open(path: str):
     handle.close()
 
 
-def _open(path: str, async_ok: bool = False):
+def _open(path: str, async_ok: bool = False, defer_publish: bool = False):
     # Every output is written via AtomicTextHandle: `<path>.tmp` renamed
     # over `path` on successful close, so a mid-run crash never leaves a
     # partial output file under the real name.
@@ -241,19 +285,21 @@ def _open(path: str, async_ok: bool = False):
             from .bgzf import BgzfTextWriter
 
             opener = lambda p: BgzfTextWriter(p, compresslevel=6)  # noqa: E731
-        handle = AtomicTextHandle(path, opener)
+        handle = AtomicTextHandle(path, opener, defer_publish=defer_publish)
         if async_ok and os.environ.get("RPVG_TPU_SYNC_WRITERS") != "1":
             return AsyncTextHandle(handle)
         return handle
-    return AtomicTextHandle(path, lambda p: open(p, "w"))
+    return AtomicTextHandle(path, lambda p: open(p, "w"), defer_publish=defer_publish)
 
 
 class ProbabilityClusterWriter:
     """<prefix>_probs.txt.gz: '#'-delimited clusters with a path header
     line then `count noise prob:ids...` rows (reference :40-95)."""
 
-    def __init__(self, prefix: str, prob_precision: float):
-        self.handle = _open(prefix + ".txt.gz", async_ok=True)
+    def __init__(self, prefix: str, prob_precision: float,
+                 defer_publish: bool = False):
+        self.handle = _open(prefix + ".txt.gz", async_ok=True,
+                            defer_publish=defer_publish)
         self.digits = max(OUT_PRECISION_DIGITS, math.ceil(-math.log10(prob_precision)))
 
     def add_cluster(
@@ -285,6 +331,11 @@ class ProbabilityClusterWriter:
         """Error-path shutdown: abandon the file instead of publishing a
         partial probability listing."""
         _handle_discard(self.handle)
+
+    def publish(self):
+        """Publish a deferred-publish handle (join + rename)."""
+        if hasattr(self.handle, "publish"):
+            self.handle.publish()
 
 
 def probability_block_header(cluster_paths: Sequence[PathInfo]) -> str:
@@ -328,8 +379,10 @@ class ReadCountGibbsSamplesWriter:
     with zero-fill for unsampled subsets and a trailing `Unknown` noise
     row (reference :98-230)."""
 
-    def __init__(self, prefix: str, num_gibbs_samples: int):
-        self.handle = _open(prefix + ".txt.gz", async_ok=True)
+    def __init__(self, prefix: str, num_gibbs_samples: int,
+                 defer_publish: bool = False):
+        self.handle = _open(prefix + ".txt.gz", async_ok=True,
+                            defer_publish=defer_publish)
         self.num_samples = num_gibbs_samples
         self.noise_counts = np.zeros(num_gibbs_samples, dtype=np.float64)
         header = ["Name", "ClusterID"] + [
@@ -415,6 +468,11 @@ class ReadCountGibbsSamplesWriter:
         """Error-path shutdown: abandon the file instead of publishing a
         sample table missing its rows and Unknown trailer."""
         _handle_discard(self.handle)
+
+    def publish(self) -> None:
+        """Publish a deferred-publish handle (join + rename)."""
+        if hasattr(self.handle, "publish"):
+            self.handle.publish()
 
 
 class JointHaplotypeEstimatesWriter:

@@ -448,12 +448,6 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
 
     log = lambda msg: print(msg, file=sys.stderr)  # noqa: E731
 
-    # Guarded accelerator probe overlaps the (long) fragment pass; the
-    # parent's inference half consults it (see rpvg_tpu/backend.py).
-    from ..backend import start_probe
-
-    start_probe()
-
     from ..native import set_thread_budget
 
     set_thread_budget(config.threads)
@@ -497,6 +491,14 @@ def run_pipeline_multiprocess(config: PipelineConfig, num_workers: int) -> Dict:
     # lock the thread owned at fork time; the parse is only consumed
     # post-merge in the parent, so it loses no overlap by starting here.
     info_future = submit_info_parse(config)
+    # Guarded accelerator probe, also AFTER the fork for the same
+    # reason (its thread runs subprocess.Popen — a worker forked
+    # mid-Popen inherits locked allocator state); it still overlaps
+    # the whole worker scan, and the first consult is in the parent's
+    # inference half (see rpvg_tpu/backend.py).
+    from ..backend import start_probe
+
+    start_probe()
     try:
         shard_payloads = pool.map(_shard_worker, worker_args)
     except BaseException:

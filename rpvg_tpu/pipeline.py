@@ -1234,10 +1234,16 @@ def run_inference_phases(
     ]
     order = [order[rank] for rank in owned_ranks]
 
+    # Both writer-thread outputs defer their final rename: their closes
+    # are enqueued DURING inference for overlap, so without deferral a
+    # later failure (write_outputs) could no longer un-publish them and
+    # a failed run would leave an inconsistent partial output set.  The
+    # success path publishes them after write_outputs completes.
     prob_writer = None
     if config.write_probs and not skip_outputs:
         prob_writer = writers.ProbabilityClusterWriter(
-            config.output_prefix + "_probs", config.prob_precision
+            config.output_prefix + "_probs", config.prob_precision,
+            defer_publish=True,
         )
     gibbs_writer = None
     if (
@@ -1246,7 +1252,8 @@ def run_inference_phases(
         and not skip_outputs
     ):
         gibbs_writer = writers.ReadCountGibbsSamplesWriter(
-            config.output_prefix + "_gibbs", config.num_gibbs_samples
+            config.output_prefix + "_gibbs", config.num_gibbs_samples,
+            defer_publish=True,
         )
 
     try:
@@ -1459,8 +1466,10 @@ def run_inference_phases(
 
         if prob_writer is not None:
             prob_writer.join()
+            prob_writer.publish()
         if gibbs_writer is not None:
             gibbs_writer.join()
+            gibbs_writer.publish()
 
     except BaseException:
         # Failure: shut the writer threads down WITHOUT publishing —

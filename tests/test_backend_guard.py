@@ -110,6 +110,10 @@ def test_failed_probe_flips_to_cpu_before_backend_init(monkeypatch):
     # The test process already initialised the (cpu) backend, which
     # normally suppresses probing; pretend it has not.
     monkeypatch.setattr(backend, "_backend_already_up", lambda: None)
+    # This process's jax.config deliberately pins cpu (conftest), which
+    # the round-5 guard treats as authoritative; simulate the pinned
+    # accelerator regime the env var describes.
+    monkeypatch.setattr(backend, "_pinned_non_cpu", lambda: True)
 
     backend.start_probe()
     assert backend.safe_default_backend() == "cpu"
@@ -156,3 +160,17 @@ def test_crash_mid_inference_leaves_no_partial_outputs(dataset, tmp_path, monkey
     assert not os.path.exists(prefix + ".txt")
     assert not os.path.exists(prefix + "_gibbs.txt.gz")
     assert not glob.glob(prefix + "*.tmp")
+
+
+def test_in_process_cpu_config_vetoes_env_pin(monkeypatch):
+    """A process that deliberately ran jax.config.update('jax_platforms',
+    'cpu') (bench CPU windows, tests, the verify recipe) must not probe
+    the accelerator even when the ambient env var still pins one — the
+    in-process config is authoritative (round-5 review fix)."""
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    # conftest pins this process's jax.config to cpu.
+    assert backend._pinned_non_cpu() is False
+
+    monkeypatch.setattr(backend, "_backend_already_up", lambda: None)
+    backend.start_probe()
+    assert backend._PROBE is None  # no probe launched for a cpu-config run

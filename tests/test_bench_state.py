@@ -59,9 +59,15 @@ def test_workload_key_distinguishes_regimes():
 def test_fused_em_defaults_off(monkeypatch):
     """Round-5 policy (FUSE_AB_r05.json): the fused launch loses end to
     end on every measured configuration, so it must be an explicit
-    opt-in — the gate reads the env var only, no link-probe auto mode."""
+    opt-in — no link-probe auto mode."""
+    sys.path.insert(0, REPO)
+    from rpvg_tpu.infer.batching import fuse_em_enabled
+
     monkeypatch.delenv("RPVG_TPU_FUSE_EM", raising=False)
-    source = open(os.path.join(REPO, "rpvg_tpu", "infer", "batching.py")).read()
-    assert 'os.environ.get("RPVG_TPU_FUSE_EM", "0") == "1"' in source
-    # The old auto gate must be gone.
-    assert '"auto"' not in source.split("RPVG_TPU_FUSE_EM")[1][:200]
+    assert fuse_em_enabled() is False
+    monkeypatch.setenv("RPVG_TPU_FUSE_EM", "auto")
+    assert fuse_em_enabled() is False  # the old auto mode must not resurrect
+    monkeypatch.setenv("RPVG_TPU_FUSE_EM", "1")
+    assert fuse_em_enabled() is True
+    monkeypatch.setenv("RPVG_TPU_FUSE_EM", "0")
+    assert fuse_em_enabled() is False

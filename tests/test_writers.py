@@ -184,3 +184,40 @@ def test_pipeline_shuts_writer_threads_down_on_failure(tmp_path, monkeypatch):
         if t.ident not in before and t.name == "rpvg-writer" and t.is_alive()
     ]
     assert not leaked, leaked
+
+
+def test_deferred_publish_discard_after_close_async(tmp_path):
+    """A writer whose close was already enqueued must still be
+    un-publishable on a later pipeline failure (deferred-publish mode):
+    close_async + drain used to rename the tmp immediately, so a
+    subsequent discard() could no longer take the file back and a
+    failed run left an inconsistent partial output set."""
+    import os
+    import time
+
+    from rpvg_tpu.io import writers
+
+    prefix = str(tmp_path / "out_probs")
+    final = prefix + ".txt.gz"
+
+    # Failure path: close enqueued, then discard -> nothing published.
+    w = writers.ProbabilityClusterWriter(prefix, 1e-8, defer_publish=True)
+    w.handle.write("#\nx 1 0.5:0\n")
+    w.close_async()
+    for _ in range(100):  # let the drain thread finish the close
+        if not getattr(w.handle, "_thread", None) or not w.handle._thread.is_alive():
+            break
+        time.sleep(0.01)
+    w.discard()
+    assert not os.path.exists(final), "discard after close_async still published"
+    assert not os.path.exists(final + ".tmp")
+
+    # Success path: close enqueued, join, publish -> file appears.
+    w2 = writers.ProbabilityClusterWriter(prefix, 1e-8, defer_publish=True)
+    w2.handle.write("#\nx 1 0.5:0\n")
+    w2.close_async()
+    w2.join()
+    assert not os.path.exists(final), "published before publish()"
+    w2.publish()
+    assert os.path.exists(final)
+    assert not os.path.exists(final + ".tmp")
