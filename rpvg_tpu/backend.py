@@ -57,6 +57,11 @@ _PROBE: Optional[threading.Thread] = None
 _PROBE_OK: Optional[bool] = None
 _PROBE_DETAIL: str = ""
 _WARNED = False
+# Re-exec recovery target for a hung IN-PROCESS backend init (the
+# probe-passed-then-tunnel-wedged TOCTOU): registered by the CLI so the
+# watchdog can restart the whole run pinned to CPU.  Library callers
+# that never register simply keep the historical behavior (wait).
+_EXEC_ARGV: Optional[list] = None
 
 _PROBE_SRC = (
     "import jax\n"
@@ -72,6 +77,73 @@ def _probe_timeout_s() -> float:
         return float(os.environ.get("RPVG_TPU_BACKEND_PROBE_S", "150"))
     except ValueError:
         return 150.0
+
+
+def _init_timeout_s() -> float:
+    """Watchdog budget for the IN-PROCESS backend init (healthy init on
+    this host's tunnel takes ~80-90s; see RPVG_TPU_INIT_TIMEOUT_S)."""
+    try:
+        return float(os.environ.get("RPVG_TPU_INIT_TIMEOUT_S", "240"))
+    except ValueError:
+        return 240.0
+
+
+def register_exec_argv(argv: list) -> None:
+    """Register the argv that re-launches this run (CLI entry).  Enables
+    the last-resort recovery for a backend init that HANGS after the
+    subprocess probe passed — the tunnel can wedge in the seconds
+    between the probe's healthy verdict and the in-process init, and a
+    hang inside PJRT init holds xla_bridge's lock forever, poisoning
+    every later jax call in this process.  The only clean recovery is
+    re-exec with the platform pinned to CPU."""
+    global _EXEC_ARGV
+    _EXEC_ARGV = list(argv)
+
+
+def _touch_backend_with_watchdog() -> str:
+    """First in-process backend touch under a watchdog thread.  On a
+    hang: re-exec pinned to CPU when the CLI registered an argv, else
+    warn loudly and keep waiting (a library caller's process cannot be
+    silently replaced)."""
+    result: dict = {}
+    done = threading.Event()
+
+    def _touch():
+        try:
+            import jax
+
+            result["backend"] = jax.default_backend()
+        except Exception as exc:  # raise-style failure: normal fallback
+            result["error"] = exc
+        done.set()
+
+    toucher = threading.Thread(
+        target=_touch, name="rpvg-backend-init", daemon=True
+    )
+    toucher.start()
+    if not done.wait(timeout=_init_timeout_s()):
+        if _EXEC_ARGV is not None and os.environ.get("RPVG_TPU_EXEC_DEPTH") != "1":
+            print(
+                "WARNING: accelerator backend init hung past "
+                f"{_init_timeout_s():.0f}s (tunnel wedged after a healthy "
+                "probe); restarting this run on the CPU backend",
+                file=sys.stderr,
+            )
+            sys.stdout.flush()
+            sys.stderr.flush()
+            os.environ["JAX_PLATFORMS"] = "cpu"
+            os.environ["RPVG_TPU_FORCE_BACKEND"] = "cpu"
+            os.environ["RPVG_TPU_EXEC_DEPTH"] = "1"
+            os.execv(_EXEC_ARGV[0], _EXEC_ARGV)
+        _warn_once(
+            "accelerator backend init appears hung and no restart argv is "
+            "registered; waiting (export RPVG_TPU_FORCE_BACKEND=cpu or "
+            "JAX_PLATFORMS=cpu to avoid the accelerator entirely)"
+        )
+        done.wait()
+    if "error" in result:
+        raise result["error"]
+    return result["backend"]
 
 
 def _pinned_non_cpu() -> bool:
@@ -217,9 +289,16 @@ def safe_default_backend() -> str:
                 return _BACKEND
 
         try:
-            import jax
+            if probe is not None:
+                # Probed (pinned-accelerator) regime: the tunnel can
+                # wedge BETWEEN the probe's healthy verdict and this
+                # in-process init, and a hang here is unrecoverable
+                # in-process — watchdog it.
+                _BACKEND = _touch_backend_with_watchdog()
+            else:
+                import jax
 
-            _BACKEND = jax.default_backend()
+                _BACKEND = jax.default_backend()
         except Exception as exc:
             _force_cpu(str(exc).splitlines()[0][:200])
             try:
@@ -231,12 +310,77 @@ def safe_default_backend() -> str:
         return _BACKEND
 
 
+_DEVICE_WATCHDOG: Optional[threading.Event] = None
+
+
+def _device_wall_s() -> float:
+    """Budget for the device-backed inference half under a probed
+    (tunnelled, pinned-platform) accelerator.  The link policy routes
+    the heavy compute to host on such links, so legitimate device time
+    is small; a half that exceeds this bound means the tunnel wedged
+    mid-run (it can pass the health probe and die minutes later —
+    observed live), and the only clean recovery is restarting on CPU."""
+    try:
+        return float(os.environ.get("RPVG_TPU_DEVICE_WALL_S", "900"))
+    except ValueError:
+        return 900.0
+
+
+def arm_device_watchdog() -> None:
+    """Bound the device-backed inference half: if it runs past the
+    budget while a probed non-CPU backend is active and the CLI
+    registered a restart argv, re-exec the run pinned to CPU.  Covers
+    the case the init guards cannot: a tunnel that wedges AFTER a
+    healthy init, hanging an individual dispatch forever.  No-op on
+    the cpu backend, without a registered argv, or in a re-exec'd run."""
+    global _DEVICE_WATCHDOG
+    if (
+        _BACKEND in (None, "cpu")
+        or _EXEC_ARGV is None
+        or _PROBE is None
+        or os.environ.get("RPVG_TPU_EXEC_DEPTH") == "1"
+        or _device_wall_s() <= 0
+    ):
+        return
+    disarm_device_watchdog()
+    done = threading.Event()
+    argv = list(_EXEC_ARGV)
+    budget = _device_wall_s()
+
+    def _watch():
+        if done.wait(timeout=budget):
+            return
+        print(
+            f"WARNING: device-backed inference exceeded {budget:.0f}s "
+            "through the tunnelled accelerator (wedged mid-run); "
+            "restarting this run on the CPU backend",
+            file=sys.stderr,
+        )
+        sys.stdout.flush()
+        sys.stderr.flush()
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        os.environ["RPVG_TPU_FORCE_BACKEND"] = "cpu"
+        os.environ["RPVG_TPU_EXEC_DEPTH"] = "1"
+        os.execv(argv[0], argv)
+
+    _DEVICE_WATCHDOG = done
+    threading.Thread(target=_watch, name="rpvg-device-watchdog", daemon=True).start()
+
+
+def disarm_device_watchdog() -> None:
+    global _DEVICE_WATCHDOG
+    if _DEVICE_WATCHDOG is not None:
+        _DEVICE_WATCHDOG.set()
+        _DEVICE_WATCHDOG = None
+
+
 def reset_for_tests() -> None:
     """Clear the cached verdicts (tests only)."""
-    global _BACKEND, _PROBE, _PROBE_OK, _PROBE_DETAIL, _WARNED
+    global _BACKEND, _PROBE, _PROBE_OK, _PROBE_DETAIL, _WARNED, _EXEC_ARGV
     with _LOCK:
         _BACKEND = None
         _PROBE = None
         _PROBE_OK = None
         _PROBE_DETAIL = ""
         _WARNED = False
+        _EXEC_ARGV = None

@@ -113,6 +113,17 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    # Register the re-launch argv for the backend-init watchdog: if the
+    # in-process accelerator init hangs AFTER the health probe passed
+    # (the tunnel can wedge in between), the only clean recovery is
+    # restarting the run pinned to CPU (see rpvg_tpu/backend.py).
+    from .backend import register_exec_argv
+
+    register_exec_argv(
+        [sys.executable, "-m", "rpvg_tpu.cli"]
+        + (list(argv) if argv is not None else sys.argv[1:])
+    )
+
     args = build_parser().parse_args(argv)
 
     if args.backend is not None:

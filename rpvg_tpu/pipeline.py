@@ -1378,6 +1378,20 @@ def run_inference_phases(
 
             profile_ctx = jax.profiler.trace(profile_dir)
             profile_ctx.__enter__()
+        # Resolve the backend HERE (a known, guarded point — the init
+        # watchdog in backend.py engages) and bound the device-backed
+        # half: a tunnelled accelerator can pass its health probe and
+        # wedge minutes later, hanging an individual dispatch forever
+        # (observed live, round 5); the watchdog restarts the run on
+        # CPU if this half exceeds its budget.
+        from .backend import (
+            arm_device_watchdog,
+            disarm_device_watchdog,
+            safe_default_backend,
+        )
+
+        safe_default_backend()
+        arm_device_watchdog()
         results: List[ClusterResult] = []
         try:
             if batched_supported:
@@ -1422,6 +1436,7 @@ def run_inference_phases(
             # (a dangling session corrupts the profile and blocks retries).
             if profile_ctx is not None:
                 profile_ctx.__exit__(None, None, None)
+            disarm_device_watchdog()
 
         if os.environ.get("RPVG_TPU_PHASE_TIMING"):
             log(f"  [timing] inference device half: {time.perf_counter() - t_device:.2f}s")

@@ -174,3 +174,68 @@ def test_in_process_cpu_config_vetoes_env_pin(monkeypatch):
     monkeypatch.setattr(backend, "_backend_already_up", lambda: None)
     backend.start_probe()
     assert backend._PROBE is None  # no probe launched for a cpu-config run
+
+
+def test_hung_init_reexecs_on_cpu(monkeypatch):
+    """The TOCTOU hole hit live in round 5: the subprocess probe passes,
+    the tunnel wedges seconds later, and the IN-PROCESS backend init
+    hangs holding xla_bridge's lock — unrecoverable in-process.  With a
+    registered CLI argv the watchdog re-execs the run pinned to CPU."""
+    import sys
+    import time
+
+    calls = {}
+    monkeypatch.setattr(backend, "_init_timeout_s", lambda: 0.05)
+    monkeypatch.setattr(
+        backend.os, "execv", lambda exe, argv: calls.update(exe=exe, argv=argv)
+    )
+    monkeypatch.delenv("RPVG_TPU_EXEC_DEPTH", raising=False)
+    backend.register_exec_argv([sys.executable, "-m", "rpvg_tpu.cli", "-h"])
+
+    # A first touch that out-sleeps the watchdog budget.
+    import jax
+
+    real = jax.default_backend
+    monkeypatch.setattr(
+        jax, "default_backend", lambda: (time.sleep(0.4), real())[1]
+    )
+    assert backend._touch_backend_with_watchdog() == real()
+    assert calls["exe"] == sys.executable
+    assert calls["argv"][1:3] == ["-m", "rpvg_tpu.cli"]
+    assert backend.os.environ["RPVG_TPU_FORCE_BACKEND"] == "cpu"
+    assert backend.os.environ["JAX_PLATFORMS"] == "cpu"
+    monkeypatch.delenv("RPVG_TPU_FORCE_BACKEND", raising=False)
+    monkeypatch.delenv("RPVG_TPU_EXEC_DEPTH", raising=False)
+
+
+def test_device_watchdog_reexecs_on_wedged_device_half(monkeypatch):
+    """A tunnel that wedges AFTER a healthy init hangs individual
+    dispatches forever; the device-half watchdog restarts the run on
+    CPU when the half exceeds its budget (probed regime only)."""
+    import sys
+    import threading
+    import time
+
+    calls = {}
+    monkeypatch.setenv("RPVG_TPU_DEVICE_WALL_S", "0.05")
+    monkeypatch.delenv("RPVG_TPU_EXEC_DEPTH", raising=False)
+    monkeypatch.setattr(
+        backend.os, "execv", lambda exe, argv: calls.update(exe=exe, argv=argv)
+    )
+    backend.register_exec_argv([sys.executable, "-m", "rpvg_tpu.cli", "-h"])
+    monkeypatch.setattr(backend, "_BACKEND", "tpu")
+    monkeypatch.setattr(backend, "_PROBE", threading.Thread(target=lambda: None))
+
+    backend.arm_device_watchdog()
+    time.sleep(0.4)
+    assert calls.get("exe") == sys.executable
+    backend.disarm_device_watchdog()
+    monkeypatch.delenv("RPVG_TPU_FORCE_BACKEND", raising=False)
+
+    # cpu backend: never armed, never exec'd.
+    calls.clear()
+    monkeypatch.setattr(backend, "_BACKEND", "cpu")
+    backend.arm_device_watchdog()
+    time.sleep(0.15)
+    assert not calls
+    backend.disarm_device_watchdog()
