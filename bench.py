@@ -382,6 +382,10 @@ def main() -> int:
                 "in-child (backend guard); recording under the actual backend",
                 file=sys.stderr,
             )
+            # Same tunnel-wedge signal as the timeout branch above:
+            # later accelerator windows (and the forced-device
+            # diagnostic) should skip instead of re-attempting.
+            probe.verdict = False
             backend = child_backend
         result["backend"] = backend
         if backend not in best or result["pairs_per_s"] > best[backend]["pairs_per_s"]:

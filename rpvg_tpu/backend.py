@@ -56,6 +56,7 @@ _BACKEND: Optional[str] = None
 _PROBE: Optional[threading.Thread] = None
 _PROBE_OK: Optional[bool] = None
 _PROBE_DETAIL: str = ""
+_PROBE_ELAPSED: Optional[float] = None
 _WARNED = False
 # Re-exec recovery target for a hung IN-PROCESS backend init (the
 # probe-passed-then-tunnel-wedged TOCTOU): registered by the CLI so the
@@ -81,7 +82,8 @@ def _probe_timeout_s() -> float:
 
 def _init_timeout_s() -> float:
     """Watchdog budget for the IN-PROCESS backend init (healthy init on
-    this host's tunnel takes ~80-90s; see RPVG_TPU_INIT_TIMEOUT_S)."""
+    this host's tunnel takes ~80-90s; see RPVG_TPU_INIT_TIMEOUT_S).
+    <= 0 disables the watchdog, like the sibling knobs."""
     try:
         return float(os.environ.get("RPVG_TPU_INIT_TIMEOUT_S", "240"))
     except ValueError:
@@ -121,11 +123,14 @@ def _touch_backend_with_watchdog() -> str:
         target=_touch, name="rpvg-backend-init", daemon=True
     )
     toucher.start()
-    if not done.wait(timeout=_init_timeout_s()):
+    budget = _init_timeout_s()
+    if budget <= 0:
+        done.wait()
+    elif not done.wait(timeout=budget):
         if _EXEC_ARGV is not None and os.environ.get("RPVG_TPU_EXEC_DEPTH") != "1":
             print(
                 "WARNING: accelerator backend init hung past "
-                f"{_init_timeout_s():.0f}s (tunnel wedged after a healthy "
+                f"{budget:.0f}s (tunnel wedged after a healthy "
                 "probe); restarting this run on the CPU backend",
                 file=sys.stderr,
             )
@@ -211,6 +216,10 @@ def _force_cpu(reason: str) -> None:
 def _run_probe() -> None:
     """Subprocess body: init the pinned backend in a killable child."""
     global _PROBE_OK, _PROBE_DETAIL
+    global _PROBE_ELAPSED
+    import time as _time
+
+    start = _time.monotonic()
     try:
         proc = subprocess.run(
             [sys.executable, "-c", _PROBE_SRC],
@@ -218,6 +227,7 @@ def _run_probe() -> None:
             timeout=_probe_timeout_s(),
             text=True,
         )
+        _PROBE_ELAPSED = _time.monotonic() - start
         _PROBE_OK = proc.returncode == 0
         if not _PROBE_OK:
             tail = (proc.stderr or "").strip().splitlines()
@@ -342,6 +352,36 @@ def arm_device_watchdog() -> None:
         or _device_wall_s() <= 0
     ):
         return
+    # Enforce the tunnel scoping the budget assumes: on a tunnelled
+    # link (the wedge-prone regime) the routing policy keeps the heavy
+    # compute on host, so legitimate device time is small and the
+    # budget is safe; on direct-attached hardware (dispatch well under
+    # 1 ms) long device halves are legitimate — never arm there.
+    # DEVICE-FREE signals only (a probe_link() first call dispatches
+    # device work in-process and would itself hang on a wedged tunnel):
+    # the env override, an already-cached link measurement, or the
+    # subprocess probe's own wall time (a healthy tunnelled init takes
+    # ~80-90s; direct-attached backends come up in seconds).
+    tunnelled = None
+    env_disp = os.environ.get("RPVG_TPU_LINK_DISPATCH_S")
+    if env_disp:
+        try:
+            tunnelled = float(env_disp) > 1e-3
+        except ValueError:
+            tunnelled = None
+    if tunnelled is None:
+        try:
+            from .parallel import linkprobe
+
+            cached = linkprobe._CACHE
+            if cached:
+                tunnelled = cached.get("dispatch_s", 0.0) > 1e-3
+        except Exception:
+            pass
+    if tunnelled is None and _PROBE_ELAPSED is not None:
+        tunnelled = _PROBE_ELAPSED > 30.0
+    if not tunnelled:
+        return
     disarm_device_watchdog()
     done = threading.Event()
     argv = list(_EXEC_ARGV)
@@ -349,6 +389,13 @@ def arm_device_watchdog() -> None:
 
     def _watch():
         if done.wait(timeout=budget):
+            return
+        # Completion race: the half may be finishing right now —
+        # re-check after a grace period before declaring it wedged.
+        import time as _time
+
+        _time.sleep(2.0)
+        if done.is_set():
             return
         print(
             f"WARNING: device-backed inference exceeded {budget:.0f}s "

@@ -1479,11 +1479,16 @@ def run_inference_phases(
             if os.environ.get("RPVG_TPU_PHASE_TIMING"):
                 log(f"  [timing] outputs: {time.perf_counter() - t_out:.2f}s")
 
+        # Join BOTH writers before publishing EITHER: a drain-thread
+        # failure surfacing in the second join must still be able to
+        # take back the first writer's file.
         if prob_writer is not None:
             prob_writer.join()
-            prob_writer.publish()
         if gibbs_writer is not None:
             gibbs_writer.join()
+        if prob_writer is not None:
+            prob_writer.publish()
+        if gibbs_writer is not None:
             gibbs_writer.publish()
 
     except BaseException:

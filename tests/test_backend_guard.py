@@ -204,8 +204,10 @@ def test_hung_init_reexecs_on_cpu(monkeypatch):
     assert calls["argv"][1:3] == ["-m", "rpvg_tpu.cli"]
     assert backend.os.environ["RPVG_TPU_FORCE_BACKEND"] == "cpu"
     assert backend.os.environ["JAX_PLATFORMS"] == "cpu"
-    monkeypatch.delenv("RPVG_TPU_FORCE_BACKEND", raising=False)
-    monkeypatch.delenv("RPVG_TPU_EXEC_DEPTH", raising=False)
+    # Plain pops: monkeypatch.delenv would RESTORE the watchdog-set
+    # values at teardown, leaking them into the rest of the session.
+    backend.os.environ.pop("RPVG_TPU_FORCE_BACKEND", None)
+    backend.os.environ.pop("RPVG_TPU_EXEC_DEPTH", None)
 
 
 def test_device_watchdog_reexecs_on_wedged_device_half(monkeypatch):
@@ -218,6 +220,8 @@ def test_device_watchdog_reexecs_on_wedged_device_half(monkeypatch):
 
     calls = {}
     monkeypatch.setenv("RPVG_TPU_DEVICE_WALL_S", "0.05")
+    # Tunnel signature (device-free scoping signal the arm check reads).
+    monkeypatch.setenv("RPVG_TPU_LINK_DISPATCH_S", "0.025")
     monkeypatch.delenv("RPVG_TPU_EXEC_DEPTH", raising=False)
     monkeypatch.setattr(
         backend.os, "execv", lambda exe, argv: calls.update(exe=exe, argv=argv)
@@ -227,10 +231,11 @@ def test_device_watchdog_reexecs_on_wedged_device_half(monkeypatch):
     monkeypatch.setattr(backend, "_PROBE", threading.Thread(target=lambda: None))
 
     backend.arm_device_watchdog()
-    time.sleep(0.4)
+    time.sleep(2.6)  # budget 0.05s + the 2s completion-grace recheck
     assert calls.get("exe") == sys.executable
     backend.disarm_device_watchdog()
-    monkeypatch.delenv("RPVG_TPU_FORCE_BACKEND", raising=False)
+    backend.os.environ.pop("RPVG_TPU_FORCE_BACKEND", None)
+    backend.os.environ.pop("RPVG_TPU_EXEC_DEPTH", None)
 
     # cpu backend: never armed, never exec'd.
     calls.clear()
