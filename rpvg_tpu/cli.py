@@ -193,12 +193,18 @@ def main(argv=None) -> int:
         max_rel_em_conv=args.max_rel_em_conv,
         gibbs_thin_its=args.gibbs_thin_its,
     )
-    if args.multiprocess > 1:
-        from .parallel.multihost import run_pipeline_multiprocess
+    from .pipeline import PipelineInputError
 
-        run_pipeline_multiprocess(config, args.multiprocess)
-    else:
-        run_pipeline(config)
+    try:
+        if args.multiprocess > 1:
+            from .parallel.multihost import run_pipeline_multiprocess
+
+            run_pipeline_multiprocess(config, args.multiprocess)
+        else:
+            run_pipeline(config)
+    except PipelineInputError as exc:
+        print(f"ERROR: {exc}", file=sys.stderr)
+        return 1
     return 0
 
 

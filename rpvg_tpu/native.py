@@ -447,7 +447,11 @@ class _Serializer:
 
 
 def _serialize_path(s: _Serializer, path) -> None:
-    mappings = path.mappings
+    # An absent path (unaligned record, or a multipath record read in
+    # --single-path mode) serializes as zero mappings — the projection
+    # kernel finds nothing and the fragment counts as unaligned/noise,
+    # matching the Python finder's has_path() handling.
+    mappings = path.mappings if path is not None else ()
     s.put("<i", len(mappings))
     for m in mappings:
         first_edit = m.edits[0]

@@ -1011,6 +1011,11 @@ def submit_info_parse(config: PipelineConfig):
     return future
 
 
+class PipelineInputError(RuntimeError):
+    """Unusable inputs detected mid-pipeline; the CLI prints the message
+    and exits 1 instead of showing a traceback."""
+
+
 def run_pipeline(config: PipelineConfig) -> Dict:
     """Run the full pipeline; returns summary stats."""
     t_start = time.perf_counter()
@@ -1098,10 +1103,18 @@ def run_inference_phases(
             fragment_index.frag_length_counts, skew_normal=True
         )
         if not frag_length_dist.is_valid():
-            assert config.frag_mean is not None, (
-                "too few unambiguous read pairs to re-estimate fragment lengths; "
-                "provide frag_mean/frag_sd"
-            )
+            if config.frag_mean is None:
+                # Loud input-validation failure (survives python -O;
+                # the reference likewise exits with a message rather
+                # than asserting, src/main.cpp:435-471).  Zero usable
+                # pairs usually means the wrong input mode — e.g.
+                # multipath records read with --single-path.
+                raise PipelineInputError(
+                    "too few unambiguous read pairs to re-estimate fragment "
+                    "lengths; provide --frag-mean/--frag-sd (a multipath "
+                    "alignment file read with --single-path yields no "
+                    "aligned pairs at all)"
+                )
             frag_length_dist = pre_frag_length_dist
         else:
             log(

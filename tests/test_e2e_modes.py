@@ -120,3 +120,34 @@ def test_strand_specific_fr(panel, tmp_path):
     header, rows = read_tsv(prefix + ".txt")
     counts = {row[0]: float(row[4]) for row in rows}
     assert sum(counts.values()) == pytest.approx(150, rel=1e-6)
+
+
+def test_single_path_mode_on_multipath_records_errors_cleanly(tmp_path):
+    """Multipath records read with --single-path have no `path` field:
+    every record must serialize as unaligned (the native serializer
+    used to crash with a raw AttributeError on the absent path), and
+    the zero-usable-pairs condition must surface as a clean
+    PipelineInputError -> rc=1 with no partial outputs, not an assert
+    (which python -O would strip)."""
+    import os
+
+    from rpvg_tpu import sim
+    from rpvg_tpu.cli import main
+
+    panel = sim.build_panel(
+        num_transcripts=6, num_haplotypes=2, exons_per_transcript=2,
+        exon_length=60, variant_sites=1, seed=5,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 40, read_length=60, frag_mean=150, frag_sd=12, seed=7,
+        multipath_dag=True,
+    )
+    g = str(tmp_path / "g.json"); panel.write_graph_json(g)
+    p = str(tmp_path / "p.json"); panel.write_panel_json(p)
+    a = str(tmp_path / "a.json"); sim.write_alignment_json(records, a)
+    out = str(tmp_path / "sp")
+    rc = main(["-g", g, "-p", p, "-a", a, "-o", out, "-i", "transcripts",
+               "-t", "1", "-r", "3", "--single-path"])
+    assert rc == 1
+    assert not os.path.exists(out + ".txt")
+    assert not os.path.exists(out + ".txt.tmp")
