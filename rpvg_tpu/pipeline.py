@@ -820,9 +820,13 @@ def resolve_pre_fragment_dist(config: PipelineConfig) -> FragmentLengthDist:
         return FragmentLengthDist.from_normal(
             config.frag_mean, config.frag_sd, config.max_num_sd_frag
         )
-    assert not config.single_end, (
-        "--frag-mean and --frag-sd are required for single-end short reads"
-    )
+    if config.single_end:
+        # Loud input validation (survives python -O); the reference
+        # exits with a message for the same misconfiguration
+        # (src/main.cpp:576-592).
+        raise PipelineInputError(
+            "--frag-mean and --frag-sd are required for single-end short reads"
+        )
     assert isinstance(config.alignments, str)
     if config.alignments.endswith(".rpa"):
         from .io.rpa import RpaReader

@@ -151,3 +151,29 @@ def test_single_path_mode_on_multipath_records_errors_cleanly(tmp_path):
     assert rc == 1
     assert not os.path.exists(out + ".txt")
     assert not os.path.exists(out + ".txt.tmp")
+
+
+def test_single_end_without_frag_params_errors_cleanly(tmp_path):
+    """-s without --frag-mean/--frag-sd is a clean one-line error with
+    rc=1 (the reference exits with a message, src/main.cpp:576-592),
+    not an assert that python -O would strip."""
+    import os
+
+    from rpvg_tpu import sim
+    from rpvg_tpu.cli import main
+
+    panel = sim.build_panel(
+        num_transcripts=6, num_haplotypes=2, exons_per_transcript=2,
+        exon_length=60, variant_sites=1, seed=5,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 20, read_length=60, frag_mean=150, frag_sd=12, seed=7
+    )
+    g = str(tmp_path / "g.json"); panel.write_graph_json(g)
+    p = str(tmp_path / "p.json"); panel.write_panel_json(p)
+    a = str(tmp_path / "a.json"); sim.write_alignment_json(records, a)
+    out = str(tmp_path / "se")
+    rc = main(["-g", g, "-p", p, "-a", a, "-o", out, "-i", "transcripts",
+               "-t", "1", "-r", "3", "-s"])
+    assert rc == 1
+    assert not os.path.exists(out + ".txt")
