@@ -177,3 +177,47 @@ def test_single_end_without_frag_params_errors_cleanly(tmp_path):
                "-t", "1", "-r", "3", "-s"])
     assert rc == 1
     assert not os.path.exists(out + ".txt")
+
+
+def test_python_spec_pipeline_matches_native_byte_for_byte(tmp_path):
+    """With the native library disabled, the pure-Python specification
+    pipeline (projection, dedup, clustering, probabilities, inference,
+    writers) produces byte-identical outputs to the C++-kernel
+    pipeline — the spec-vs-speed-twin differential at full-pipeline
+    granularity."""
+    import os
+
+    from rpvg_tpu import native, sim
+    from rpvg_tpu.cli import main
+
+    panel = sim.build_panel(
+        num_transcripts=10, num_haplotypes=4, exons_per_transcript=3,
+        exon_length=70, variant_sites=2, seed=5,
+    )
+    records, _ = sim.simulate_read_pairs(
+        panel, 200, read_length=70, frag_mean=170, frag_sd=15, seed=7,
+        with_errors=True, multipath_dag=True,
+    )
+    g = str(tmp_path / "g.json"); panel.write_graph_json(g)
+    p = str(tmp_path / "p.json"); panel.write_panel_json(p)
+    a = str(tmp_path / "a.json"); sim.write_alignment_json(records, a)
+    f = str(tmp_path / "i.tsv"); panel.write_info_tsv(f)
+    base = ["-g", g, "-p", p, "-a", a, "-t", "2", "-r", "7"]
+
+    for label, extra in [
+        ("ht", ["-i", "haplotype-transcripts", "-f", f]),
+        ("strains", ["-i", "strains"]),
+    ]:
+        o_native = str(tmp_path / f"nat_{label}")
+        assert main(base + ["-o", o_native] + extra) == 0
+        native._lib = None
+        real_load = native.load_library
+        native.load_library = lambda: None
+        try:
+            o_py = str(tmp_path / f"py_{label}")
+            assert main(base + ["-o", o_py] + extra) == 0
+        finally:
+            native.load_library = real_load
+            native._lib = None
+        with open(o_native + ".txt", "rb") as na, open(o_py + ".txt", "rb") as py:
+            assert na.read() == py.read(), f"{label}: python spec diverged from native"
