@@ -270,6 +270,10 @@ def native_subset_collapse_multi(clusters, jobs, prob_precision):
     from ..native import load_library
 
     lib = load_library()
+    if lib is None:
+        # The memoised handle above can outlive the library (tests flip
+        # it off mid-process); a fresh load is authoritative.
+        return None
     n_clusters = len(clusters)
     n_jobs = len(jobs)
 

@@ -210,14 +210,19 @@ def test_python_spec_pipeline_matches_native_byte_for_byte(tmp_path):
     ]:
         o_native = str(tmp_path / f"nat_{label}")
         assert main(base + ["-o", o_native] + extra) == 0
+        from rpvg_tpu.infer import matrices
+
         native._lib = None
         real_load = native.load_library
         native.load_library = lambda: None
+        prev_collapse = matrices._native_collapse
+        matrices._native_collapse = False  # drop the memoised handle too
         try:
             o_py = str(tmp_path / f"py_{label}")
             assert main(base + ["-o", o_py] + extra) == 0
         finally:
             native.load_library = real_load
             native._lib = None
+            matrices._native_collapse = prev_collapse
         with open(o_native + ".txt", "rb") as na, open(o_py + ".txt", "rb") as py:
             assert na.read() == py.read(), f"{label}: python spec diverged from native"
