@@ -180,6 +180,8 @@ def test_gibbs_posteriors_match_full_distributionally():
 
 
 def test_weighted_minimum_path_cover():
+    # Oracle: reference "Weighted minimum path cover can be found"
+    # (/root/reference/src/tests/path_abundance_estimator_test.cpp:8-28).
     cover = np.array([[1, 0, 1], [0, 1, 0], [1, 0, 0], [0, 1, 1]], dtype=bool)
     counts = np.array([1.0, 3.0, 1.0, 5.0])
     weights = np.array([1.0, 1.0, 1.0])

@@ -10,6 +10,24 @@ from helpers import INT32_LOWEST, build_index, locate_ids, mp_aln, reverse_threa
 from rpvg_tpu.graph import Graph
 from rpvg_tpu.projection import AlignmentPathFinder
 
+
+def _native_finder_cls():
+    try:
+        from rpvg_tpu import native
+
+        if native.native_available():
+            return native.NativeFinder
+    except Exception:
+        pass
+    return None
+
+
+@pytest.fixture(params=["python", "native"])
+def engine(request):
+    if request.param == "native" and _native_finder_cls() is None:
+        pytest.skip("native toolchain unavailable")
+    return request.param
+
 # ---------------------------------------------------------- single-end DAG
 
 SE_GRAPH = {1: 1, 2: 1, 3: 3, 4: 2, 5: 3, 6: 3}
@@ -74,7 +92,7 @@ def make_se_index(bidirectional=False):
     return build_index([SE_THREAD_1, SE_THREAD_2], graph, bidirectional=False)
 
 
-def make_finder(index, **kwargs):
+def make_finder(index, engine="python", **kwargs):
     defaults = dict(
         library_type="unstranded",
         score_not_qual=True,
@@ -86,6 +104,8 @@ def make_finder(index, **kwargs):
         min_best_score_filter=0.0,
     )
     defaults.update(kwargs)
+    if engine == "native":
+        return _native_finder_cls()(index, **defaults)
     return AlignmentPathFinder(index, **defaults)
 
 
@@ -561,3 +581,183 @@ def test_paired_end_multipath_max_score_diff_filter():
         mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2)
     )
     assert paths_sd1 == []
+
+
+def test_paired_end_multipath_best_score_fraction_filter(engine):
+    # Reference "filtered based on best score fraction"
+    # (/root/reference/src/tests/alignment_path_finder_test.cpp:2069-2092).
+    index = make_pe_index()
+    base_paths = make_finder(index, engine=engine).find_paired_alignment_paths(
+        mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2)
+    )
+    base = by_located_ids(index, base_paths)
+
+    def rows(paths):
+        return {
+            (tuple(locate_ids(index, p)), p.frag_length, p.align_length, p.score_sum)
+            for p in paths
+        }
+
+    paths_bs25 = make_finder(
+        index, min_best_score_filter=0.25, engine=engine
+    ).find_paired_alignment_paths(mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2))
+    assert len(paths_bs25) == 4
+    assert rows(paths_bs25) == rows(base_paths)
+
+    paths_bs30 = make_finder(
+        index, min_best_score_filter=0.30, engine=engine
+    ).find_paired_alignment_paths(mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2))
+    assert len(paths_bs30) == 4
+    by_ids = by_located_ids(index, paths_bs30)
+    assert set(by_ids) == {(0,), (1,), (2,), ()}
+    for ids in [(0,), (1,), (2,)]:
+        assert by_ids[ids].frag_length == base[ids].frag_length
+        assert by_ids[ids].min_mapq == base[ids].min_mapq
+        assert by_ids[ids].score_sum == base[ids].score_sum
+    # The below-fraction noise score clamps to 0 (ref :2091).
+    assert by_ids[()].frag_length == base[()].frag_length
+    assert by_ids[()].min_mapq == base[()].min_mapq
+    assert by_ids[()].score_sum == 0
+
+
+def test_paired_end_multipath_no_missing_noise_estimate(engine):
+    # Reference "does not estimate missing path noise probability",
+    # paired-end variant
+    # (/root/reference/src/tests/alignment_path_finder_test.cpp:2094-2110).
+    index = make_pe_index()
+    base = by_located_ids(
+        index,
+        make_finder(index, engine=engine).find_paired_alignment_paths(
+            mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2)
+        ),
+    )
+
+    paths_nm = make_finder(
+        index, est_missing_noise_prob=False, engine=engine
+    ).find_paired_alignment_paths(mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2))
+    assert len(paths_nm) == 4
+    by_ids = by_located_ids(index, paths_nm)
+    assert set(by_ids) == {(0,), (1,), (2,), ()}
+    for ids in [(0,), (1,), (2,)]:
+        assert by_ids[ids].frag_length == base[ids].frag_length
+        assert by_ids[ids].min_mapq == base[ids].min_mapq
+        assert by_ids[ids].score_sum == base[ids].score_sum
+    assert by_ids[()].frag_length == base[()].frag_length
+    assert by_ids[()].min_mapq == base[()].min_mapq
+    assert by_ids[()].score_sum == INT32_LOWEST
+
+
+def test_paired_end_multipath_partial_overlap(engine):
+    # Reference "Partial overlapping paired-end read alignment finds
+    # alignment path(s)", multipath variant: read 1 is extended base by
+    # base onto read 2's start node so the pair merge must reconcile a
+    # growing overlap, including a deletion and an insertion step
+    # (/root/reference/src/tests/alignment_path_finder_test.cpp:1670-1814).
+    index = make_pe_index()
+    base = by_located_ids(
+        index,
+        make_finder(index, engine=engine).find_paired_alignment_paths(
+            mp_aln(PE_ALIGNMENT_1), mp_aln(PE_ALIGNMENT_2)
+        ),
+    )
+
+    def run(ov):
+        paths = make_finder(index, engine=engine).find_paired_alignment_paths(
+            mp_aln(ov), mp_aln(PE_ALIGNMENT_2)
+        )
+        return paths, by_located_ids(index, paths)
+
+    # Step 1: extend read 1 with a 1 bp match on node 5 (read 2's last
+    # node): only the path through node 4 (id 0) survives the overlap.
+    ov = copy.deepcopy(PE_ALIGNMENT_1)
+    ov["subpath"][3]["next"] = [4]
+    ov["subpath"].append(
+        {
+            "path": {"mapping": [{"position": {"node_id": 5}, "edit": [{"from_length": 1, "to_length": 1}]}]},
+            "score": 0,
+        }
+    )
+    ov["sequence"] = ov["sequence"] + "A"
+
+    paths_ov, by_ids = run(ov)
+    assert len(paths_ov) == 2
+    assert set(by_ids) == {(0,), ()}
+    assert by_ids[(0,)].is_simple
+    assert by_ids[(0,)].frag_length == base[(0,)].frag_length
+    assert by_ids[(0,)].min_mapq == base[(0,)].min_mapq
+    assert by_ids[(0,)].score_sum == base[(0,)].score_sum
+    assert by_ids[()].frag_length == base[()].frag_length
+    assert by_ids[()].min_mapq == base[()].min_mapq
+    assert by_ids[()].score_sum == -737
+
+    # Step 2: grow the overlap to 2 bp on node 5 — same result.
+    ov["subpath"][4]["path"]["mapping"][0]["edit"][0] = {"from_length": 2, "to_length": 2}
+    ov["sequence"] = ov["sequence"] + "A"
+
+    paths_ov, by_ids = run(ov)
+    assert len(paths_ov) == 2
+    assert set(by_ids) == {(0,), ()}
+    assert by_ids[(0,)].is_simple
+    assert by_ids[(0,)].frag_length == base[(0,)].frag_length
+    assert by_ids[(0,)].min_mapq == base[(0,)].min_mapq
+    assert by_ids[(0,)].score_sum == base[(0,)].score_sum
+    assert by_ids[()].score_sum == -737
+
+    # Step 3: continue onto node 6 with a 1 bp match — same result.
+    ov["subpath"][4]["next"] = [5]
+    ov["subpath"].append(
+        {
+            "path": {"mapping": [{"position": {"node_id": 6}, "edit": [{"from_length": 1, "to_length": 1}]}]},
+            "score": 0,
+        }
+    )
+    ov["sequence"] = ov["sequence"] + "A"
+
+    paths_ov, by_ids = run(ov)
+    assert len(paths_ov) == 2
+    assert set(by_ids) == {(0,), ()}
+    assert by_ids[(0,)].is_simple
+    assert by_ids[(0,)].frag_length == base[(0,)].frag_length
+    assert by_ids[(0,)].min_mapq == base[(0,)].min_mapq
+    assert by_ids[(0,)].score_sum == base[(0,)].score_sum
+    assert by_ids[()].score_sum == -737
+
+    # Step 4: turn the node-6 match into a deletion followed by an
+    # insertion at offset 1 — fragment length drops to 11.
+    ov["subpath"][5]["path"]["mapping"][0]["edit"][0] = {"from_length": 1}
+    ov["subpath"][5]["next"] = [6]
+    ov["subpath"].append(
+        {
+            "path": {"mapping": [{"position": {"node_id": 6, "offset": 1}, "edit": [{"to_length": 1}]}]},
+            "score": 0,
+        }
+    )
+
+    paths_ov, by_ids = run(ov)
+    assert len(paths_ov) == 2
+    assert set(by_ids) == {(0,), ()}
+    assert by_ids[(0,)].is_simple
+    assert by_ids[(0,)].frag_length == 11
+    assert by_ids[(0,)].min_mapq == base[(0,)].min_mapq
+    assert by_ids[(0,)].score_sum == base[(0,)].score_sum
+    assert by_ids[()].score_sum == -737
+
+    # Step 5: jump the overlap onto node 9 with a scored (-2) match —
+    # the pair score drops to -1.
+    ov["subpath"][6]["next"] = [7]
+    ov["subpath"].append(
+        {
+            "path": {"mapping": [{"position": {"node_id": 9}, "edit": [{"from_length": 1, "to_length": 1}]}]},
+            "score": -2,
+        }
+    )
+    ov["sequence"] = ov["sequence"] + "A"
+
+    paths_ov, by_ids = run(ov)
+    assert len(paths_ov) == 2
+    assert set(by_ids) == {(0,), ()}
+    assert by_ids[(0,)].is_simple
+    assert by_ids[(0,)].frag_length == base[(0,)].frag_length
+    assert by_ids[(0,)].min_mapq == base[(0,)].min_mapq
+    assert by_ids[(0,)].score_sum == -1
+    assert by_ids[()].score_sum == -737
