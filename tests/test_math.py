@@ -102,3 +102,50 @@ def test_double_compare():
     assert double_compare(1.0, 1.0)
     assert double_compare(1.0, 1.0 + 1e-15)
     assert not double_compare(1.0, 1.0001)
+
+
+def test_qual_adjusted_score_tables_pinned():
+    """Hard-pinned values of the GSSW-style quality-adjusted score
+    matrix and full-length bonuses (reference utils.hpp:514-597,
+    precomputed at static init from the GC=0.5 HMM emission model).
+    Values below were derived with an independent scalar
+    reimplementation of the reference formulas (method-of-score
+    log-odds, score_log_base 1.383325268738, match/mismatch/bonus
+    1/4/5) — the vectorised production tables must reproduce them
+    exactly, including the transition quals and the
+    lowest-meaningful-qual clamps (matrix from q>=2, bonuses from
+    q>=3)."""
+    from rpvg_tpu.scoring import QUAL_FULL_LENGTH_BONUSES, QUAL_SCORE_TENSOR
+
+    # (qual, match score [A->A], mismatch score [A->C], full-length bonus).
+    expected = [
+        (0, 0, 0, 0),
+        (1, 0, 0, 0),
+        (2, 0, 0, 0),  # matrix clamp boundary: q < ceil(-10*log10(0.75)) zeroed
+        (3, 0, 0, 4),  # first nonzero bonus (clamp is matrix clamp + 1)
+        (4, 1, 0, 4),  # first nonzero match score
+        (5, 1, -1, 5),  # bonus saturates at the plain +5
+        (10, 1, -1, 5),
+        (11, 1, -2, 5),  # mismatch transitions: -1/-2/-3/-4 at q=5/11/17/26
+        (16, 1, -2, 5),
+        (17, 1, -3, 5),
+        (25, 1, -3, 5),
+        (26, 1, -4, 5),
+        (40, 1, -4, 5),
+        (255, 1, -4, 5),  # saturated: equals the plain 1/-4/+5 contract
+    ]
+    for q, match, mismatch, bonus in expected:
+        assert QUAL_SCORE_TENSOR[q, 0, 0] == match, q
+        assert QUAL_SCORE_TENSOR[q, 0, 1] == mismatch, q
+        assert QUAL_FULL_LENGTH_BONUSES[q] == bonus, q
+        # Any pairing with N (index 4) scores 0 at every quality.
+        assert QUAL_SCORE_TENSOR[q, 4, 0] == 0
+        assert QUAL_SCORE_TENSOR[q, 0, 4] == 0
+        assert QUAL_SCORE_TENSOR[q, 4, 4] == 0
+
+    # Symmetry of the 4x4 base block (uniform GC=0.5 base frequencies)
+    # and diagonal/off-diagonal structure at a saturated quality.
+    block = np.asarray(QUAL_SCORE_TENSOR[40, :4, :4])
+    assert (block == block.T).all()
+    assert (np.diag(block) == 1).all()
+    assert (block[~np.eye(4, dtype=bool)] == -4).all()
